@@ -1,0 +1,63 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed with a count-style action that materializes the
+full result without pulling rows to the driver. A warmup query runs
+first so JVM/codegen startup is not attributed to the first benchmark
+entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from cdc_cascade_spark.registry import queries
+    from cdc_cascade_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc-cascade-bench")
+
+    # Warmup: touch every table once (fs cache + codegen init).
+    from cdc_cascade_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Materialize every row/column without driver collect.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
