@@ -1,0 +1,68 @@
+"""Latest-wins keyed compaction: changelog → current-state table.
+
+This is the one semantic the reference leaves implicit (SURVEY.md §4):
+its Postgres table *is* the current state and Redis invalidation keeps
+the cache consistent with it (reference: queue/cdc.go:188-191). In a
+Spark engine the current state must be *derived* from the change
+stream: for each key keep the event with the highest LSN (reference
+orders by ``payload.source.lsn``, queue/cdc.go:53), and drop keys whose
+final operation is a delete.
+
+Scale: one shuffle on the key; rank-pushdown (WindowGroupLimit) keeps
+only the top row per key before the filter. For 100 TB changelogs this
+is the standard "compact by key" shape — AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def latest_wins(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Keep each key's latest event; drop keys whose last op is a delete.
+
+    ``order_cols`` must be a total order per key (e.g. ``lsn`` or
+    ``(source.lsn, source.ts_ms)``) — ties would make the result
+    nondeterministic, exactly the cross-batch-ordering hazard SURVEY.md
+    §7 flags.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
+def current_state(
+    payloads: DataFrame,
+    key_field: str = "code",
+    image_fields: Sequence[str] | None = None,
+) -> DataFrame:
+    """Reconstruct the source table from envelope payloads (inverse of C1).
+
+    For non-delete events the row image is ``after``; deletes carry only
+    ``before``. Compaction key = after/before key, order = source.lsn.
+    """
+    keyed = payloads.select(
+        F.coalesce(F.col(f"after.{key_field}"), F.col(f"before.{key_field}")).alias(
+            "__key"
+        ),
+        F.col("source.lsn").alias("__lsn"),
+        F.col("op"),
+        F.col("after"),
+    )
+    latest = latest_wins(keyed, ["__key"], ["__lsn"], op_col="op")
+    if image_fields is None:
+        return latest.select("after.*")
+    return latest.select([F.col(f"after.{f}").alias(f) for f in image_fields])

@@ -1,4 +1,4 @@
-"""Every relational query must hash-match its DuckDB oracle at sf0.001.
+"""Every registered query must hash-match its DuckDB oracle at sf0.001.
 
 This mirrors the driver's t2 correctness gate (row-count + columns +
 order-insensitive values, floats compared exactly thanks to the
@@ -9,14 +9,15 @@ from __future__ import annotations
 
 import pytest
 
-from cdc_cascade_spark.operators import relational
+from cdc_cascade_spark.registry import all_queries
 from cdc_cascade_spark.testing.parity import run_parity
 
 
-@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+@pytest.mark.parametrize("name", sorted(all_queries()))
 def test_parity(spark, sf_dir, name):
     (res,) = run_parity(spark, sf_dir, only=[name])
     assert res.ok, str(res)
+    assert res.spark_rows > 0, f"{name} returned 0 rows — trivial oracle match"
 
 
 def test_entry_smoke(spark):
