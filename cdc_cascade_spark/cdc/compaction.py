@@ -26,22 +26,25 @@ def latest_wins(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     op_col: str = "op",
-    delete_op: str = "d",
+    delete_op: str | None = "d",
 ) -> DataFrame:
     """Keep each key's latest event; drop keys whose last op is a delete.
 
     ``order_cols`` must be a total order per key (e.g. ``lsn`` or
     ``(source.lsn, source.ts_ms)``) — ties would make the result
     nondeterministic, exactly the cross-batch-ordering hazard SURVEY.md
-    §7 flags.
+    §7 flags. Pass ``delete_op=None`` to keep delete markers (a sink
+    that applies deletes itself needs to see them).
     """
     w = W.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-    return (
+    latest = (
         changelog.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .filter(F.col(op_col) != delete_op)
     )
+    if delete_op is None:
+        return latest
+    return latest.filter(F.col(op_col) != delete_op)
 
 
 def current_state(

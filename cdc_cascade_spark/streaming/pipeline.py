@@ -1,0 +1,158 @@
+"""Streaming CDC pipelines: source builders + the two foreachBatch sinks.
+
+The reference's consumer loop (queue/cdc.go:61-224) maps 1:1 onto a
+Structured Streaming query (SURVEY.md §3.1):
+
+  readStream(kafka)                     A1  source scan
+    .option(maxOffsetsPerTrigger, 100)  A2  bounded micro-batch (PollRecords 100)
+    .option(kafka.fetch.*)              A3  fetch flow control
+  → parse_envelope / valid_events       A4-A6  tombstone, JSON, dead-letter
+  → invalidation_keys                   A7-A8  before-not-null, key projection
+  → foreachBatch(DEL keys)              A9  keyed effect sink
+  with checkpointLocation               A10 offset commit / at-least-once
+  (executor task retries + restart-from-checkpoint replace A11-A16)
+
+Tests drive the same pipelines with a file source (one JSON line per
+Kafka record value, ``maxFilesPerTrigger`` standing in for
+``maxOffsetsPerTrigger``) — the parse/route/sink code is byte-identical
+between the two sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_cascade_spark.cdc.envelope import (
+    invalidation_keys,
+    parse_envelope,
+    valid_events,
+)
+from cdc_cascade_spark.cdc.schemas import SINNERS_SCHEMA
+from cdc_cascade_spark.streaming.sinks import (
+    KeyValueStore,
+    invalidate_batch,
+    upsert_view_batch,
+)
+
+# Kafka/Debezium wiring constants from the reference deployment.
+DEFAULT_TOPIC = "cdc-cascade-postgres.public.sinners"  # README.md:76
+DEFAULT_MAX_OFFSETS_PER_TRIGGER = 100  # PollRecords(ctx, 100), cdc.go:124
+
+
+def read_cdc_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    max_offsets_per_trigger: int = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
+) -> DataFrame:
+    """Kafka CDC source with the reference's flow-control settings.
+
+    Requires the spark-sql-kafka connector jars on the classpath (not in
+    this environment — exercised in production deployments only; tests
+    use ``read_cdc_files``).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")  # ConsumeStartOffset AtStart
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .option("kafka.fetch.min.bytes", str(1024))  # cdc.go:87
+        .option("kafka.fetch.max.bytes", str(10 * 1024 * 1024))  # cdc.go:86
+        .option("kafka.fetch.max.wait.ms", str(5000))  # cdc.go:88
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def read_cdc_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based CDC source for tests: one envelope JSON per line.
+
+    Empty lines model Kafka tombstones (NULL value). ``wholetext=false``
+    text source preserves arrival order within a file; per-key ordering
+    across files is restored by LSN-ordered compaction, the same
+    mechanism that handles Kafka cross-partition arrival (SURVEY.md C5).
+    """
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+        .selectExpr("nullif(value, '') AS value")
+    )
+
+
+def start_invalidation_pipeline(
+    stream: DataFrame,
+    store: KeyValueStore,
+    checkpoint_dir: str,
+    table_schema: T.StructType = SINNERS_SCHEMA,
+    key_field: str = "code",
+) -> StreamingQuery:
+    """The flagship pipeline: CDC events → cache invalidation (A1-A10)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = valid_events(parse_envelope(batch_df, table_schema))
+        invalidate_batch(store, invalidation_keys(payloads, key_field), key_field)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def start_materialized_view_pipeline(
+    stream: DataFrame,
+    store: KeyValueStore,
+    checkpoint_dir: str,
+    table_schema: T.StructType = SINNERS_SCHEMA,
+    key_field: str = "code",
+) -> StreamingQuery:
+    """Maintained latest-row view: upsert on c/u/r, delete on d.
+
+    The pure-Spark analog of the reference's cache-aside rebuild
+    (sequence-flows.mmd:45-53) — instead of invalidate-then-miss, the
+    view converges to the compacted table state.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = valid_events(parse_envelope(batch_df, table_schema))
+        upsert_view_batch(store, payloads, key_field)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def run_supervised(
+    start_query,
+    max_restarts: int = 3,
+) -> None:
+    """Restart-from-checkpoint supervisor (reference: queue/runner.go:11-35).
+
+    The reference recovers panics and restarts the consumer after 5 s;
+    checkpointing makes the Spark equivalent safe without custom offset
+    bookkeeping. ``start_query`` is a zero-arg callable returning a
+    started StreamingQuery.
+    """
+    import time
+
+    restarts = 0
+    while True:
+        query = start_query()
+        try:
+            query.awaitTermination()
+            return
+        except Exception:
+            restarts += 1
+            if restarts > max_restarts:
+                raise
+            time.sleep(5)  # runner.go:31-32

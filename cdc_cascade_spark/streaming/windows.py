@@ -1,0 +1,97 @@
+"""Event-time windowed aggregations over a stream with late-data handling.
+
+The reference has no event-time operators (SURVEY.md §2.E) — these are
+part of the engine's extended streaming surface (north star in
+BASELINE.json): tumbling / sliding / session windows with watermarks,
+the streaming counterparts of batch queries q17 (tumbling) and q13
+(sessionization).
+
+Scale: windowed aggregation state is partitioned by (window, keys) and
+bounded by the watermark — late events beyond the delay are dropped,
+so state size is O(active windows × keys), independent of stream
+length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming read of the events table (file source standing in for
+    Kafka; the transformations are source-agnostic)."""
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        # the file source wants a directory; glob-filter to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns→us conversion as catalog.load_table, then LTZ for watermarks
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_activity(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window: per-user activity over overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based), the streaming analog of batch q13."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,200 @@
+"""End-to-end streaming tests: the automated version of the reference's
+manual verification script (README.md:119-154 / sequence-flows.mmd:33-53).
+
+Envelope JSON lines are written as files; a text file-source with
+maxFilesPerTrigger=1 forces multiple micro-batches (the analog of the
+reference's 100-record polls). foreachBatch sinks mutate an in-memory
+KV store standing in for Redis.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.cdc.compaction import current_state
+from cdc_cascade_spark.cdc.envelope import parse_envelope, valid_events
+from cdc_cascade_spark.streaming.pipeline import (
+    read_cdc_files,
+    start_invalidation_pipeline,
+    start_materialized_view_pipeline,
+)
+from cdc_cascade_spark.streaming.sinks import InMemoryKVStore
+from cdc_cascade_spark.streaming.windows import (
+    session_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _env(op, before, after, lsn):
+    return json.dumps(
+        {
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"db": "postgres", "schema": "public",
+                           "table": "sinners", "lsn": lsn, "txId": lsn},
+                "op": op,
+                "ts_ms": 1700000000000 + lsn,
+            }
+        }
+    )
+
+
+def _row(code, name):
+    return {"code": code, "name": name, "class": "S",
+            "created_at": "2026-01-01T00:00:00",
+            "updated_at": "2026-01-01T00:00:00"}
+
+
+BATCH_1 = [
+    _env("r", None, _row(14, "Deren"), 1),
+    _env("r", None, _row(17, "Shalom"), 2),
+    _env("c", None, _row(5, "Augustus"), 3),
+]
+BATCH_2 = [
+    _env("u", _row(5, "Augustus"), _row(5, "Aurelius"), 4),
+    _env("d", _row(14, "Deren"), None, 5),
+    "",  # tombstone (empty line → NULL value)
+]
+
+
+def _write_batch(path, lines, name):
+    (path / name).write_text("\n".join(lines) + "\n")
+
+
+def test_invalidation_end_to_end(spark, tmp_path):
+    """Scenario 3 (sequence-flows.mmd:33-43): update/delete DELs the key."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, BATCH_1, "b1.txt")
+    _write_batch(src, BATCH_2, "b2.txt")
+
+    store = InMemoryKVStore()
+    for k in ("14", "17", "5"):
+        store.set(k, "cached-row")
+
+    q = start_invalidation_pipeline(
+        read_cdc_files(spark, str(src)), store, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # c/r events (before==null) must NOT invalidate; u/d must.
+    assert sorted(store.deletes) == ["14", "5"]
+    assert store.snapshot() == {"17": "cached-row"}
+
+
+def test_invalidation_restart_from_checkpoint(spark, tmp_path):
+    """A15/A10: restart resumes after processed offsets — no replay of
+    already-committed batches, new files still processed."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, BATCH_1 + BATCH_2, "b1.txt")
+
+    store = InMemoryKVStore()
+    ckpt = str(tmp_path / "ckpt")
+    q = start_invalidation_pipeline(read_cdc_files(spark, str(src)), store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    deletes_before = list(store.deletes)
+
+    # restart with one more update event for key 17
+    _write_batch(src, [_env("u", _row(17, "Shalom"), _row(17, "Sholem"), 6)], "b2.txt")
+    q = start_invalidation_pipeline(read_cdc_files(spark, str(src)), store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    assert store.deletes == deletes_before + ["17"]
+
+
+def test_materialized_view_converges_to_batch_state(spark, tmp_path):
+    """The maintained view must equal batch latest-wins compaction."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, BATCH_1, "b1.txt")
+    _write_batch(src, BATCH_2, "b2.txt")
+
+    store = InMemoryKVStore()
+    q = start_materialized_view_pipeline(
+        read_cdc_files(spark, str(src)), store, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    view = {k: json.loads(v)["name"] for k, v in store.snapshot().items()}
+    assert view == {"5": "Aurelius", "17": "Shalom"}
+
+    # cross-check against the batch operator on the same envelopes
+    lines = [l for l in BATCH_1 + BATCH_2 if l]
+    raw = spark.createDataFrame([(v,) for v in lines], "value string")
+    batch_state = current_state(valid_events(parse_envelope(raw)), "code")
+    batch = {str(r.code): r.name for r in batch_state.collect()}
+    assert view == batch
+
+
+def test_tumbling_window_matches_batch(spark, tmp_path):
+    stream = stream_events(spark, SF)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    from cdc_cascade_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_matches_batch_sessionization(spark, tmp_path):
+    """session_window(gap=30m) must agree with the batch lag/cumsum
+    sessionizer (q13) on sessions-per-user."""
+    stream = stream_events(spark, SF)
+    q = (
+        session_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n FROM session_out GROUP BY user_id")
+        .collect()
+    )
+    got_map = {r.user_id: r.n for r in got}
+
+    from cdc_cascade_spark.operators.relational import q13_sessionize_events
+
+    want = {r.user_id: r.n_sessions for r in q13_sessionize_events(spark, SF).collect()}
+    assert got_map == want
