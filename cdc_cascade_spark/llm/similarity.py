@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_cosine_topk``: brute-force cosine top-k against a query vector —
+  the exactness baseline. Scale shape: broadcast the query vector,
+  map-side cosine, TakeOrderedAndProject for the top-k (no global sort).
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH bucketing;
+  only the query's bucket (and its probes) is scanned. On 100 TB the
+  bucket column is a partition/cluster key so the scan prunes to a few
+  partitions.
+- ``embedding_top_pairs``: most-similar pairs within label blocks
+  (the embedding-cosine near-dup primitive).
+
+Determinism: cosine is computed in float64 with a strict left-to-right
+fold over the 64 dimensions in BOTH engines (Spark ``aggregate`` over
+``zip_with``; DuckDB ``list_dot_product`` on DOUBLE[] — verified to
+match bit-for-bit in tests), then divided by the two norms computed the
+same way. Results also carry a ROUND(·, 9) guard so a ulp-level engine
+divergence cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+
+TOPK = 10
+PAIR_TOPK = 20
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right float64 dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 9
+    )
+
+
+_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 9)"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by cosine to the query vector (vec_id = MIN(vec_id)).
+
+    The query row is a 1-row broadcast — the join is a map-side
+    nested-loop over one row, then TakeOrderedAndProject keeps k rows
+    per partition before the final merge: no global sort, no collect.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    query = emb.join(F.broadcast(qid), emb.vec_id == F.col("qid")).select(
+        F.col("embedding").alias("qvec"), F.col("qid")
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "label",
+            _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+SELECT vec_id, label,
+       {_cosine_sql('embedding', 'qvec')} AS cosine
+FROM embeddings, q
+WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top most-similar pairs within each label block.
+
+    The label column blocks the pair space (embedding near-dup's analog
+    of LSH bucketing); per block the join is a co-partitioned self-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        "label",
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "label", "vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(PAIR_TOPK)
+    )
+
+
+ORACLE_TOP_PAIRS = f"""
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT {PAIR_TOPK}
+"""
+
+
+# Random-hyperplane LSH: sign bits of dot products with H fixed pseudo-
+# random hyperplanes. The hyperplanes are generated deterministically
+# from md5 of (plane, dim) — reproducible in SQL, no RNG.
+LSH_PLANES = 8
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components in
+    [-1, 1): (md5_int(plane:d) % 2001 - 1000) / 1000."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        comps.append((h % 2001 - 1000) / 1000.0)
+    return comps
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine top-k *within the query's bucket*.
+
+    Buckets = 8 sign bits of dot products with fixed hyperplanes →
+    256 buckets. At 100 TB the bucket is a partition key: the query
+    probes one bucket (multi-probe variants widen this), scanning
+    ~1/256 of the data. Approximate by construction — results may miss
+    true neighbors in other buckets, which is the accepted trade.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = [_hyperplane(p, dim) for p in range(LSH_PLANES)]
+
+    def bucket(col: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(
+                F.when(dot > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    bucketed = emb.select(
+        "vec_id", "label", "embedding", bucket(F.col("embedding")).alias("bucket")
+    )
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    qrow = bucketed.join(F.broadcast(qid), bucketed.vec_id == F.col("qid")).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"), F.col("qid")
+    )
+    return (
+        bucketed.join(F.broadcast(qrow), bucketed.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    dim = 64
+    plane_dots = []
+    for p in range(LSH_PLANES):
+        comps = _hyperplane(p, dim)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        plane_dots.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, bucket AS qbucket FROM bucketed
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id, label, bucket,
+       {_cosine_sql('embedding', 'qvec')} AS cosine
+FROM bucketed, q
+WHERE bucket = qbucket AND vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_LSH_TOPK = _lsh_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
+    "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
+    "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),
+}

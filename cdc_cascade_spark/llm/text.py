@@ -1,0 +1,172 @@
+"""Text-analysis operators for training-data pipelines.
+
+Quality scoring, language ID, token counting, and document
+fingerprinting over the ``documents`` table — the per-document filters
+and features an LLM data pipeline computes before dedup/sampling.
+
+Scale: every operator here is a pure projection (JVM built-ins over
+arrays), so the 100 TB plan is scan → map → (small) aggregate; no
+Python, no explode-induced row blowup except where noted.
+
+Determinism: derived doubles come from integer counts via single
+divisions (deterministic in IEEE-754), never from accumulated float
+sums; transcendental functions are avoided entirely (libm results can
+differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.hashing import token_hash, token_hash_sql
+from cdc_cascade_spark.llm.prep import (
+    DOCS_CTE,
+    distinct_shingles,
+    tokens,
+)
+
+# Stopword marker sets for the five labeled languages. Tiny on purpose:
+# this is the classic n-gram/marker heuristic, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "los", "que", "es", "un", "una", "y"],
+    "fr": ["le", "la", "les", "est", "et", "un", "une", "dans"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, lengths, ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    )
+    bpe_count = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        bpe_count.alias("n_bpe_tokens"),
+        (sum_len.cast("double") / n).alias("avg_token_len"),
+        (stop_hits.cast("double") / n).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n).alias("ttr"),
+        (
+            F.least(F.lit(1.0), n.cast("double") / 100.0)
+            * (n_distinct.cast("double") / n)
+        ).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_STATS = (
+    DOCS_CTE
+    + f"""
+SELECT doc_id, lang,
+       len(toks)::INTEGER AS n_tokens,
+       len(list_distinct(toks))::INTEGER AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::INTEGER AS n_bpe_tokens,
+       list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS avg_token_len,
+       len(list_filter(toks, t -> list_contains({EN_STOPWORDS!r}, t)))::DOUBLE / len(toks) AS stopword_ratio,
+       len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+       least(1.0, len(toks)::DOUBLE / 100.0) * (len(list_distinct(toks))::DOUBLE / len(toks)) AS quality_score
+FROM sh
+"""
+)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID, evaluated against the labeled lang.
+
+    Prediction = language with the most (distinct) marker hits;
+    ties break alphabetically — deterministic in both engines via an
+    explicit CASE chain on ``greatest``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lang in sorted(LANG_MARKERS):  # alphabetical priority on ties
+        cond = hits[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr
+    scored = docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+    return scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_exprs.append(
+            f"len(list_intersect(list_distinct(toks), {lst})) AS h_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return (
+        DOCS_CTE
+        + ", hits AS (SELECT doc_id, lang, "
+        + ", ".join(hit_exprs)
+        + " FROM sh)\n"
+        + f"SELECT lang, {case} AS predicted_lang, COUNT(*) AS n_docs\n"
+        + "FROM hits GROUP BY 1, 2"
+    )
+
+
+ORACLE_LANG_ID = _lang_id_oracle()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite).
+
+    Fingerprint = min md5-hash over the document's distinct 3-token
+    shingles — the representative hash used for fast first-pass
+    clustering of near-identical docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = distinct_shingles(tokens(F.col("text")))
+    hashes = F.transform(sh, token_hash)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+ORACLE_FINGERPRINT = (
+    DOCS_CTE
+    + f"""
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> {token_hash_sql('s')})) AS fingerprint,
+       len(shingles)::INTEGER AS n_shingles
+FROM sh
+"""
+)
+
+
+QUERIES: dict[str, tuple] = {
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (lang_id, ORACLE_LANG_ID),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+}
