@@ -1,22 +1,23 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 The four standard near-dup strategies of large-scale training-data
-pipelines, each expressed shuffle-consciously:
+pipelines, each expressed shuffle- and codegen-consciously:
 
 - **exact**: hash-groupBy on a normalized key — one shuffle on a short
   hash, the cheapest possible dedup.
-- **n-gram Jaccard**: exact set similarity, *blocked* so the pair space
-  stays linear-ish (here: equal first shingle; production: any cheap
-  equality key). Never all-pairs.
-- **MinHash+LSH**: signatures are a pure per-row array expression (no
-  explode); the only shuffle is the band-key self-join that produces
-  candidates, which is O(candidates), not O(n²). Candidates are then
-  verified with exact Jaccard.
-- **SimHash**: per-token bit votes aggregated per document; near-dup
-  docs land on close hashes (small hamming distance).
+- **n-gram Jaccard**: exact set similarity over shingle-hash sets,
+  *blocked* (here: equal first shingle) so the pair space stays
+  linear-ish. Never all-pairs.
+- **MinHash+LSH**: shingle hashes explode into rows and the 16
+  signature minima are computed as *aggregate expressions* (codegen'd,
+  map-side partial min) rather than interpreted array lambdas; bands
+  self-join on their key to produce candidates, verified with exact
+  Jaccard. O(candidates), not O(n²).
+- **SimHash**: one md5 per token row, 32 conditional-sum aggregates
+  (codegen'd, partial agg), final bit-assembly projection.
 
-All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle
-reproduces every value bit-for-bit.
+All hashes are md5-derived (functions/hashing.py, llm/prep.py) so the
+DuckDB oracle reproduces every value bit-for-bit.
 """
 
 from __future__ import annotations
@@ -27,20 +28,21 @@ from pyspark.sql import functions as F
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.functions.hashing import (
     LSH_BANDS,
-    band_key,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     band_key_sql,
-    minhash_signature,
     minhash_signature_sql,
     token_hash,
-    token_hash_sql,
 )
 from cdc_cascade_spark.llm.prep import (
     DOCS_CTE,
-    distinct_shingles,
     first_shingle,
     first_shingle_sql,
     jaccard,
     jaccard_sql,
+    shingle_hash_set,
     tokens,
 )
 
@@ -48,13 +50,14 @@ JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
 
-def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct shingle-hash set + blocking key."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        "lang",
-        "text",
-        distinct_shingles(tokens(F.col("text"))).alias("shingles"),
+        shingle_hash_set(toks).alias("hset"),
+        first_shingle(toks).alias("block"),
     )
 
 
@@ -103,30 +106,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The block key (a document's first 3-token shingle) turns the O(n²)
     pair space into per-block joins; the join shuffles both sides on
-    the same key, so candidates co-locate. Threshold 0.8.
+    the same key, so candidates co-locate. Set math runs on bigint
+    shingle hashes — cheap comparisons, small shuffle payload.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    sh = docs.select(
-        "doc_id",
-        distinct_shingles(toks).alias("shingles"),
-        first_shingle(toks).alias("block"),
-    )
+    sh = _docs_prepared(spark, sf_dir)
     a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "block",
+        F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block"
     )
     b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "block",
+        F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"), "block"
     )
     pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -150,52 +143,47 @@ WHERE {jaccard_sql('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup detection with exact-Jaccard verification.
 
-    shingle → 16-permutation MinHash signature (pure array expression)
-    → 4 LSH bands → self-join on band key → distinct candidate pairs
-    → verify with exact Jaccard ≥ 0.8.
+    shingle-hash rows → 16 ``min((a_i*h + b_i) % P)`` aggregates (one
+    shuffle with map-side partial min) → 4 LSH band keys → band
+    self-join → distinct candidate pairs → exact Jaccard ≥ 0.8.
 
-    Scale: the signature step is a projection; band explode multiplies
-    rows by 4 (constant); the self-join shuffles on band keys whose
-    groups are tiny except for true dup clusters. This is the standard
-    100 TB near-dedup shape (vs. the blocked-Jaccard's reliance on a
-    lucky equality key).
+    Scale: signatures shrink each doc to 16 longs before anything
+    joins; the band join's groups are tiny except true dup clusters;
+    verification touches only candidate pairs (broadcast-joined back
+    to the shingle sets). This is the standard 100 TB near-dedup shape.
     """
-    sh = _docs_with_shingles(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        minhash_signature(F.transform("shingles", token_hash)).alias("sig"),
-    )
-    bands = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), band_key(F.col("sig"), i).alias("bkey")
-                    )
-                    for i in range(LSH_BANDS)
-                ]
+    prepared = _docs_prepared(spark, sf_dir).select("doc_id", "hset")
+    hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sigs = hashes.groupBy("doc_id").agg(*sig_aggs)
+    band_structs = []
+    for i in range(LSH_BANDS):
+        cols = [F.col(f"s{i * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
             )
-        ).alias("b"),
-    ).select("doc_id", "shingles", "b.band", "b.bkey")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-        "band", "bkey",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-        "band", "bkey",
-    )
+        )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bkey")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    pa = prepared.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    pb = prepared.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
+    verified = cand.join(pa, "doc_a").join(pb, "doc_b")
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -203,16 +191,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle_sql() -> str:
     # bands via UNION ALL — one SELECT per band (LSH_BANDS is a small
     # constant), since VALUES can't reference per-row sig expressions.
-    hashes = f"list_transform(shingles, s -> {token_hash_sql('s')})"
-    sig = minhash_signature_sql(hashes)
+    sig = minhash_signature_sql("shingles")
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, shingles, {i} AS band, {band_key_sql('sig', i)} AS bkey FROM sigs"
+        f"SELECT doc_id, {i} AS band, {band_key_sql('sig', i)} AS bkey FROM sigs"
         for i in range(LSH_BANDS)
     )
     return (
         DOCS_CTE
         + f"""
-, sigs AS (SELECT doc_id, shingles, {sig} AS sig FROM sh)
+, sigs AS (SELECT doc_id, {sig} AS sig FROM sh)
 , bands AS (
 {band_selects}
 )
@@ -242,45 +229,41 @@ ORACLE_MINHASH = _minhash_oracle_sql()
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash over token frequencies.
 
-    Each token votes ±1 on each bit of its hash; the document hash is
-    the sign vector. Implemented as a per-row array fold (aggregate +
-    zip_with) — no explode, no shuffle: at 100 TB this is map-only.
+    Each token votes ±1 on each bit of its md5 hash; the document hash
+    is the sign vector. One md5 per token row, then 32 conditional-sum
+    aggregates (all codegen'd, with map-side partial aggregation) —
+    the per-bit work is integer shifts, not re-hashing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Expressed as one SQL expression because the Python wrappers for
-    # shiftleft/shiftright only accept literal shift amounts, while the
-    # SQL functions take arbitrary expressions (the lambda variable j).
-    th = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
-    bits = SIMHASH_BITS - 1
-    simhash = F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            aggregate(
-              split(text, '\\\\s+'),
-              array_repeat(0, {SIMHASH_BITS}),
-              (acc, t) -> zip_with(
-                acc,
-                transform(sequence(0, {bits}),
-                          j -> IF((shiftright({th}, j) & 1) = 1, 1, -1)),
-                (x, y) -> x + y)),
-            sequence(0, {bits}),
-            (v, j) -> IF(v > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-          cast(0 as bigint),
-          (acc, x) -> acc + x)
-        """
-    )
-    return docs.select("doc_id", simhash.alias("simhash"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    h = token_hash(F.col("t"))
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*vote_aggs)
+    bit_terms = [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 def _simhash_oracle_sql() -> str:
+    from cdc_cascade_spark.functions.hashing import token_hash_sql
+
     th = token_hash_sql("t")
-    # votes per bit via unnest (DuckDB lacks a clean list fold with
-    # list-typed accumulators); same result, different mechanism.
     return (
         DOCS_CTE
         + f"""
-, tok AS (SELECT doc_id, unnest(toks) AS t FROM sh)
+, tok AS (SELECT doc_id, unnest(toks) AS t FROM docs)
 , bits AS (
   SELECT doc_id, j,
          SUM(CASE WHEN (({th}) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote

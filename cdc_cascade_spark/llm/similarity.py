@@ -54,6 +54,16 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 9)"
 
 
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """Attach the vector's L2 norm once per row.
+
+    Norms are hoisted *before* any join so each vector's self-dot is
+    computed n times, not n² times — the join node stops Catalyst from
+    collapsing the projection into the per-pair expression.
+    """
+    return emb.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by cosine to the query vector (vec_id = MIN(vec_id)).
 
@@ -61,10 +71,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop over one row, then TakeOrderedAndProject keeps k rows
     per partition before the final merge: no global sort, no collect.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     qid = emb.agg(F.min("vec_id").alias("qid"))
     query = emb.join(F.broadcast(qid), emb.vec_id == F.col("qid")).select(
-        F.col("embedding").alias("qvec"), F.col("qid")
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm"), F.col("qid")
     )
     return (
         emb.crossJoin(F.broadcast(query))
@@ -72,7 +82,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
@@ -97,21 +111,28 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label column blocks the pair space (embedding near-dup's analog
     of LSH bucketing); per block the join is a co-partitioned self-join.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
         "label",
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
         "label",
     )
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.select(
-            "label", "vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine")
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(PAIR_TOPK)
@@ -179,12 +200,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + bcol
         return out
 
-    bucketed = emb.select(
-        "vec_id", "label", "embedding", bucket(F.col("embedding")).alias("bucket")
+    bucketed = _with_norm(emb).select(
+        "vec_id", "label", "embedding", "norm", bucket(F.col("embedding")).alias("bucket")
     )
     qid = emb.agg(F.min("vec_id").alias("qid"))
     qrow = bucketed.join(F.broadcast(qid), bucketed.vec_id == F.col("qid")).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"), F.col("qid")
+        F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+        F.col("qid"),
     )
     return (
         bucketed.join(F.broadcast(qrow), bucketed.bucket == F.col("qbucket"))
@@ -193,7 +217,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "bucket",
-            _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)

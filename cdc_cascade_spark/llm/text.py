@@ -20,10 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
-from cdc_cascade_spark.functions.hashing import token_hash, token_hash_sql
 from cdc_cascade_spark.llm.prep import (
     DOCS_CTE,
-    distinct_shingles,
+    shingle_hash_set,
     tokens,
 )
 
@@ -140,25 +139,24 @@ ORACLE_LANG_ID = _lang_id_oracle()
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite).
 
-    Fingerprint = min md5-hash over the document's distinct 3-token
-    shingles — the representative hash used for fast first-pass
-    clustering of near-identical docs.
+    Fingerprint = min shingle-hash over the document's distinct 3-token
+    shingle set (llm/prep.py) — the representative hash used for fast
+    first-pass clustering of near-identical docs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = distinct_shingles(tokens(F.col("text")))
-    hashes = F.transform(sh, token_hash)
+    sh = shingle_hash_set(tokens(F.col("text")))
     return docs.select(
         "doc_id",
-        F.array_min(hashes).alias("fingerprint"),
+        F.array_min(sh).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
 
 
 ORACLE_FINGERPRINT = (
     DOCS_CTE
-    + f"""
+    + """
 SELECT doc_id,
-       list_min(list_transform(shingles, s -> {token_hash_sql('s')})) AS fingerprint,
+       list_min(shingles) AS fingerprint,
        len(shingles)::INTEGER AS n_shingles
 FROM sh
 """
