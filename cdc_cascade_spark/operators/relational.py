@@ -700,6 +700,140 @@ GROUP BY 1, 2
 """
 
 
+def q18_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) per order status.
+
+    Uses exact ``percentile`` (sort-based within group) so the oracle
+    matches; ``percentile_approx`` (t-digest) is the 100 TB variant but
+    its sketch is engine-specific.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+ORACLE_Q18 = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q19_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+ORACLE_Q20 = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS INTEGER) AS g_status,
+       CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+def q21_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: customers above their segment's mean
+    balance — decorrelated into an aggregate + broadcast join (what
+    Catalyst does to the subquery form anyway, stated explicitly).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    seg_avg = cust.groupBy("c_mktsegment").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seg_avg")
+    )
+    return (
+        cust.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+ORACLE_Q21 = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS seg_avg
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_above_avg, MAX(c_acctbal) AS max_bal
+FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+WHERE c.c_acctbal > s.seg_avg
+GROUP BY c.c_mktsegment
+"""
+
+
+def q22_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery shapes via SQL (Catalyst rewrites to
+    semi/anti joins — asserted in tests/test_plans.py)."""
+    register = load_table
+    register(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    register(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q22")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders_q22
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_q22
+                             WHERE l_quantity >= 45)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+ORACLE_Q22 = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -718,4 +852,9 @@ QUERIES: dict[str, tuple] = {
     "q15_outer_join_part_activity": (q15_outer_join_part_activity, ORACLE_Q15),
     "q16_distinct_stats": (q16_distinct_stats, ORACLE_Q16),
     "q17_tumbling_hourly": (q17_tumbling_hourly, ORACLE_Q17),
+    "q18_price_percentiles": (q18_price_percentiles, ORACLE_Q18),
+    "q19_cube_volume": (q19_cube_volume, ORACLE_Q19),
+    "q20_grouping_sets": (q20_grouping_sets, ORACLE_Q20),
+    "q21_above_segment_average": (q21_above_segment_average, ORACLE_Q21),
+    "q22_in_subquery": (q22_in_subquery, ORACLE_Q22),
 }

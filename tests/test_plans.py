@@ -1,0 +1,68 @@
+"""Plan-shape assertions: the scale properties each operator claims.
+
+These protect the 100 TB contract — pushdown, column pruning,
+broadcast joins, shuffle counts — from silent regressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_cascade_spark.operators.relational import (
+    q01_pricing_summary,
+    q02_topk_orders,
+    q03_supplier_volume,
+    q04_forecast_revenue,
+    q08_topk_customers_per_segment,
+)
+from cdc_cascade_spark.plans.explain import (
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = q01_pricing_summary(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # 7 of 11 lineitem columns needed — scan must not read the rest
+    (schema,) = scan_read_schema(df)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+
+
+def test_q04_all_predicates_pushed(spark):
+    df = q04_forecast_revenue(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, (c, pushed)
+
+
+def test_q02_customer_broadcasts(spark):
+    df = q02_topk_orders(spark, SF)
+    assert has_broadcast_join(df)
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q03_dims_broadcast_single_fact_shuffle(spark):
+    df = q03_supplier_volume(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q08_rank_pushdown(spark):
+    """row_number ≤ k must trigger WindowGroupLimit (per-partition top-k
+    before the full sort) — the property that keeps per-key state
+    bounded at scale."""
+    df = q08_topk_customers_per_segment(spark, SF)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_broadcast_threshold_is_set(spark):
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1,0 +1,75 @@
+"""Stateful streaming operator tests: state must persist across
+micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.streaming.stateful import first_seen_filter, running_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_two_batches(spark, tmp_path):
+    """Split the events table into two parquet files → two micro-batches."""
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "event_type")
+    src = tmp_path / "src"
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    return (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+
+
+def test_first_seen_filter_dedups_across_batches(spark, tmp_path):
+    stream = _events_two_batches(spark, tmp_path)
+    q = (
+        first_seen_filter(stream, "user_id", ["user_id", "event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT user_id, count(*) c FROM first_seen GROUP BY user_id")
+    counts = {r.user_id: r.c for r in got.collect()}
+    want_users = {
+        r.user_id for r in load_table(spark, SF, "events").select("user_id").distinct().collect()
+    }
+    assert set(counts) == want_users
+    assert all(c == 1 for c in counts.values()), "a key was emitted twice"
+
+
+def test_running_counts_accumulate_across_batches(spark, tmp_path):
+    stream = _events_two_batches(spark, tmp_path)
+    q = (
+        running_counts(stream, "user_id")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user == total batch count
+    final = spark.sql(
+        "SELECT user_id, max(n_events) n FROM running GROUP BY user_id"
+    )
+    got = {r.user_id: r.n for r in final.collect()}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
