@@ -834,6 +834,49 @@ GROUP BY o_orderstatus
 """
 
 
+def q23_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-series rollup: hourly → daily by partial
+    re-aggregation (the hypertable/continuous-aggregate pattern).
+
+    The daily tier aggregates the *hourly tier's* partials, not the raw
+    events — at 100 TB each coarser resolution reads the much smaller
+    finer rollup, and counts/sums compose losslessly (count-distinct
+    would not; it stays per-tier).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).cast("timestamp_ntz").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return daily
+
+
+ORACLE_Q23 = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(27,6))) AS sum_value_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('day', hour) AS day, event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_value_dec) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_hours
+FROM hourly GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -857,4 +900,5 @@ QUERIES: dict[str, tuple] = {
     "q20_grouping_sets": (q20_grouping_sets, ORACLE_Q20),
     "q21_above_segment_average": (q21_above_segment_average, ORACLE_Q21),
     "q22_in_subquery": (q22_in_subquery, ORACLE_Q22),
+    "q23_timeseries_rollup": (q23_timeseries_rollup, ORACLE_Q23),
 }

@@ -1,0 +1,82 @@
+"""IO round-trips, salted-join equivalence, approximate-aggregate sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.operators.skew import salted_join
+from cdc_cascade_spark.sources.io import read_table, write_delta, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, tmp_path, fmt):
+    df = load_table(spark, SF, "nation")
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=df.schema)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in df.collect()
+    )
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = load_table(spark, SF, "customer")
+    path = str(tmp_path / "part")
+    write_table(df, path, partition_by=["c_mktsegment"])
+    back = read_table(spark, path).filter(F.col("c_mktsegment") == "BUILDING")
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    # partition filter must prune at planning time, not post-scan
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in physical_plan(back)
+    want = df.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert back.count() == want
+
+
+def test_schema_inference_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_delta_stub(spark):
+    df = load_table(spark, SF, "region")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        write_delta(df, "/tmp/never-written")
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey"
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain.collect()} == {
+        (r.c_mktsegment, r["count"]) for r in salted.collect()
+    }
+
+
+def test_approx_aggregates_near_exact(spark):
+    """approx_count_distinct / percentile_approx: engine-specific
+    sketches (no DuckDB oracle possible) — verified against exact
+    values within documented error bounds instead."""
+    orders = load_table(spark, SF, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5).alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.05
