@@ -36,6 +36,16 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine contract: timestamps are UTC-naive end to end (matches the
+    # parquet testdata and the DuckDB oracle). Pin the session TZ here
+    # so results are correct even under a caller-built session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS), which Spark rejects
+        # unless this legacy conf is on. Set it here (runtime SQL conf)
+        # so the engine also works under a caller-built SparkSession —
+        # e.g. the external driver's — that lacks it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanoseconds → TIMESTAMP_NTZ at microsecond precision.
