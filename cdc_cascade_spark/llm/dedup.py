@@ -152,7 +152,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only candidate pairs (broadcast-joined back
     to the shingle sets). This is the standard 100 TB near-dedup shape.
     """
-    prepared = _docs_prepared(spark, sf_dir).select("doc_id", "hset")
+    # The prepared (doc_id, hset) relation is read by three consumers
+    # (signature agg + both verification sides); persist it so the
+    # shingle hashing runs once. The cached payload is doc_id + ~50
+    # longs per doc — at 100 TB-of-raw-text this is the standard
+    # "materialize the feature set" step, spilled to disk by Spark as
+    # needed (MEMORY_AND_DISK default).
+    prepared = _docs_prepared(spark, sf_dir).select("doc_id", "hset").persist()
     hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
     sig_aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
