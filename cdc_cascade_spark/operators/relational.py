@@ -611,7 +611,9 @@ def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_tag"
         ),
         F.length("o_orderpriority").alias("priority_len"),
-        F.round(F.col("o_totalprice"), 0).alias("price_rounded"),
+        # floor, not round: round() half-boundary rules differ between
+        # engines (Spark HALF_UP vs DuckDB half-to-even)
+        F.floor(F.col("o_totalprice")).alias("price_floor"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
         F.abs(F.col("o_totalprice") - 150000.0).alias("price_dev"),
         F.when(F.col("o_totalprice") > 200000, "high")
@@ -629,7 +631,7 @@ SELECT o_orderkey,
        upper(substring(o_orderpriority, 3, 20)) AS priority_name,
        concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag,
        CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
-       round(o_totalprice, 0) AS price_rounded,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
        o_orderkey % 7 AS key_mod7,
        abs(o_totalprice - 150000.0) AS price_dev,
        CASE WHEN o_totalprice > 200000 THEN 'high'
@@ -877,6 +879,43 @@ FROM hourly GROUP BY 1, 2
 """
 
 
+def q24_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + posexplode (lateral view): generate one row
+    per installment of each order, with a deterministic split amount.
+
+    Covers array generation (`sequence`), lateral flattening
+    (`posexplode`), and position-dependent projection — the UNNEST WITH
+    ORDINALITY shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n_installments = (F.col("o_orderkey") % 3 + 1).cast("int")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            n_installments.alias("n_inst"),
+            F.posexplode(F.sequence(F.lit(1), n_installments)).alias("pos", "inst"),
+        )
+        .select(
+            "o_orderkey",
+            (F.col("pos") + 1).alias("installment_no"),
+            F.col("n_inst"),
+            # raw IEEE division — round() half-boundary rules differ
+            # between engines, plain double division does not
+            (F.col("o_totalprice") / F.col("n_inst")).alias("amount"),
+        )
+    )
+
+
+ORACLE_Q24 = """
+SELECT o_orderkey,
+       CAST(u.i AS INTEGER) AS installment_no,
+       CAST(o_orderkey % 3 + 1 AS INTEGER) AS n_inst,
+       o_totalprice / (o_orderkey % 3 + 1) AS amount
+FROM orders, LATERAL (SELECT unnest(range(1, o_orderkey % 3 + 2)) AS i) u
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -901,4 +940,5 @@ QUERIES: dict[str, tuple] = {
     "q21_above_segment_average": (q21_above_segment_average, ORACLE_Q21),
     "q22_in_subquery": (q22_in_subquery, ORACLE_Q22),
     "q23_timeseries_rollup": (q23_timeseries_rollup, ORACLE_Q23),
+    "q24_explode_lateral": (q24_explode_lateral, ORACLE_Q24),
 }
