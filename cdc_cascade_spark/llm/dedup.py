@@ -287,8 +287,55 @@ GROUP BY doc_id
 ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Levenshtein edit distance, blocked on first
+    shingle (same blocking as the Jaccard pass).
+
+    Classic Levenshtein is implemented identically in Spark and DuckDB
+    (integer result — no float drift). Edit distance is O(len²) per
+    pair, so at scale it runs only on blocked candidates, never
+    all-pairs; the relative threshold (distance ≤ 20% of max length)
+    tracks document size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select("doc_id", "text", first_shingle(toks).alias("block"))
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "block"
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "block"
+    )
+    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            max_len.alias("max_len"),
+        )
+        .filter(F.col("edit_distance") * 5 <= F.col("max_len"))
+    )
+
+
+ORACLE_EDIT_DISTANCE = (
+    DOCS_CTE
+    + f"""
+, blocked AS (SELECT doc_id, text, {first_shingle_sql('toks')} AS block FROM docs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance,
+       CAST(greatest(length(a.text), length(b.text)) AS INTEGER) AS max_len
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) * 5 <= greatest(length(a.text), length(b.text))
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_edit_distance": (dedup_edit_distance, ORACLE_EDIT_DISTANCE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),

@@ -916,6 +916,76 @@ FROM orders, LATERAL (SELECT unnest(range(1, o_orderkey % 3 + 2)) AS i) u
 """
 
 
+def q25_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage: truncation, arithmetic, extraction."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("quarter_start"),
+        F.quarter(d).alias("quarter_no"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("week_no"),
+        # DATE columns arrive in pandas as python date objects (vs
+        # datetime64 from DuckDB) — emit timestamps for stable compares
+        F.last_day(d.cast("date")).cast("timestamp_ntz").alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("timestamp_ntz").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_sec"),
+    )
+
+
+ORACLE_Q25 = """
+SELECT o_orderkey,
+       date_trunc('quarter', o_orderdate) AS quarter_start,
+       CAST(quarter(o_orderdate) AS INTEGER) AS quarter_no,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS week_no,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec
+FROM orders
+"""
+
+
+def q26_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar coverage over part names."""
+    part = load_table(spark, sf_dir, "part")
+    s = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.initcap(s).alias("name_title"),
+        F.reverse(s).alias("name_rev"),
+        F.translate(s, "aeiou", "AEIOU").alias("name_vowels_up"),
+        F.regexp_replace(s, "[0-9]+", "#").alias("name_num_masked"),
+        F.regexp_extract(F.col("p_type"), "([A-Z]+)$", 1).alias("type_last_word"),
+        F.element_at(F.split(F.col("p_brand"), "#"), 2).alias("brand_no"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.instr(F.col("p_type"), "E").alias("first_e_pos"),
+        (F.col("p_type").rlike("^[A-Z]")).cast("int").alias("starts_upper"),
+    )
+
+
+ORACLE_Q26 = """
+SELECT p_partkey,
+       -- DuckDB has no initcap; emulate per word
+       array_to_string(list_transform(string_split(p_name, ' '),
+         w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS name_title,
+       reverse(p_name) AS name_rev,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_up,
+       regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_num_masked,
+       COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS type_last_word,
+       string_split(p_brand, '#')[2] AS brand_no,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       CAST(strpos(p_type, 'E') AS INTEGER) AS first_e_pos,
+       CASE WHEN regexp_matches(p_type, '^[A-Z]') THEN 1 ELSE 0 END AS starts_upper
+FROM part
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -941,4 +1011,6 @@ QUERIES: dict[str, tuple] = {
     "q22_in_subquery": (q22_in_subquery, ORACLE_Q22),
     "q23_timeseries_rollup": (q23_timeseries_rollup, ORACLE_Q23),
     "q24_explode_lateral": (q24_explode_lateral, ORACLE_Q24),
+    "q25_datetime_functions": (q25_datetime_functions, ORACLE_Q25),
+    "q26_string_functions": (q26_string_functions, ORACLE_Q26),
 }
