@@ -986,6 +986,51 @@ FROM part
 """
 
 
+def q27_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on both sides.
+
+    Scale: full outer cannot broadcast (both sides must be preserved)
+    — it shuffles both inputs on the key; the pre-aggregation of the
+    orders side shrinks the bigger input before that shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 7000
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_mktsegment", F.lit("<no-cust-row>")).alias("segment"),
+            F.coalesce("n_big_orders", F.lit(0)).alias("n_big_orders"),
+            (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull())
+            .cast("int")
+            .alias("matched"),
+        )
+    )
+
+
+ORACLE_Q27 = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 7000
+), big AS (
+  SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders
+  WHERE o_totalprice > 250000 GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       COALESCE(c_mktsegment, '<no-cust-row>') AS segment,
+       CAST(COALESCE(n_big_orders, 0) AS BIGINT) AS n_big_orders,
+       CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+            THEN 1 ELSE 0 END AS matched
+FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -1013,4 +1058,5 @@ QUERIES: dict[str, tuple] = {
     "q24_explode_lateral": (q24_explode_lateral, ORACLE_Q24),
     "q25_datetime_functions": (q25_datetime_functions, ORACLE_Q25),
     "q26_string_functions": (q26_string_functions, ORACLE_Q26),
+    "q27_full_outer_join": (q27_full_outer_join, ORACLE_Q27),
 }
