@@ -38,10 +38,13 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle exchanges in the physical plan.
+
+    In "formatted" mode operators appear as ``(N) Exchange`` headers
+    with their partitioning on a separate Arguments line;
+    ``BroadcastExchange`` (not a shuffle) has a distinct header.
+    """
+    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))
 
 
 def wholestage_codegen_ids(df: DataFrame) -> list[str]:

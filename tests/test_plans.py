@@ -66,3 +66,21 @@ def test_q08_rank_pushdown(spark):
 def test_broadcast_threshold_is_set(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be one exchange on the key (union-sort-window),
+    not a range-join explosion."""
+    from cdc_cascade_spark.operators.asof import asof_latest_order
+
+    df = asof_latest_order(spark, SF)
+    assert shuffle_count(df) == 1, physical_plan(df)[:1500]
+
+
+def test_minhash_partial_aggregation(spark):
+    """MinHash signature minima must partial-aggregate map-side
+    (two HashAggregate levels around the exchange)."""
+    from cdc_cascade_spark.llm.dedup import dedup_minhash_lsh
+
+    plan = physical_plan(dedup_minhash_lsh(spark, SF))
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2, plan[:1500]

@@ -1,0 +1,96 @@
+"""Failure injection: sink crash mid-stream → restart from checkpoint.
+
+The reference's contract (SURVEY.md A10/A13-A15): a sink error aborts
+the batch *without committing its offset*; the supervisor restarts;
+the batch replays; the idempotent sink converges. Structured Streaming
+gives the same contract via foreachBatch + checkpointing — this test
+proves it end-to-end with a sink that fails on its first attempt.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdc_cascade_spark.streaming.pipeline import read_cdc_files
+from cdc_cascade_spark.streaming.sinks import InMemoryKVStore, invalidate_batch
+from cdc_cascade_spark.cdc.envelope import invalidation_keys, parse_envelope, valid_events
+
+
+def _env(op, before, after, lsn):
+    return json.dumps(
+        {"payload": {"before": before, "after": after,
+                     "source": {"table": "sinners", "lsn": lsn},
+                     "op": op, "ts_ms": lsn}}
+    )
+
+
+def _row(code, name):
+    return {"code": code, "name": name, "class": "S",
+            "created_at": "2026-01-01T00:00:00",
+            "updated_at": "2026-01-01T00:00:00"}
+
+
+class FlakyStore(InMemoryKVStore):
+    """Fails the first delete ever issued, then behaves normally."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.failures_left = 1
+
+    def delete(self, key: str) -> None:
+        if self.failures_left > 0:
+            self.failures_left -= 1
+            raise ConnectionError("injected sink failure")
+        super().delete(key)
+
+
+def test_sink_failure_replays_batch_and_converges(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.txt").write_text(
+        "\n".join(
+            [
+                _env("c", None, _row(5, "Augustus"), 1),
+                _env("u", _row(5, "Augustus"), _row(5, "Aurelius"), 2),
+                _env("d", _row(14, "Deren"), None, 3),
+            ]
+        )
+        + "\n"
+    )
+    store = FlakyStore()
+    store.set("5", "cached")
+    store.set("14", "cached")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        def process(batch_df, batch_id):
+            payloads = valid_events(parse_envelope(batch_df))
+            invalidate_batch(store, invalidation_keys(payloads), "code")
+
+        return (
+            read_cdc_files(spark, str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # first run: sink blows up → query dies with the injected error
+    q = start()
+    with pytest.raises(Exception, match="injected sink failure|StreamingQueryException"):
+        q.processAllAvailable()
+        q.awaitTermination(10)
+    try:
+        q.stop()
+    except Exception:
+        pass
+
+    # supervisor restart: checkpoint had NOT committed the failed batch,
+    # so it replays; the idempotent sink now applies both deletes
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert store.snapshot() == {}, "both keys must be invalidated after replay"
+    assert set(store.deletes) == {"5", "14"}

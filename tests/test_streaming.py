@@ -198,3 +198,27 @@ def test_session_window_matches_batch_sessionization(spark, tmp_path):
 
     want = {r.user_id: r.n_sessions for r in q13_sessionize_events(spark, SF).collect()}
     assert got_map == want
+
+
+def test_sliding_window_counts(spark, tmp_path):
+    """Sliding windows: each event lands in window_size/slide windows."""
+    from cdc_cascade_spark.streaming.windows import sliding_activity
+
+    stream = stream_events(spark, SF)
+    q = (
+        sliding_activity(stream, window="2 hours", slide="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sliding_out").collect()
+    total_events = sum(r.n_events for r in rows)
+    from cdc_cascade_spark.catalog import load_table
+
+    n = load_table(spark, SF, "events").count()
+    # every event is counted exactly twice (2h window, 1h slide)
+    assert total_events == 2 * n
