@@ -21,6 +21,37 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def with_initial_snapshot(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Prefix a changelog with a snapshot of pre-existing rows (C4).
+
+    Debezium's initial snapshot emits every existing row as ``op='r'``
+    before streaming begins (reference: debezium-setup.sh default
+    snapshot mode; consumer handling queue/cdc.go:181-186). Here the
+    snapshot rows get order-key values *below* every changelog event
+    (lsn 0), so latest-wins compaction treats them as the oldest
+    version of each key — a changelog event for the same key always
+    wins.
+
+    ``snapshot`` must carry the key columns and any payload columns the
+    changelog carries; missing changelog-only columns are null-filled.
+    """
+    from pyspark.sql import functions as F
+
+    snap = snapshot.withColumn(op_col, F.lit("r"))
+    for c in order_cols:
+        snap = snap.withColumn(c, F.lit(0).cast(dict(changelog.dtypes)[c]))
+    for c in changelog.columns:
+        if c not in snap.columns:
+            snap = snap.withColumn(c, F.lit(None).cast(dict(changelog.dtypes)[c]))
+    return snap.select(changelog.columns).unionByName(changelog)
+
+
 def latest_wins(
     changelog: DataFrame,
     key_cols: Sequence[str],

@@ -163,8 +163,80 @@ FROM sh
 )
 
 
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency.
+
+    The explode → two-level aggregate shape: per-(token, doc) dedup,
+    then per-token document frequency + total term frequency. At 100 TB
+    this is the standard vocab/BPE-corpus-stats job — both aggregates
+    partial map-side, shuffle keyed by token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+ORACLE_VOCABULARY = (
+    DOCS_CTE
+    + """
+, tok AS (SELECT doc_id, unnest(toks) AS token FROM docs)
+, per_doc AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT token, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS term_freq
+FROM per_doc GROUP BY token
+ORDER BY doc_freq DESC, term_freq DESC, token ASC
+LIMIT 100
+"""
+)
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token bigrams by corpus frequency (n-gram statistics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.select(F.explode(bigrams).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+ORACLE_BIGRAMS = (
+    DOCS_CTE
+    + """
+, bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM docs WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM bg GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT 50
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "text_vocabulary": (text_vocabulary, ORACLE_VOCABULARY),
+    "text_bigrams": (text_bigrams, ORACLE_BIGRAMS),
 }

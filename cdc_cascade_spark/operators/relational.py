@@ -1031,6 +1031,49 @@ FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
 """
 
 
+def q28_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended window-function coverage: ntile, percent_rank,
+    cume_dist, first/last value, and a RANGE frame — all over one
+    window spec so a single sort serves every function."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.last("c_custkey")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("richest_custkey"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy("c_mktsegment")
+            .orderBy("c_acctbal")
+            .rangeBetween(-1000, 0)
+        )
+        .alias("peers_within_1000"),
+    )
+
+
+ORACLE_Q28 = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_custkey) OVER w AS poorest_custkey,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey,
+       COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS peers_within_1000
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -1059,4 +1102,5 @@ QUERIES: dict[str, tuple] = {
     "q25_datetime_functions": (q25_datetime_functions, ORACLE_Q25),
     "q26_string_functions": (q26_string_functions, ORACLE_Q26),
     "q27_full_outer_join": (q27_full_outer_join, ORACLE_Q27),
+    "q28_window_suite": (q28_window_suite, ORACLE_Q28),
 }

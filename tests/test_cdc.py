@@ -107,3 +107,35 @@ def test_latest_wins_tie_free_ordering(spark):
     out = {r.k: r.payload for r in
            latest_wins(log, ["k"], ["lsn"], op_col="op").collect()}
     assert out == {1: "new"}  # key 2's last op is delete → absent
+
+
+def test_initial_snapshot_union(spark):
+    """C4: snapshot rows (op='r', lsn 0) lose to any changelog event
+    for the same key; untouched keys survive from the snapshot."""
+    from cdc_cascade_spark.cdc.compaction import with_initial_snapshot
+
+    snapshot = spark.createDataFrame(
+        [(14, "Deren"), (17, "Shalom")], "k long, payload string"
+    )
+    changelog = spark.createDataFrame(
+        [(14, 5, "u", "Deren-v2"), (5, 6, "c", "Augustus"), (17, 7, "d", None)],
+        "k long, lsn long, op string, payload string",
+    )
+    unified = with_initial_snapshot(snapshot, changelog, ["k"], ["lsn"])
+    state = {r.k: r.payload for r in
+             latest_wins(unified, ["k"], ["lsn"], op_col="op").collect()}
+    # 14 updated by the stream, 17 deleted, 5 created
+    assert state == {14: "Deren-v2", 5: "Augustus"}
+
+
+def test_initial_snapshot_untouched_keys_survive(spark):
+    from cdc_cascade_spark.cdc.compaction import with_initial_snapshot
+
+    snapshot = spark.createDataFrame([(1, "a"), (2, "b")], "k long, payload string")
+    changelog = spark.createDataFrame(
+        [(1, 10, "u", "a2")], "k long, lsn long, op string, payload string"
+    )
+    unified = with_initial_snapshot(snapshot, changelog, ["k"], ["lsn"])
+    state = {r.k: r.payload for r in
+             latest_wins(unified, ["k"], ["lsn"], op_col="op").collect()}
+    assert state == {1: "a2", 2: "b"}
