@@ -17,7 +17,7 @@ streaming layer (cdc_cascade_spark.streaming) reuses these unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

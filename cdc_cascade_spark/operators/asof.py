@@ -25,7 +25,7 @@ SQL rather than ASOF syntax.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table

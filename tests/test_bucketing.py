@@ -9,11 +9,10 @@ from __future__ import annotations
 
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
-from cdc_cascade_spark.plans.explain import physical_plan, shuffle_count
+from cdc_cascade_spark.plans.explain import physical_plan
 
 SF = "/root/testdata/sf0.001"
 
@@ -90,7 +89,6 @@ def test_supervisor_restarts_then_succeeds():
         calls["n"] += 1
         return FakeQuery(fail=calls["n"] == 1)
 
-    import cdc_cascade_spark.streaming.pipeline as p
     import time as _time
 
     orig = _time.sleep

@@ -6,8 +6,6 @@ broadcast joins, shuffle counts — from silent regressions.
 
 from __future__ import annotations
 
-import pytest
-
 from cdc_cascade_spark.operators.relational import (
     q01_pricing_summary,
     q02_topk_orders,

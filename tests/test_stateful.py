@@ -3,8 +3,6 @@ micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table

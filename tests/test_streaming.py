@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.cdc.compaction import current_state
