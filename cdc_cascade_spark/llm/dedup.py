@@ -109,7 +109,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key, so candidates co-locate. Set math runs on bigint
     shingle hashes — cheap comparisons, small shuffle payload.
     """
-    sh = _docs_prepared(spark, sf_dir)
+    # both join sides read the same prepared relation — persist so the
+    # tokenize/shingle-hash work runs once
+    sh = _docs_prepared(spark, sf_dir).persist()
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block"
     )

@@ -91,11 +91,25 @@ def start_invalidation_pipeline(
     checkpoint_dir: str,
     table_schema: T.StructType = SINNERS_SCHEMA,
     key_field: str = "code",
+    dead_letters: list[str] | None = None,
 ) -> StreamingQuery:
-    """The flagship pipeline: CDC events → cache invalidation (A1-A10)."""
+    """The flagship pipeline: CDC events → cache invalidation (A1-A10).
+
+    ``dead_letters``: optional collector for malformed record values
+    (A6 — the reference silently drops these, queue/cdc.go:175-179; we
+    keep them replayable). In production this would be a second
+    ``foreachBatch`` write to a quarantine topic/table.
+    """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = valid_events(parse_envelope(batch_df, table_schema))
+        parsed = parse_envelope(batch_df, table_schema)
+        if dead_letters is not None:
+            from cdc_cascade_spark.cdc.envelope import dead_letter
+
+            dead_letters.extend(
+                r.raw_value for r in dead_letter(parsed).collect()
+            )
+        payloads = valid_events(parsed)
         invalidate_batch(store, invalidation_keys(payloads, key_field), key_field)
 
     return (

@@ -63,6 +63,30 @@ class InMemoryKVStore:
             return dict(self._data)
 
 
+class IdempotentBatchSink:
+    """Exactly-once effects over an at-least-once channel.
+
+    ``foreachBatch`` may replay a batch after a crash (same batch_id).
+    Recording committed batch ids and skipping replays upgrades any
+    sink effect to exactly-once — the standard pattern when the effect
+    itself is NOT naturally idempotent (unlike the reference's Redis
+    DEL, which is). The committed-id set would live in the sink system
+    (e.g. a Redis SET or a transactional table) in production.
+    """
+
+    def __init__(self, apply) -> None:
+        self._apply = apply
+        self.committed: set[int] = set()
+        self.replays_skipped = 0
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed:
+            self.replays_skipped += 1
+            return
+        self._apply(batch_df, batch_id)
+        self.committed.add(batch_id)
+
+
 def invalidate_batch(store: KeyValueStore, keys_df: DataFrame, key_col: str) -> None:
     """Apply one micro-batch of invalidations: DEL each distinct key."""
     for row in keys_df.select(key_col).distinct().toLocalIterator():

@@ -94,3 +94,48 @@ def test_sink_failure_replays_batch_and_converges(spark, tmp_path):
 
     assert store.snapshot() == {}, "both keys must be invalidated after replay"
     assert set(store.deletes) == {"5", "14"}
+
+
+def test_dead_letter_collector(spark, tmp_path):
+    """A6: malformed records are captured, not dropped; valid events
+    still process."""
+    from cdc_cascade_spark.streaming.pipeline import (
+        read_cdc_files,
+        start_invalidation_pipeline,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.txt").write_text(
+        "\n".join(
+            [
+                _env("u", _row(5, "A"), _row(5, "B"), 1),
+                "{broken json",
+                _env("d", _row(14, "X"), None, 2),
+            ]
+        )
+        + "\n"
+    )
+    store = InMemoryKVStore()
+    dl: list[str] = []
+    q = start_invalidation_pipeline(
+        read_cdc_files(spark, str(src)), store, str(tmp_path / "ck"),
+        dead_letters=dl,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert dl == ["{broken json"]
+    assert sorted(store.deletes) == ["14", "5"]
+
+
+def test_idempotent_batch_sink_skips_replays(spark):
+    from cdc_cascade_spark.streaming.sinks import IdempotentBatchSink
+
+    applied = []
+    sink = IdempotentBatchSink(lambda df, bid: applied.append(bid))
+    df = spark.range(1)
+    sink.process(df, 0)
+    sink.process(df, 1)
+    sink.process(df, 0)  # replay after simulated crash
+    assert applied == [0, 1]
+    assert sink.replays_skipped == 1
