@@ -83,6 +83,27 @@ def invalidation_keys(payloads: DataFrame, key_field: str = "code") -> DataFrame
     )
 
 
+def route_by_table(
+    payloads: DataFrame, tables: list[str]
+) -> dict[str, DataFrame]:
+    """Demultiplex a multi-table CDC stream by ``source.table``.
+
+    The reference captures a single table via Debezium's
+    ``table.include.list`` (reference: debezium-setup.sh:22); a
+    production connector typically streams many tables into one topic
+    namespace. Returns one filtered frame per known table plus an
+    ``"__unknown__"`` quarantine frame for tables nobody claimed —
+    dropping them silently would hide a misconfigured include-list.
+    """
+    routed = {
+        t: payloads.filter(F.col("source.table") == t) for t in tables
+    }
+    routed["__unknown__"] = payloads.filter(
+        ~F.col("source.table").isin(tables) | F.col("source.table").isNull()
+    )
+    return routed
+
+
 def op_routed(payloads: DataFrame) -> DataFrame:
     """Classify events by operation (c/u/d/r), implemented properly.
 

@@ -233,8 +233,59 @@ LIMIT 50
 )
 
 
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms: top-3 tokens per document by
+    ``tf × N / df`` (a rational IDF — no log(), whose libm rounding
+    differs across engines and would break the oracle hash).
+
+    Shape: explode → (token, doc) tf agg → token df agg (broadcast
+    back) → per-doc window top-k. The df relation is tiny (vocabulary-
+    sized) so it broadcasts at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_rel), "token").select(
+        "doc_id",
+        "token",
+        ((F.col("tf").cast("double") * n_docs) / F.col("df")).alias("salience"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("salience"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "salience", "rank")
+    )
+
+
+ORACLE_SALIENT = (
+    DOCS_CTE
+    + """
+, tok AS (SELECT doc_id, unnest(toks) AS token FROM docs)
+, tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+, dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+, scored AS (
+  SELECT tf.doc_id, tf.token,
+         (CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents)) / dfr.df AS salience
+  FROM tf JOIN dfr ON tf.token = dfr.token
+)
+SELECT doc_id, token, salience, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_salient_terms": (text_salient_terms, ORACLE_SALIENT),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "text_vocabulary": (text_vocabulary, ORACLE_VOCABULARY),

@@ -139,3 +139,25 @@ def test_initial_snapshot_untouched_keys_survive(spark):
     state = {r.k: r.payload for r in
              latest_wins(unified, ["k"], ["lsn"], op_col="op").collect()}
     assert state == {1: "a2", 2: "b"}
+
+
+def test_route_by_table(spark):
+    """C2 extension: multi-table stream demultiplexed by source.table;
+    unknown tables quarantined, not dropped."""
+    from cdc_cascade_spark.cdc.envelope import route_by_table
+
+    values = [
+        _env("c", None, _row(1, "A"), 1),
+        _env("c", None, _row(2, "B"), 2),
+    ]
+    # second envelope re-targeted at another table
+    values[1] = values[1].replace('"table": "sinners"', '"table": "saints"')
+    rogue = values[0].replace('"table": "sinners"', '"table": "mystery"')
+    raw = spark.createDataFrame(
+        [(v,) for v in values + [rogue]], "value string"
+    )
+    payloads = valid_events(parse_envelope(raw))
+    routed = route_by_table(payloads, ["sinners", "saints"])
+    assert routed["sinners"].count() == 1
+    assert routed["saints"].count() == 1
+    assert routed["__unknown__"].count() == 1
