@@ -1,0 +1,130 @@
+"""Watermark late-data semantics: events older than the watermark are
+dropped from append-mode windowed aggregations.
+
+Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+watermark far past an old window; batch 2 delivers a late event for
+that window. Append mode emits a window only once, after the watermark
+passes its end — the late event must not resurrect it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows, mtime):
+    """Write one parquet file and pin its mtime — the file source
+    processes oldest-modified first, so distinct mtimes make the
+    micro-batch order deterministic."""
+    import os
+    from datetime import datetime
+
+    parsed = [
+        (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), et) for i, ts, et in rows
+    ]
+    spark.createDataFrame(
+        parsed, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_late_events_beyond_watermark_are_dropped(spark, tmp_path):
+    """The watermark guarantee is: a window is emitted exactly once, and
+    late events arriving after its state is evicted are dropped. (Late
+    events arriving while the state still lives MAY still be merged —
+    the watermark bounds are best-effort on the drop side; verified
+    empirically on Spark 4.1.)
+
+    Batch timeline (watermark from a batch's data takes effect in the
+    next batch):
+      b1 seeds the 00:00 window; b2 advances event time to 10:30
+      (wm → 09:30); b3 keeps the stream moving — at its end the 00:00
+      window is evicted and emitted; b4 delivers a late event for the
+      long-gone window → dropped, no duplicate emission."""
+    src = tmp_path / "src"
+    _write_events(
+        spark, str(src / "b1"), [(1, "2024-01-01 00:30:00", "click")], mtime=1_000_000
+    )
+    _write_events(
+        spark, str(src / "b2"), [(2, "2024-01-01 10:30:00", "click")], mtime=1_000_100
+    )
+    _write_events(
+        spark, str(src / "b3"), [(3, "2024-01-01 11:00:00", "click")], mtime=1_000_200
+    )
+    _write_events(
+        spark, str(src / "b4"), [(4, "2024-01-01 00:50:00", "click")], mtime=1_000_300
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (str(r.ws), r.n) for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 00:00 window was finalized with exactly 1 event; the late
+    # event (id 3) was dropped, not re-emitted as a second row
+    assert ("2024-01-01 00:00:00", 1) in rows
+    assert ("2024-01-01 00:00:00", 2) not in rows
+
+
+def test_event_inside_watermark_is_counted(spark, tmp_path):
+    """Control case: an out-of-order event still within the watermark
+    delay IS aggregated."""
+    src = tmp_path / "src"
+    _write_events(
+        spark,
+        str(src / "b1"),
+        [(1, "2024-01-01 02:30:00", "click")],
+        mtime=1_000_000,
+    )
+    # out-of-order but within 1h delay of max ts (watermark = 01:30):
+    # its window 02:00-03:00 is still open
+    _write_events(
+        spark,
+        str(src / "b2"),
+        [(2, "2024-01-01 02:10:00", "click"),
+         (3, "2024-01-01 06:00:00", "click")],  # pushes watermark past 03:00
+        mtime=1_000_100,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ontime_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(str(r.ws), r.n) for r in spark.sql("SELECT * FROM ontime_out").collect()}
+    assert ("2024-01-01 02:00:00", 2) in rows
