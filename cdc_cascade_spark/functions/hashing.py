@@ -61,20 +61,12 @@ def token_hash_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def minhash_signature(shingle_hashes: Column) -> Column:
-    """MinHash signature (array<bigint>, length M) from an array of
-    shingle hashes — a pure array expression: no explode, no shuffle.
-    """
-    def perm(a: int, b: int):
-        # factory so the lambda stays single-arg (PySpark infers the
-        # higher-order function's arity from the Python signature)
-        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
-
-    sigs = [
-        F.array_min(F.transform(shingle_hashes, perm(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sigs)
+# Note: the Spark-side signature is computed as 16 min() AGGREGATE
+# expressions over exploded shingle-hash rows (llm/dedup.py), not as an
+# array expression — Spark's higher-order array functions are
+# interpreted (CodegenFallback), while the aggregate form is codegen'd
+# with map-side partial mins. The SQL builders below exist for the
+# DuckDB oracle, where list lambdas are native and fast.
 
 
 def minhash_signature_sql(hashes_expr: str) -> str:
@@ -85,19 +77,6 @@ def minhash_signature_sql(hashes_expr: str) -> str:
         for a, b in zip(MINHASH_A, MINHASH_B)
     ]
     return "[" + ", ".join(parts) + "]"
-
-
-def band_key(signature: Column, band: int) -> Column:
-    """Stable string key for one LSH band (md5 of the band's slice)."""
-    return F.md5(
-        F.concat_ws(
-            ",",
-            *[
-                F.element_at(signature, band * LSH_ROWS + r + 1).cast("string")
-                for r in range(LSH_ROWS)
-            ],
-        )
-    )
 
 
 def band_key_sql(sig_expr: str, band: int) -> str:
