@@ -6,9 +6,13 @@ union-sort-window composition:
 
   1. tag and union both sides on (key, time)
   2. one window per key ordered by (time, right-before-left on ties,
-     tiebreaker) with ``last(right_col, ignorenulls=True)`` carrying
-     the most recent right values forward
-  3. keep left rows
+     tiebreaker) with ``last(struct(<right cols>), ignorenulls=True)``
+     carrying the most recent right row forward — a SINGLE struct, not
+     one carry per column, so every ``matched_*`` value comes from the
+     same right row even when some right columns are NULL (per-column
+     carries would stitch fields from different rows and resurrect
+     stale non-NULL values over a legitimately-NULL latest one)
+  3. keep left rows, project the struct's fields
 
 One shuffle + one sort per key — no per-key loops, no range-explosion
 join, state bounded by the window frame. This is the standard 100 TB
@@ -44,13 +48,18 @@ def asof_join(
     """Left as-of join: all left columns + ``matched_<col>`` for each
     right value column (NULL when no right row is ≤ the left time)."""
     left_cols = left.columns
+    rv_type = (
+        "struct<"
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_values)
+        + ">"
+    )
     l_tagged = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__is_right"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in right_values],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_tagged = right.select(
         F.col(right_key).alias("__k"),
@@ -58,7 +67,7 @@ def asof_join(
         F.lit(1).alias("__is_right"),
         F.col(tiebreaker).cast("long").alias("__tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -71,16 +80,11 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__rv_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"matched_{c}")
-            for c in right_values
-        ],
+        "*", F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__m")
     )
     return carried.filter(F.col("__is_right") == 0).select(
-        *left_cols, *[f"matched_{c}" for c in right_values]
+        *left_cols,
+        *[F.col(f"__m.{c}").alias(f"matched_{c}") for c in right_values],
     )
 
 
@@ -111,22 +115,24 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF = """
 WITH u AS (
   SELECT user_id AS k, ts AS t, 0 AS is_right, event_id,
-         NULL::BIGINT AS tb, NULL::BIGINT AS r_orderkey, NULL::DOUBLE AS r_totalprice
+         NULL::BIGINT AS tb,
+         NULL::STRUCT(orderkey BIGINT, totalprice DOUBLE) AS rv
   FROM events
   UNION ALL
   SELECT o_custkey, o_orderdate, 1, NULL,
-         o_orderkey, o_orderkey, o_totalprice
+         o_orderkey,
+         {'orderkey': o_orderkey, 'totalprice': o_totalprice}
   FROM orders
 ), carried AS (
   SELECT event_id, k, is_right,
-         last_value(r_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
-         last_value(r_totalprice IGNORE NULLS) OVER w AS asof_totalprice
+         last_value(rv IGNORE NULLS) OVER w AS m
   FROM u
   WINDOW w AS (PARTITION BY k
                ORDER BY t ASC, is_right DESC, tb ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT event_id, k AS user_id, asof_orderkey, asof_totalprice
+SELECT event_id, k AS user_id, m.orderkey AS asof_orderkey,
+       m.totalprice AS asof_totalprice
 FROM carried WHERE is_right = 0
 """
 
