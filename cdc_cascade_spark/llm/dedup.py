@@ -7,7 +7,12 @@ pipelines, each expressed shuffle- and codegen-consciously:
   hash, the cheapest possible dedup.
 - **n-gram Jaccard**: exact set similarity over shingle-hash sets,
   *blocked* (here: equal first shingle) so the pair space stays
-  linear-ish. Never all-pairs.
+  linear-ish. Never all-pairs. Blocks are **skew-guarded**: a block
+  larger than ``BLOCK_CAP`` would make the self-join quadratic in the
+  hot block (a common opening phrase → one O(block²) group), so
+  oversized blocks route through the MinHash band join instead — only
+  docs agreeing on a full LSH band become candidates, keeping the hot
+  block near-linear while still catching true near-dups.
 - **MinHash+LSH**: shingle hashes explode into rows and the 16
   signature minima are computed as *aggregate expressions* (codegen'd,
   map-side partial min) rather than interpreted array lambdas; bands
@@ -49,6 +54,12 @@ from cdc_cascade_spark.llm.prep import (
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
+# Skew guard: first-shingle blocks larger than this bypass the exact
+# quadratic self-join and take candidates from the MinHash band join.
+# At cap=32 a hot block costs ≤ 32·31/2 exact pairs; beyond that the
+# cost is O(docs · bands) plus true-duplicate band groups.
+BLOCK_CAP = 32
+
 
 def _docs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct shingle-hash set + blocking key."""
@@ -59,6 +70,106 @@ def _docs_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_hash_set(toks).alias("hset"),
         first_shingle(toks).alias("block"),
     )
+
+
+def _minhash_sig_aggs() -> list:
+    """The 16 codegen'd ``min((a_i*h + b_i) % P)`` aggregate columns."""
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _lsh_band_structs() -> list:
+    """(band, bkey) structs over signature columns s0..s15."""
+    out = []
+    for i in range(LSH_BANDS):
+        cols = [F.col(f"s{i * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        out.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+            )
+        )
+    return out
+
+
+def guarded_block_candidates(prepared: DataFrame, cap: int = BLOCK_CAP) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs within equal-``block`` groups,
+    with a skew guard on block cardinality.
+
+    Blocks with ≤ ``cap`` docs self-join exactly (the quadratic cost is
+    bounded by cap²/2 per block). Oversized blocks — the skew hazard:
+    one common opening phrase can put an unbounded fraction of the
+    corpus in a single block — instead take candidates from the MinHash
+    band join *within the block*: only docs agreeing on all ``LSH_ROWS``
+    signature minima of some band pair up. Recall on true near-dups
+    follows the LSH S-curve (≈0.9995 at Jaccard 0.9); cost per hot
+    block is O(docs·bands) plus the true-duplicate band groups.
+
+    ``prepared`` must have columns (doc_id, hset, block). Both paths are
+    deterministic, so the DuckDB oracle reproduces the exact result via
+    ``guarded_candidates_sql``.
+    """
+    from pyspark.sql import Window as W
+
+    sized = prepared.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("block"))
+    )
+    small = sized.filter(F.col("bn") <= cap)
+    sa = small.select(F.col("doc_id").alias("doc_a"), "block")
+    sb = small.select(F.col("doc_id").alias("doc_b"), "block")
+    small_pairs = (
+        sa.join(sb, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    big = sized.filter(F.col("bn") > cap)
+    hashes = big.select("doc_id", "block", F.explode("hset").alias("h"))
+    sigs = hashes.groupBy("doc_id", "block").agg(*_minhash_sig_aggs())
+    bands = sigs.select(
+        "doc_id", "block", F.explode(F.array(*_lsh_band_structs())).alias("b")
+    ).select("doc_id", "block", "b.band", "b.bkey")
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "block", "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "block", "band", "bkey")
+    big_pairs = (
+        ba.join(bb, ["block", "band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
+def guarded_candidates_sql(cap: int = BLOCK_CAP) -> str:
+    """DuckDB CTE fragment reproducing ``guarded_block_candidates`` over
+    the ``sh`` CTE (from DOCS_CTE); defines ``cand(doc_a, doc_b)``."""
+    sig = minhash_signature_sql("shingles")
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, block, {i} AS band, {band_key_sql('sig', i)} AS bkey"
+        " FROM bigsigs"
+        for i in range(LSH_BANDS)
+    )
+    return f"""
+, blocked AS (SELECT doc_id, shingles, {first_shingle_sql('toks')} AS block FROM sh)
+, sized AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bn FROM blocked)
+, small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE a.bn <= {cap}
+)
+, bigsigs AS (SELECT doc_id, block, {sig} AS sig FROM sized WHERE bn > {cap})
+, bands AS (
+{band_selects}
+)
+, big_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.block = b.block AND a.band = b.band AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+)
+, cand AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -102,23 +213,21 @@ HAVING COUNT(*) > 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard, blocked on first shingle.
+    """Near-dup pairs by exact 3-gram Jaccard over skew-guarded blocks.
 
     The block key (a document's first 3-token shingle) turns the O(n²)
-    pair space into per-block joins; the join shuffles both sides on
-    the same key, so candidates co-locate. Set math runs on bigint
-    shingle hashes — cheap comparisons, small shuffle payload.
+    pair space into per-block joins; ``guarded_block_candidates`` caps
+    the per-block cost (oversized blocks go through the MinHash band
+    join). Set math runs on bigint shingle hashes — cheap comparisons,
+    small shuffle payload.
     """
-    # both join sides read the same prepared relation — persist so the
-    # tokenize/shingle-hash work runs once
+    # the prepared relation feeds the candidate generator and both
+    # verification sides — persist so the shingle hashing runs once
     sh = _docs_prepared(spark, sf_dir).persist()
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"), "block"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"), "block"
-    )
-    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    cand = guarded_block_candidates(sh)
+    pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
+    pairs = cand.join(pa, "doc_a").join(pb, "doc_b")
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -127,12 +236,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = (
     DOCS_CTE
+    + guarded_candidates_sql()
     + f"""
-, blocked AS (SELECT doc_id, shingles, {first_shingle_sql('toks')} AS block FROM sh)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       {jaccard_sql('a.shingles', 'b.shingles')} AS jaccard
-FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE {jaccard_sql('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+SELECT c.doc_a, c.doc_b,
+       {jaccard_sql('sa.shingles', 'sb.shingles')} AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE {jaccard_sql('sa.shingles', 'sb.shingles')} >= {JACCARD_THRESHOLD}
 """
 )
 
@@ -162,22 +273,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needed (MEMORY_AND_DISK default).
     prepared = _docs_prepared(spark, sf_dir).select("doc_id", "hset").persist()
     hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
-    sig_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    sigs = hashes.groupBy("doc_id").agg(*sig_aggs)
-    band_structs = []
-    for i in range(LSH_BANDS):
-        cols = [F.col(f"s{i * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        band_structs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
-            )
-        )
+    sigs = hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+        "doc_id", F.explode(F.array(*_lsh_band_structs())).alias("b")
     ).select("doc_id", "b.band", "b.bkey")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
@@ -290,25 +388,28 @@ ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by Levenshtein edit distance, blocked on first
-    shingle (same blocking as the Jaccard pass).
+    """Near-dup pairs by Levenshtein edit distance over skew-guarded
+    blocks (same candidate generator as the Jaccard pass).
 
     Classic Levenshtein is implemented identically in Spark and DuckDB
     (integer result — no float drift). Edit distance is O(len²) per
-    pair, so at scale it runs only on blocked candidates, never
-    all-pairs; the relative threshold (distance ≤ 20% of max length)
-    tracks document size.
+    pair, so at scale it runs only on guarded candidates, never
+    all-pairs — and the full document text is only shuffled for
+    candidate pairs, not through the blocking join. The relative
+    threshold (distance ≤ 20% of max length) tracks document size.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    d = docs.select("doc_id", "text", first_shingle(toks).alias("block"))
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "block"
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "block"
-    )
-    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    prepared = docs.select(
+        "doc_id",
+        "text",
+        shingle_hash_set(toks).alias("hset"),
+        first_shingle(toks).alias("block"),
+    ).persist()
+    cand = guarded_block_candidates(prepared.select("doc_id", "hset", "block"))
+    ta = prepared.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = prepared.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
     return (
@@ -324,13 +425,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EDIT_DISTANCE = (
     DOCS_CTE
-    + f"""
-, blocked AS (SELECT doc_id, text, {first_shingle_sql('toks')} AS block FROM docs)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance,
-       CAST(greatest(length(a.text), length(b.text)) AS INTEGER) AS max_len
-FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) * 5 <= greatest(length(a.text), length(b.text))
+    + guarded_candidates_sql()
+    + """
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(sa.text, sb.text) AS INTEGER) AS edit_distance,
+       CAST(greatest(length(sa.text), length(sb.text)) AS INTEGER) AS max_len
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE levenshtein(sa.text, sb.text) * 5 <= greatest(length(sa.text), length(sb.text))
 """
 )
 

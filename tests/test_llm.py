@@ -90,3 +90,39 @@ def test_multimodal_features_deterministic(spark):
     b = {r.doc_id: r.f0 for r in multimodal_features(spark, SF).collect()}
     assert a == b
     assert all(0.0 <= v < 1.0 for v in a.values())
+
+
+def test_guarded_candidates_bound_hot_blocks(spark):
+    """A hot block (many docs sharing a first shingle) must NOT produce
+    a quadratic pair count; true near-dups inside it must still pair."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.llm.dedup import BLOCK_CAP, guarded_block_candidates
+    from cdc_cascade_spark.llm.prep import first_shingle, shingle_hash_set, tokens
+
+    n_hot = 4 * BLOCK_CAP
+    rows = [
+        # hot block: shared 3-token opening, distinct tails
+        (i, "the quick fox " + " ".join(f"w{i}x{j}" for j in range(20)))
+        for i in range(n_hot)
+    ]
+    # two true near-dups inside the hot block (identical text)
+    rows.append((9001, rows[0][1]))
+    # a small block: three docs sharing a different opening
+    rows += [(9100 + i, f"tiny block opener tail{i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens(F.col("text"))
+    prepared = docs.select(
+        "doc_id",
+        shingle_hash_set(toks).alias("hset"),
+        first_shingle(toks).alias("block"),
+    )
+    cand = guarded_block_candidates(prepared).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in cand}
+    quadratic = n_hot * (n_hot + 1) // 2
+    # hot block went through the band join: far fewer than all-pairs
+    assert len(pairs) < quadratic / 4, f"{len(pairs)} pairs ~ quadratic"
+    # the identical pair survives (same minhash signature -> same bands)
+    assert (0, 9001) in pairs
+    # the small block still self-joins exactly: all 3 pairs present
+    assert {(9100, 9101), (9100, 9102), (9101, 9102)} <= pairs
