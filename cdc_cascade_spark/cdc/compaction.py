@@ -40,8 +40,25 @@ def with_initial_snapshot(
 
     ``snapshot`` must carry the key columns and any payload columns the
     changelog carries; missing changelog-only columns are null-filled.
+
+    ``order_cols`` must be numeric (the LSN case): the snapshot rank is
+    a literal 0, which is only guaranteed to sort below every changelog
+    value for non-negative numeric orders. A timestamp order column
+    would silently become 1970-01-01 and a string column ``'0'`` —
+    neither reliably minimal — so non-numeric order columns are
+    rejected here rather than miscompacted later.
     """
     from pyspark.sql import functions as F
+
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for c in order_cols:
+        dt = dict(changelog.dtypes)[c]
+        if dt not in _NUMERIC and not dt.startswith("decimal"):
+            raise TypeError(
+                f"with_initial_snapshot order column {c!r} has type {dt}; "
+                "only numeric order columns (e.g. lsn) can rank snapshot "
+                "rows below the changelog with a 0 literal"
+            )
 
     snap = snapshot.withColumn(op_col, F.lit("r"))
     for c in order_cols:

@@ -41,30 +41,68 @@ DEFAULT_TOPIC = "cdc-cascade-postgres.public.sinners"  # README.md:76
 DEFAULT_MAX_OFFSETS_PER_TRIGGER = 100  # PollRecords(ctx, 100), cdc.go:124
 
 
+def kafka_reader_options(
+    bootstrap_servers: str | None = None,
+    topic: str | None = None,
+    consumer_group: str | None = None,
+    max_offsets_per_trigger: int = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
+    env: dict | None = None,
+) -> dict[str, str]:
+    """Kafka source options honoring the reference's env-var contract.
+
+    Explicit arguments win; otherwise the same variables the reference
+    consumer reads (queue/cdc.go:63-65) configure the source:
+    ``KAFKA_HOST``/``KAFKA_BROKER_PORT`` → bootstrap servers,
+    ``KAFKA_CDC_TOPIC`` → topic, ``KAFKA_CONSUMER_GROUP`` → group id.
+    """
+    import os
+
+    env = os.environ if env is None else env
+    if bootstrap_servers is None:
+        bootstrap_servers = (
+            f"{env.get('KAFKA_HOST', 'localhost')}:"
+            f"{env.get('KAFKA_BROKER_PORT', '9092')}"
+        )
+    topic = topic or env.get("KAFKA_CDC_TOPIC", DEFAULT_TOPIC)
+    consumer_group = consumer_group or env.get("KAFKA_CONSUMER_GROUP")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",  # ConsumeStartOffset AtStart
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "kafka.fetch.min.bytes": str(1024),  # cdc.go:87
+        "kafka.fetch.max.bytes": str(10 * 1024 * 1024),  # cdc.go:86
+        "kafka.fetch.max.wait.ms": str(5000),  # cdc.go:88
+        "failOnDataLoss": "false",
+    }
+    if consumer_group:
+        # Spark manages offsets via checkpoint, not the group protocol;
+        # the group id still names the consumer for broker-side ACLs and
+        # monitoring, matching the reference's deployment contract.
+        opts["kafka.group.id"] = consumer_group
+    return opts
+
+
 def read_cdc_kafka(
     spark: SparkSession,
-    bootstrap_servers: str,
-    topic: str = DEFAULT_TOPIC,
+    bootstrap_servers: str | None = None,
+    topic: str | None = None,
+    consumer_group: str | None = None,
     max_offsets_per_trigger: int = DEFAULT_MAX_OFFSETS_PER_TRIGGER,
 ) -> DataFrame:
-    """Kafka CDC source with the reference's flow-control settings.
+    """Kafka CDC source with the reference's flow-control settings,
+    configurable purely from the reference's env vars.
 
     Requires the spark-sql-kafka connector jars on the classpath (not in
     this environment — exercised in production deployments only; tests
-    use ``read_cdc_files``).
+    use ``read_cdc_files`` and validate the options contract).
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")  # ConsumeStartOffset AtStart
-        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .option("kafka.fetch.min.bytes", str(1024))  # cdc.go:87
-        .option("kafka.fetch.max.bytes", str(10 * 1024 * 1024))  # cdc.go:86
-        .option("kafka.fetch.max.wait.ms", str(5000))  # cdc.go:88
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, consumer_group, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def read_cdc_files(
@@ -92,23 +130,32 @@ def start_invalidation_pipeline(
     table_schema: T.StructType = SINNERS_SCHEMA,
     key_field: str = "code",
     dead_letters: list[str] | None = None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """The flagship pipeline: CDC events → cache invalidation (A1-A10).
 
-    ``dead_letters``: optional collector for malformed record values
-    (A6 — the reference silently drops these, queue/cdc.go:175-179; we
-    keep them replayable). In production this would be a second
-    ``foreachBatch`` write to a quarantine topic/table.
+    Malformed record values (A6 — the reference silently drops these,
+    queue/cdc.go:175-179) stay replayable: ``quarantine_dir`` appends
+    them to a parquet quarantine table with their batch id — a
+    distributed write, nothing flows through the driver, and the rows
+    survive pipeline restarts alongside the checkpoint. ``dead_letters``
+    is the in-process collector variant for small test batches.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_envelope(batch_df, table_schema)
-        if dead_letters is not None:
+        if dead_letters is not None or quarantine_dir is not None:
+            from pyspark.sql import functions as F
+
             from cdc_cascade_spark.cdc.envelope import dead_letter
 
-            dead_letters.extend(
-                r.raw_value for r in dead_letter(parsed).collect()
-            )
+            dead = dead_letter(parsed)
+            if quarantine_dir is not None:
+                dead.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(quarantine_dir)
+            if dead_letters is not None:
+                dead_letters.extend(r.raw_value for r in dead.collect())
         payloads = valid_events(parsed)
         invalidate_batch(store, invalidation_keys(payloads, key_field), key_field)
 
@@ -149,24 +196,33 @@ def start_materialized_view_pipeline(
 def run_supervised(
     start_query,
     max_restarts: int = 3,
+    healthy_reset_secs: float = 60.0,
+    restart_delay_secs: float = 5.0,
 ) -> None:
     """Restart-from-checkpoint supervisor (reference: queue/runner.go:11-35).
 
-    The reference recovers panics and restarts the consumer after 5 s;
-    checkpointing makes the Spark equivalent safe without custom offset
-    bookkeeping. ``start_query`` is a zero-arg callable returning a
-    started StreamingQuery.
+    The reference recovers panics and restarts the consumer after 5 s,
+    indefinitely; checkpointing makes the Spark equivalent safe without
+    custom offset bookkeeping. ``max_restarts`` bounds *consecutive*
+    failures, not lifetime failures: a query that runs healthily for
+    ``healthy_reset_secs`` before failing resets the budget, so a
+    long-running pipeline survives arbitrarily many spaced-out transient
+    faults while a crash loop still aborts. ``start_query`` is a
+    zero-arg callable returning a started StreamingQuery.
     """
     import time
 
     restarts = 0
     while True:
         query = start_query()
+        started = time.monotonic()
         try:
             query.awaitTermination()
             return
         except Exception:
+            if time.monotonic() - started >= healthy_reset_secs:
+                restarts = 0
             restarts += 1
             if restarts > max_restarts:
                 raise
-            time.sleep(5)  # runner.go:31-32
+            time.sleep(restart_delay_secs)  # runner.go:31-32

@@ -64,26 +64,45 @@ class InMemoryKVStore:
 
 
 class IdempotentBatchSink:
-    """Exactly-once effects over an at-least-once channel.
+    """Deduplicate replayed batch ids over an at-least-once channel.
 
     ``foreachBatch`` may replay a batch after a crash (same batch_id).
-    Recording committed batch ids and skipping replays upgrades any
-    sink effect to exactly-once — the standard pattern when the effect
-    itself is NOT naturally idempotent (unlike the reference's Redis
-    DEL, which is). The committed-id set would live in the sink system
-    (e.g. a Redis SET or a transactional table) in production.
+    Recording committed batch ids and skipping replays dedupes the
+    effect — the standard pattern when the effect itself is NOT
+    naturally idempotent (unlike the reference's Redis DEL, which is).
+
+    Pass ``store`` to persist committed ids *in the sink system* so the
+    skip survives a driver restart; without it the dedup is
+    single-process only. Even with a store, the effect and the
+    committed-id mark are two writes, not one transaction: a crash
+    between them re-applies that one batch on replay. True exactly-once
+    needs the mark written atomically with the effect (e.g. a Redis
+    MULTI or a transactional table) — ``apply`` gets the marker key via
+    ``mark_key`` so a transactional sink can do exactly that, and this
+    class then only short-circuits the already-committed fast path.
     """
 
-    def __init__(self, apply) -> None:
+    NAMESPACE = "__committed_batch__"
+
+    def __init__(self, apply, store: KeyValueStore | None = None) -> None:
         self._apply = apply
+        self._store = store
         self.committed: set[int] = set()
         self.replays_skipped = 0
 
+    def mark_key(self, batch_id: int) -> str:
+        return f"{self.NAMESPACE}:{batch_id}"
+
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.committed:
+        if batch_id in self.committed or (
+            self._store is not None
+            and self._store.get(self.mark_key(batch_id)) is not None
+        ):
             self.replays_skipped += 1
             return
         self._apply(batch_df, batch_id)
+        if self._store is not None:
+            self._store.set(self.mark_key(batch_id), "1")
         self.committed.add(batch_id)
 
 
@@ -91,6 +110,78 @@ def invalidate_batch(store: KeyValueStore, keys_df: DataFrame, key_col: str) -> 
     """Apply one micro-batch of invalidations: DEL each distinct key."""
     for row in keys_df.select(key_col).distinct().toLocalIterator():
         store.delete(str(row[key_col]))
+
+
+def invalidate_batch_partitions(
+    store_factory, keys_df: DataFrame, key_col: str
+) -> None:
+    """``foreachPartition`` variant of :func:`invalidate_batch` for hot
+    topics: each executor partition opens its own store client and DELs
+    its keys directly, so no key list flows through the driver at all.
+
+    ``store_factory`` must be picklable (it runs in executor workers) —
+    e.g. ``lambda: RedisStore()``, which reads the connection from env
+    vars on the executor. DEL stays idempotent, so executor task
+    retries are safe under the same at-least-once contract.
+    """
+
+    def per_partition(rows) -> None:
+        store = store_factory()
+        for row in rows:
+            store.delete(str(row[key_col]))
+
+    keys_df.select(key_col).distinct().foreachPartition(per_partition)
+
+
+class RedisStore:
+    """Redis-backed :class:`KeyValueStore` (reference: config/config.go:91-119).
+
+    Import-gated: the ``redis`` package is not in this environment, so
+    construction without an injected client raises ImportError with the
+    wiring documented; tests inject a stub client. Connection parameters
+    follow the reference's env contract (REDIS_HOST / REDIS_PORT /
+    REDIS_PASS, default db 0) and the constructor pings fail-fast the
+    way the reference dials eagerly.
+    """
+
+    def __init__(
+        self,
+        host: str | None = None,
+        port: int | None = None,
+        password: str | None = None,
+        client=None,
+    ) -> None:
+        import os
+
+        if client is None:
+            try:
+                import redis
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "RedisStore needs the 'redis' package (pip install redis) "
+                    "or an injected client"
+                ) from e
+            client = redis.Redis(
+                host=host or os.environ.get("REDIS_HOST", "localhost"),
+                port=int(port or os.environ.get("REDIS_PORT", "6379")),
+                password=password or os.environ.get("REDIS_PASS") or None,
+                db=0,
+                decode_responses=True,
+            )
+        self._client = client
+        self._client.ping()  # fail-fast (config.go:106 Ping)
+
+    def set(self, key: str, value: str) -> None:
+        self._client.set(key, value)
+
+    def get(self, key: str) -> str | None:
+        val = self._client.get(key)
+        if val is None:
+            return None
+        return val.decode() if isinstance(val, bytes) else str(val)
+
+    def delete(self, key: str) -> None:
+        self._client.delete(key)
 
 
 def upsert_view_batch(

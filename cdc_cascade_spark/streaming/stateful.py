@@ -38,13 +38,17 @@ def first_seen_filter(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return  # key already emitted in an earlier batch
-        first: pd.DataFrame | None = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.sort_values(out_cols).head(1)[out_cols]
-        if first is not None:
+        # A group's batch may arrive as several Arrow chunks; the
+        # sort-minimal row can be in any of them, so keep each chunk's
+        # head candidate and sort once at the end.
+        heads = [
+            pdf.sort_values(out_cols).head(1)[out_cols]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if heads:
             state.update((True,))
-            yield first
+            yield pd.concat(heads).sort_values(out_cols).head(1)
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn,

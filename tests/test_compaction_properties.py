@@ -59,3 +59,19 @@ def test_compaction_is_idempotent_and_order_insensitive(spark, events):
     a = {(r.k, r.lsn) for r in latest_wins(df, ["k"], ["lsn"]).collect()}
     b = {(r.k, r.lsn) for r in latest_wins(shuffled, ["k"], ["lsn"]).collect()}
     assert a == b
+
+
+def test_initial_snapshot_rejects_non_numeric_order(spark):
+    """A casted-0 rank is only minimal for numeric orders; timestamp or
+    string order columns must be rejected, not silently misranked."""
+    import pytest
+
+    from cdc_cascade_spark.cdc.compaction import with_initial_snapshot
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame(
+        [(1, "b", "2026-01-01T00:00:00", "c")],
+        "k long, v string, ts string, op string",
+    ).selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts", "op")
+    with pytest.raises(TypeError, match="order column"):
+        with_initial_snapshot(snap, bad, ["k"], ["ts"])

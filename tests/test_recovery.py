@@ -139,3 +139,86 @@ def test_idempotent_batch_sink_skips_replays(spark):
     sink.process(df, 0)  # replay after simulated crash
     assert applied == [0, 1]
     assert sink.replays_skipped == 1
+
+
+def test_idempotent_sink_store_survives_driver_restart(spark):
+    """Committed batch ids persisted in the sink store must suppress
+    replays even through a new sink instance (driver restart)."""
+    from cdc_cascade_spark.streaming.sinks import IdempotentBatchSink
+
+    store = InMemoryKVStore()
+    applied = []
+    df = spark.range(1)
+    sink = IdempotentBatchSink(lambda d, bid: applied.append(bid), store=store)
+    sink.process(df, 0)
+    sink.process(df, 1)
+
+    # "restart": fresh process memory, same sink system
+    sink2 = IdempotentBatchSink(lambda d, bid: applied.append(bid), store=store)
+    sink2.process(df, 1)  # replayed by the checkpoint after restart
+    sink2.process(df, 2)
+    assert applied == [0, 1, 2]
+    assert sink2.replays_skipped == 1
+
+
+def test_supervisor_budget_resets_after_healthy_run(monkeypatch):
+    """max_restarts bounds CONSECUTIVE failures: a query that ran
+    healthily before dying must not eat the lifetime budget."""
+    from cdc_cascade_spark.streaming import pipeline as pl
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr("time.monotonic", lambda: clock["t"])
+
+    class FakeQuery:
+        def __init__(self, runtime, fail):
+            self._runtime, self._fail = runtime, fail
+
+        def awaitTermination(self):
+            clock["t"] += self._runtime
+            if self._fail:
+                raise RuntimeError("transient")
+
+    # 5 healthy-hour runs each ending in a crash, then a clean exit:
+    # a lifetime budget of 3 would die on the 4th, the rate limit survives.
+    runs = [FakeQuery(3600.0, True) for _ in range(5)] + [FakeQuery(1.0, False)]
+    it = iter(runs)
+    pl.run_supervised(lambda: next(it), max_restarts=3, restart_delay_secs=0.0)
+
+    # crash-looping (instant failures) still exhausts the budget
+    fast = iter([FakeQuery(0.1, True) for _ in range(10)])
+    with pytest.raises(RuntimeError):
+        pl.run_supervised(lambda: next(fast), max_restarts=3, restart_delay_secs=0.0)
+
+
+def test_quarantine_parquet_survives_restart(spark, tmp_path):
+    """A6 at scale: dead letters append to a quarantine table inside
+    foreachBatch (no driver collect) and survive a pipeline restart."""
+    from cdc_cascade_spark.streaming.pipeline import (
+        read_cdc_files,
+        start_invalidation_pipeline,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ck")
+    (src / "b1.txt").write_text(
+        _env("u", _row(5, "A"), _row(5, "B"), 1) + "\n{broken json 1\n"
+    )
+    store = InMemoryKVStore()
+    q = start_invalidation_pipeline(
+        read_cdc_files(spark, str(src)), store, ckpt, quarantine_dir=qdir
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    (src / "b2.txt").write_text("{broken json 2\n")
+    q = start_invalidation_pipeline(
+        read_cdc_files(spark, str(src)), store, ckpt, quarantine_dir=qdir
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(qdir).collect()
+    assert sorted(r.raw_value for r in rows) == ["{broken json 1", "{broken json 2"]
+    assert len({r.batch_id for r in rows}) == 2
