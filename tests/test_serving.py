@@ -85,3 +85,35 @@ def test_updated_at_bumped_on_update(svc):
     after = svc.read_one(14)
     assert after["updated_at"] >= before["updated_at"]
     assert after["created_at"] == before["created_at"]
+
+
+def test_point_reads_do_not_recompact_changelog(svc, monkeypatch):
+    """VERDICT r1 #4: read_one/_current_row hit the maintained view —
+    poisoning the compaction path must not break point reads."""
+    svc.create({"code": 99, "name": "Vi", "class": "A"})
+
+    def boom():
+        raise AssertionError("point read recompacted the changelog")
+
+    monkeypatch.setattr(svc, "read_all", boom)
+    assert svc.read_one(99)["name"] == "Vi"          # cache miss -> view
+    svc.update(99, {"name": "Vi2"})                  # RMW -> view
+    svc.delete(99)                                   # delete RMW -> view
+    with pytest.raises(NotFound):
+        svc.read_one(98)
+
+
+def test_view_matches_compacted_changelog(svc):
+    """The per-append view must equal batch latest-wins compaction of
+    the full changelog (the view's consistency oracle)."""
+    svc.create({"code": 1, "name": "a", "class": "A"})
+    svc.create({"code": 2, "name": "b", "class": "B"})
+    svc.update(1, {"name": "a2"})
+    svc.delete(2)
+    svc.create({"code": 3, "name": "c", "class": "C"})
+
+    compacted = {r["code"]: r["name"] for r in svc.read_all().collect()}
+    view = {k: v["name"] for k, v in svc._view.items()}
+    assert view == compacted == {
+        1: "a2", 3: "c", 14: "Deren", 17: "Shalom",  # 14/17 = fixture seeds
+    }
