@@ -221,3 +221,94 @@ def test_sliding_window_counts(spark, tmp_path):
     n = load_table(spark, SF, "events").count()
     # every event is counted exactly twice (2h window, 1h slide)
     assert total_events == 2 * n
+
+
+def test_kafka_reader_options_env_contract(monkeypatch):
+    """D2: the Kafka source wires itself from the reference's env vars
+    (queue/cdc.go:63-65); explicit args win over env."""
+    from cdc_cascade_spark.streaming.pipeline import kafka_reader_options
+
+    env = {
+        "KAFKA_HOST": "cdc-cascade-kafka",
+        "KAFKA_BROKER_PORT": "9092",
+        "KAFKA_CDC_TOPIC": "cdc-cascade-postgres.public.sinners",
+        "KAFKA_CONSUMER_GROUP": "cdc-cascade-kafka-consumers",
+    }
+    opts = kafka_reader_options(env=env)
+    assert opts["kafka.bootstrap.servers"] == "cdc-cascade-kafka:9092"
+    assert opts["subscribe"] == "cdc-cascade-postgres.public.sinners"
+    assert opts["kafka.group.id"] == "cdc-cascade-kafka-consumers"
+    assert opts["maxOffsetsPerTrigger"] == "100"  # PollRecords(ctx, 100)
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.fetch.max.bytes"] == str(10 * 1024 * 1024)
+
+    over = kafka_reader_options(
+        bootstrap_servers="other:1234", topic="t2", env=env
+    )
+    assert over["kafka.bootstrap.servers"] == "other:1234"
+    assert over["subscribe"] == "t2"
+
+
+def test_redis_store_protocol_with_stub_client():
+    """RedisStore implements KeyValueStore over any redis-shaped client
+    (import-gated; stub client stands in for the redis package)."""
+    from cdc_cascade_spark.streaming.sinks import RedisStore
+
+    class StubRedis:
+        def __init__(self):
+            self.data = {}
+            self.pinged = False
+
+        def ping(self):
+            self.pinged = True
+
+        def set(self, k, v):
+            self.data[k] = v.encode()
+
+        def get(self, k):
+            return self.data.get(k)
+
+        def delete(self, k):
+            self.data.pop(k, None)
+
+    stub = StubRedis()
+    store = RedisStore(client=stub)
+    assert stub.pinged  # fail-fast dial (config.go:106)
+    store.set("5", "row")
+    assert store.get("5") == "row"  # bytes decoded
+    assert store.get("absent") is None
+    store.delete("5")
+    store.delete("5")  # idempotent DEL
+    assert store.get("5") is None
+
+
+def test_invalidate_batch_partitions_executor_side(spark, tmp_path):
+    """foreachPartition invalidation: keys are DELed by executor-side
+    store clients — nothing iterates on the driver."""
+    import glob
+    import os
+
+    from cdc_cascade_spark.streaming.sinks import invalidate_batch_partitions
+
+    outdir = str(tmp_path / "dels")
+    os.makedirs(outdir)
+
+    class FileStore:
+        """Executor-side stand-in: records DELs to a per-worker file."""
+
+        def __init__(self, d):
+            self._path = os.path.join(d, f"w{os.getpid()}.log")
+
+        def delete(self, key):
+            with open(self._path, "a") as f:
+                f.write(key + "\n")
+
+    keys = spark.createDataFrame(
+        [(k,) for k in ["5", "14", "5", "17"]], "code string"
+    ).repartition(4)
+    invalidate_batch_partitions(lambda: FileStore(outdir), keys, "code")
+
+    deled = []
+    for path in glob.glob(outdir + "/*.log"):
+        deled += open(path).read().split()
+    assert sorted(deled) == ["14", "17", "5"]  # distinct keys, all applied
