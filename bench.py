@@ -30,11 +30,22 @@ def main() -> None:
 
     spark = get_spark(app_name="cdc-cascade-bench")
 
-    # Warmup: touch every table once (fs cache + codegen init).
+    # Warmup: touch every table once (fs cache + codegen init), and run
+    # one trivial Arrow pandas_udf so the Python worker pool exists —
+    # otherwise its one-time fork cost lands on whichever benchmarked
+    # query happens to hit Python first.
     from cdc_cascade_spark.catalog import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    _warm = pandas_udf(lambda x: x, LongType())
+    spark.range(100).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries().items()):

@@ -73,6 +73,14 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted envelope frame per (session, sf_dir): two queries
+# consume it, and rebuilding it costs a window + to_json over the whole
+# events table. Only the *build* side is shared — parse_envelope still
+# runs per query, so the round-trip fidelity each query exists to test
+# is exercised every time.
+_ENVELOPE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the changelog into Debezium-shaped JSON Kafka values.
 
@@ -80,6 +88,10 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Debezium c/r semantics the reference branches on, cdc.go:181-186);
     after = current image (NULL for deletes).
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ENVELOPE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     log = changelog_from_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("lsn")
     image = F.struct(
@@ -104,10 +116,12 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op"),
         (F.col("lsn") * 1000).alias("ts_ms"),
     )
-    return with_images.select(
+    out = with_images.select(
         F.col("user_id").cast("string").alias("key"),
         F.to_json(F.struct(payload.alias("payload"))).alias("value"),
-    )
+    ).persist()
+    _ENVELOPE_CACHE[cache_key] = out
+    return out
 
 
 def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:

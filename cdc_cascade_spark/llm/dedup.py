@@ -94,7 +94,11 @@ def _lsh_band_structs() -> list:
     return out
 
 
-def guarded_block_candidates(prepared: DataFrame, cap: int = BLOCK_CAP) -> DataFrame:
+def guarded_block_candidates(
+    prepared: DataFrame,
+    cap: int = BLOCK_CAP,
+    hset_expr: "F.Column | None" = None,
+) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs within equal-``block`` groups,
     with a skew guard on block cardinality.
 
@@ -107,16 +111,31 @@ def guarded_block_candidates(prepared: DataFrame, cap: int = BLOCK_CAP) -> DataF
     follows the LSH S-curve (≈0.9995 at Jaccard 0.9); cost per hot
     block is O(docs·bands) plus the true-duplicate band groups.
 
-    ``prepared`` must have columns (doc_id, hset, block). Both paths are
-    deterministic, so the DuckDB oracle reproduces the exact result via
+    ``prepared`` must have columns (doc_id, block) plus either a
+    materialized ``hset`` column (the Jaccard case — already persisted,
+    free to carry) or ``hset_expr``, a shingle-set expression evaluated
+    HERE, explicitly *above* the big-block semi join — so an expensive
+    hset computation runs only for docs that actually take the MinHash
+    path, and costs nothing when no block is oversized (relying on the
+    optimizer to push a join below the projection does not work: the
+    explode's implicit size filter pins the projection below the join
+    and inlines the expression per use). Both paths are deterministic,
+    so the DuckDB oracle reproduces the exact result via
     ``guarded_candidates_sql``.
-    """
-    from pyspark.sql import Window as W
 
-    sized = prepared.withColumn(
-        "bn", F.count(F.lit(1)).over(W.partitionBy("block"))
+    Plan shape: block sizes come from a partial-aggregated groupBy (not
+    a window — a window would shuffle+sort the whole corpus by block),
+    and the oversized-block list is broadcast (by definition it has
+    ≤ n/cap entries).
+    """
+    ids = prepared.select("doc_id", "block")
+    big_blocks = (
+        ids.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > cap)
+        .select("block")
     )
-    small = sized.filter(F.col("bn") <= cap)
+    small = ids.join(F.broadcast(big_blocks), "block", "left_anti")
     sa = small.select(F.col("doc_id").alias("doc_a"), "block")
     sb = small.select(F.col("doc_id").alias("doc_b"), "block")
     small_pairs = (
@@ -124,7 +143,9 @@ def guarded_block_candidates(prepared: DataFrame, cap: int = BLOCK_CAP) -> DataF
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    big = sized.filter(F.col("bn") > cap)
+    big = prepared.join(F.broadcast(big_blocks), "block", "left_semi")
+    if hset_expr is not None:
+        big = big.select("doc_id", "block", hset_expr.alias("hset"))
     hashes = big.select("doc_id", "block", F.explode("hset").alias("h"))
     sigs = hashes.groupBy("doc_id", "block").agg(*_minhash_sig_aggs())
     bands = sigs.select(
@@ -152,13 +173,14 @@ def guarded_candidates_sql(cap: int = BLOCK_CAP) -> str:
     )
     return f"""
 , blocked AS (SELECT doc_id, shingles, {first_shingle_sql('toks')} AS block FROM sh)
-, sized AS (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bn FROM blocked)
+, bigb AS (SELECT block FROM blocked GROUP BY block HAVING COUNT(*) > {cap})
 , small_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b ON a.block = b.block AND a.doc_id < b.doc_id
-  WHERE a.bn <= {cap}
+  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE a.block NOT IN (SELECT block FROM bigb)
 )
-, bigsigs AS (SELECT doc_id, block, {sig} AS sig FROM sized WHERE bn > {cap})
+, bigsigs AS (SELECT doc_id, block, {sig} AS sig FROM blocked
+              WHERE block IN (SELECT block FROM bigb))
 , bands AS (
 {band_selects}
 )
@@ -400,13 +422,17 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # Persist WITHOUT hset: the shingle-hash set is only needed by the
+    # guard's big-block MinHash path, and as a lazy projection over the
+    # persisted frame Catalyst computes it just for docs that pass the
+    # bn > cap filter — not for the whole corpus.
     prepared = docs.select(
-        "doc_id",
-        "text",
-        shingle_hash_set(toks).alias("hset"),
-        first_shingle(toks).alias("block"),
+        "doc_id", "text", first_shingle(toks).alias("block")
     ).persist()
-    cand = guarded_block_candidates(prepared.select("doc_id", "hset", "block"))
+    cand = guarded_block_candidates(
+        prepared.select("doc_id", "block", "text"),
+        hset_expr=shingle_hash_set(tokens(F.col("text"))),
+    )
     ta = prepared.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = prepared.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     pairs = cand.join(ta, "doc_a").join(tb, "doc_b")

@@ -82,3 +82,30 @@ def test_minhash_partial_aggregation(spark):
 
     plan = physical_plan(dedup_minhash_lsh(spark, SF))
     assert "partial_min" in plan or plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_q09_windows_see_only_preaggregated_input(spark):
+    """q09's unpartitioned windows are safe ONLY because their input is
+    pre-aggregated to one row per month. Pin both halves of that claim
+    so a refactor can't silently un-shrink the window input:
+    (a) plan order — every Window sits above the month Aggregate;
+    (b) cardinality — the window input is |months|, orders-of-magnitude
+        below |orders|."""
+    from cdc_cascade_spark.operators.relational import q09_monthly_revenue_window
+
+    df = q09_monthly_revenue_window(spark, SF)
+    plan = physical_plan(df)
+    # (a) the windows consume the aggregate's output: in the root-first
+    # plan text every Window line precedes the HashAggregate feeding it
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.rfind("Window (")
+    assert 0 <= win_pos < agg_pos, plan[:2000]
+    # (b) the aggregate output (window input) is tiny vs the fact table
+    from cdc_cascade_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    months = df.count()
+    orders = load_table(spark, SF, "orders").count()
+    assert months <= 120, months          # ~80 months of TPC-H dates
+    # bounded by the calendar, not the data: the ratio only grows with SF
+    assert months * 10 < orders, (months, orders)
