@@ -296,8 +296,131 @@ LIMIT {TOPK}
 ORACLE_LSH_TOPK = _lsh_oracle_sql()
 
 
+# IVF (inverted-file) ANN: assign every vector to its nearest centroid
+# (the "coarse quantizer"), probe only the query's NPROBE nearest
+# centroid cells. Centroids here are a deterministic sample (the
+# IVF_CENTROIDS smallest vec_ids) rather than k-means-trained — the
+# standard sampled-centroid baseline; the partition/probe plumbing is
+# identical to a trained quantizer and is what matters at scale.
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: exact cosine top-k within the query's probed
+    centroid cells.
+
+    Train/apply split: the centroid matrix is tiny (IVF_CENTROIDS rows)
+    and collected once at plan-build time — the IVF "train" stage; the
+    assignment is then a map-side Arrow pandas_udf (no shuffle, no
+    per-row join against the centroid table). At 100 TB the centroid id
+    is the partition/cluster key, so a probe scans NPROBE/IVF_CENTROIDS
+    of the data. Assignment argmax uses full-precision cosines (strict
+    left-to-right fold, ties → smallest centroid id) so the DuckDB
+    oracle reproduces the exact partitioning.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.orderBy("vec_id").limit(IVF_CENTROIDS).select("vec_id", "embedding").collect()
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)  # ascending
+    C = np.stack([np.asarray(r.embedding) for r in cent_rows]).astype(np.float64)
+    normC = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+
+    @pandas_udf("long")
+    def assign_pd(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        E = _stack_f64(a)
+        dots = np.add.accumulate(E[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        normE = np.sqrt(np.add.accumulate(E * E, axis=1)[:, -1])
+        cos = dots / (normE[:, None] * normC[None, :])
+        # np.argmax returns the FIRST maximum; cids ascend, so ties break
+        # to the smallest centroid id — matching the oracle's row_number
+        # (ORDER BY cos DESC, cid ASC).
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    assigned = _with_norm(emb).select(
+        "vec_id", "label", "embedding", "norm", assign_pd(F.col("embedding")).alias("centroid")
+    )
+
+    # Probe selection (driver-side, same fold arithmetic as the oracle).
+    q = np.asarray(cent_rows[0].embedding, dtype=np.float32).astype(np.float64)
+    # NB: the query is the min vec_id — also centroid cids[0].
+    qdots = np.add.accumulate(C * q[None, :], axis=1)[:, -1]
+    qnorm = np.sqrt(np.add.accumulate(q * q)[-1])
+    qcos = qdots / (normC * qnorm)
+    order = sorted(range(len(cids)), key=lambda i: (-qcos[i], cids[i]))
+    probes = [int(cids[i]) for i in order[:IVF_NPROBE]]
+    qid = int(cids[0])
+
+    qrow = assigned.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            "centroid",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    raw_cos = (
+        f"({_DOT_SQL.format(a='e.embedding', b='c.cvec')} / "
+        f"(sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) * "
+        f"sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})))"
+    )
+    qprobe_cos = (
+        f"({_DOT_SQL.format(a='c.cvec', b='q.qvec')} / "
+        f"(sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')}) * "
+        f"sqrt({_DOT_SQL.format(a='q.qvec', b='q.qvec')})))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {raw_cos} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qvec FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), probes AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY {qprobe_cos} DESC, c.cid ASC LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, a.label, a.cid AS centroid,
+       {_cosine_sql('a.embedding', 'qvec')} AS cosine
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probes)
+  AND a.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_IVF_TOPK = _ivf_oracle_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
+    "ann_ivf_topk": (ann_ivf_topk, ORACLE_IVF_TOPK),
     "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),
 }

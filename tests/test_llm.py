@@ -126,3 +126,33 @@ def test_guarded_candidates_bound_hot_blocks(spark):
     assert (0, 9001) in pairs
     # the small block still self-joins exactly: all 3 pairs present
     assert {(9100, 9101), (9100, 9102), (9101, 9102)} <= pairs
+
+
+def test_ivf_topk_probes_subset_with_exact_scores(spark):
+    """IVF results come only from the probed centroid cells, and every
+    hit's cosine equals the exact brute-force score for that vector."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.similarity import (
+        IVF_NPROBE,
+        _cosine,
+        ann_ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ann_ivf_topk(spark, SF).collect()
+    assert rows, "IVF probe returned nothing"
+    assert len({r.centroid for r in rows}) <= IVF_NPROBE
+
+    emb = load_table(spark, SF, "embeddings")
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    q = emb.join(F.broadcast(qid), emb.vec_id == F.col("qid")).select(
+        F.col("embedding").alias("qvec")
+    )
+    full = {
+        r.vec_id: r.cosine
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"))
+        .collect()
+    }
+    for r in rows:
+        assert full[r.vec_id] == pytest.approx(r.cosine, abs=1e-12)
