@@ -1,0 +1,109 @@
+"""Property-based tests for the custom operators.
+
+- asof_join vs a trivial per-row replay model (scan all right rows,
+  keep the latest ≤ t with the highest tiebreaker) on arbitrary
+  generated tables — the window implementation must agree everywhere,
+  including NULL value columns and tied timestamps.
+- guarded_block_candidates vs the plain blocked pair space: whenever no
+  block exceeds the cap, the guard must be a no-op (identical pairs);
+  with a hot block, its output must stay a subset of the block pairs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# right rows: (key 0..2, time 0..5, tiebreaker 0..9, value or None)
+right_row = st.tuples(
+    st.integers(0, 2),
+    st.integers(0, 5),
+    st.integers(0, 9),
+    st.one_of(st.none(), st.integers(0, 99)),
+)
+# left rows: (key 0..2, time 0..5)
+left_row = st.tuples(st.integers(0, 2), st.integers(0, 5))
+
+
+def _asof_model(left, right):
+    """Replay model: latest right row (time, then tiebreaker) ≤ t."""
+    out = {}
+    for i, (k, t) in enumerate(left):
+        best = None
+        for rk, rt, tb, v in right:
+            if rk == k and rt <= t:
+                if best is None or (rt, tb) > (best[0], best[1]):
+                    best = (rt, tb, v)
+        out[i] = None if best is None else (best[1], best[2])
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(left_row, min_size=1, max_size=8, unique=True),
+       st.lists(right_row, min_size=0, max_size=10, unique_by=lambda r: (r[0], r[1], r[2])))
+def test_asof_join_matches_replay_model(spark, left, right):
+    from cdc_cascade_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        right or [(None, None, None, None)], "k long, t long, tb long, v long"
+    ).filter("k IS NOT NULL")
+    got = {
+        r.lid: (None if r.matched_tb is None else (r.matched_tb, r.matched_v))
+        for r in asof_join(
+            ldf, rdf, "k", "k", "t", "t", right_values=["tb", "v"], tiebreaker="tb"
+        ).collect()
+    }
+    assert got == _asof_model(left, right)
+
+
+# corpora: lists of (doc_id, block 0..3, 3 shingle hashes)
+doc = st.tuples(
+    st.integers(0, 49),
+    st.integers(0, 3),
+    st.lists(st.integers(1, 8), min_size=1, max_size=3, unique=True),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(doc, min_size=1, max_size=12, unique_by=lambda d: d[0]))
+def test_guard_is_noop_below_cap_and_subset_above(spark, docs):
+    from cdc_cascade_spark.llm.dedup import guarded_block_candidates
+
+    df = spark.createDataFrame(
+        [(i, b, h) for i, b, h in docs], "doc_id long, block int, hset array<long>"
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in guarded_block_candidates(df, cap=4).collect()
+    }
+    blocked = {
+        (a, b)
+        for ia, ba, _ in docs
+        for ib, bb, _ in docs
+        if ba == bb and ia < ib
+        for a, b in [(ia, ib)]
+    }
+    sizes = {}
+    for _, b, _ in docs:
+        sizes[b] = sizes.get(b, 0) + 1
+    if all(n <= 4 for n in sizes.values()):
+        assert got == blocked  # guard must be a pure no-op
+    else:
+        assert got <= blocked  # never invents cross-block pairs
+        # identical docs in a hot block must still pair up
+        by_hset = {}
+        for i, b, h in docs:
+            by_hset.setdefault((b, tuple(sorted(h))), []).append(i)
+        for (b, _), ids in by_hset.items():
+            if len(ids) > 1 and sizes[b] > 4:
+                a, bb = sorted(ids)[:2]
+                assert (a, bb) in got, f"identical docs {a},{bb} lost"

@@ -109,3 +109,40 @@ def test_q09_windows_see_only_preaggregated_input(spark):
     assert months <= 120, months          # ~80 months of TPC-H dates
     # bounded by the calendar, not the data: the ratio only grows with SF
     assert months * 10 < orders, (months, orders)
+
+
+def test_plan_lint_all_registered_queries(spark):
+    """Plan lint over the whole registry: no accidental cartesian
+    products, no single-partition window shuffles, no nested-loop
+    joins — except the explicitly whitelisted, by-design cases. A new
+    query that trips a flag must either fix its plan or justify a
+    whitelist entry here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cdc_cascade_spark.registry import queries
+
+    WHITELIST = {
+        # 1-row query vector broadcast: BroadcastNestedLoopJoin over a
+        # single-row build side IS the intended map-side shape.
+        "ann_cosine_topk": {"bnlj"},
+        "ann_ivf_topk": {"bnlj"},
+        "ann_lsh_topk": {"bnlj"},
+        # global windows over the ~80-row month aggregate; safety pinned
+        # by test_q09_windows_see_only_preaggregated_input.
+        "q09_monthly_revenue_window": {"single-part-window"},
+    }
+    bad = {}
+    for name, fn in sorted(queries().items()):
+        plan = physical_plan(fn(spark, SF))
+        flags = set()
+        if "CartesianProduct" in plan:
+            flags.add("cartesian")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.add("bnlj")
+        if "Exchange SinglePartition" in plan and "Window" in plan:
+            flags.add("single-part-window")
+        flags -= WHITELIST.get(name, set())
+        if flags:
+            bad[name] = sorted(flags)
+    assert not bad, f"un-whitelisted plan hazards: {bad}"
