@@ -15,10 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from cdc_cascade_spark.cdc import queries as cdc_queries
     from cdc_cascade_spark.llm import dedup, multimodal, similarity, text
-    from cdc_cascade_spark.operators import asof, relational
+    from cdc_cascade_spark.operators import asof, ranges, relational, sketches
 
     merged: dict[str, tuple] = {}
-    for module in (relational, asof, cdc_queries, text, dedup, similarity, multimodal):
+    for module in (
+        relational,
+        asof,
+        ranges,
+        sketches,
+        cdc_queries,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
