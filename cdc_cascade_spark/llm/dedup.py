@@ -98,6 +98,7 @@ def guarded_block_candidates(
     prepared: DataFrame,
     cap: int = BLOCK_CAP,
     hset_expr: "F.Column | None" = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs within equal-``block`` groups,
     with a skew guard on block cardinality.
@@ -127,6 +128,13 @@ def guarded_block_candidates(
     a window — a window would shuffle+sort the whole corpus by block),
     and the oversized-block list is broadcast (by definition it has
     ≤ n/cap entries).
+
+    ``carry``: payload columns of ``prepared`` returned as
+    ``<col>_a``/``<col>_b`` on every pair. The small path carries them
+    *through* the block self-join (one shuffle, no join-back — on the
+    no-skew fast path this saves two per-side joins); the big path
+    joins them back only for the band candidates, so a hot block never
+    shuffles payload quadratically.
     """
     ids = prepared.select("doc_id", "block")
     big_blocks = (
@@ -135,13 +143,26 @@ def guarded_block_candidates(
         .filter(F.col("bn") > cap)
         .select("block")
     )
-    small = ids.join(F.broadcast(big_blocks), "block", "left_anti")
-    sa = small.select(F.col("doc_id").alias("doc_a"), "block")
-    sb = small.select(F.col("doc_id").alias("doc_b"), "block")
+    small = prepared.select("doc_id", "block", *carry).join(
+        F.broadcast(big_blocks), "block", "left_anti"
+    )
+    sa = small.select(
+        F.col("doc_id").alias("doc_a"),
+        "block",
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    sb = small.select(
+        F.col("doc_id").alias("doc_b"),
+        "block",
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    out_cols = ["doc_a", "doc_b"] + [f"{c}_a" for c in carry] + [
+        f"{c}_b" for c in carry
+    ]
     small_pairs = (
         sa.join(sb, "block")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select(*out_cols)
     )
     big = prepared.join(F.broadcast(big_blocks), "block", "left_semi")
     if hset_expr is not None:
@@ -159,7 +180,19 @@ def guarded_block_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return small_pairs.unionByName(big_pairs)
+    for c in carry:
+        big_pairs = big_pairs.join(
+            prepared.select(
+                F.col("doc_id").alias("doc_a"), F.col(c).alias(f"{c}_a")
+            ),
+            "doc_a",
+        ).join(
+            prepared.select(
+                F.col("doc_id").alias("doc_b"), F.col(c).alias(f"{c}_b")
+            ),
+            "doc_b",
+        )
+    return small_pairs.unionByName(big_pairs.select(*out_cols))
 
 
 def guarded_candidates_sql(cap: int = BLOCK_CAP) -> str:
@@ -243,14 +276,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join). Set math runs on bigint shingle hashes — cheap comparisons,
     small shuffle payload.
     """
-    # the prepared relation feeds the candidate generator and both
-    # verification sides — persist so the shingle hashing runs once
+    # the prepared relation feeds the candidate generator and (on the
+    # big path) the payload join-back — persist so the shingle hashing
+    # runs once; the small path carries hsets through the block join
     sh = _docs_prepared(spark, sf_dir).persist()
-    cand = guarded_block_candidates(sh)
-    pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
-    pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
-    pairs = cand.join(pa, "doc_a").join(pb, "doc_b")
-    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    pairs = guarded_block_candidates(sh, carry=("hset",))
+    jac = jaccard(F.col("hset_a"), F.col("hset_b"))
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
