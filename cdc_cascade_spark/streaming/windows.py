@@ -81,6 +81,46 @@ def sliding_activity(
     )
 
 
+def start_continuous_rollup(
+    events: DataFrame,
+    store,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuously-maintained hourly rollup — the TimescaleDB
+    continuous-aggregate / materialized-hypertable pattern, Spark-style.
+
+    Update-mode windowed aggregation emits each (window, event_type)
+    row whenever its aggregate changes (including late-data refinement
+    within the watermark); a foreachBatch upsert keeps the keyed store
+    converged to the final rollup. Per-batch upsert volume is bounded
+    by active windows × types (watermark-bounded state), NOT stream
+    length, and the store ends bit-identical to the batch tumbling
+    aggregation over the same data (pinned by test).
+    """
+    import json
+
+    agg = tumbling_counts(events, window, watermark)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.toLocalIterator():
+            key = f"{row.window_start.isoformat()}|{row.event_type}"
+            store.set(
+                key,
+                json.dumps(
+                    {"n_events": row.n_events, "sum_value": row.sum_value}
+                ),
+            )
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1,0 +1,67 @@
+"""Range-join boundary semantics + KMV exact-path fallback."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.operators.ranges import bucketed_range_join
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_range_join_boundaries_inclusive_start_exclusive_end(spark):
+    intervals = spark.createDataFrame(
+        [(1, 100, _ts(10), _ts(11))], "ikey long, iid long, s timestamp, e timestamp"
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(9, 59)),   # before window
+            (1, 2, _ts(10, 0)),   # exactly at start -> included
+            (1, 3, _ts(10, 30)),  # inside
+            (1, 4, _ts(11, 0)),   # exactly at end -> excluded
+            (2, 5, _ts(10, 30)),  # other key
+        ],
+        "ekey long, eid long, t timestamp",
+    )
+    got = sorted(
+        r.eid
+        for r in bucketed_range_join(
+            events, intervals, "ekey", "ikey", "t", "s", "e"
+        ).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_range_join_spanning_multiple_buckets(spark):
+    """A window wider than the bucket unit must not miss events in
+    middle buckets (the binning correctness core)."""
+    intervals = spark.createDataFrame(
+        [(1, 100, _ts(1, 30), _ts(5, 30))], "ikey long, iid long, s timestamp, e timestamp"
+    )
+    events = spark.createDataFrame(
+        [(1, i, _ts(i)) for i in range(8)], "ekey long, eid long, t timestamp"
+    )
+    got = sorted(
+        r.eid
+        for r in bucketed_range_join(
+            events, intervals, "ekey", "ikey", "t", "s", "e"
+        ).collect()
+    )
+    assert got == [2, 3, 4, 5]
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than K distinct values report the exact count
+    (the estimator only kicks in past K)."""
+    from cdc_cascade_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(3)],
+        "g string, v long",
+    )
+    got = {r.g: (r.distinct_est, r.n_kept) for r in kmv_distinct(df, "g", "v").collect()}
+    assert got == {"a": (7.0, 7), "b": (3.0, 3)}

@@ -330,3 +330,43 @@ def test_read_cdc_kafka_fails_only_at_connector_boundary(spark, monkeypatch):
     monkeypatch.setenv("KAFKA_BROKER_PORT", "9092")
     with pytest.raises(Exception, match="(?i)kafka|data source|DATA_SOURCE"):
         read_cdc_kafka(spark)
+
+
+def test_continuous_rollup_converges_to_batch(spark, tmp_path):
+    """Hypertable-style continuous aggregate: the upserted store must
+    end bit-identical to the batch tumbling aggregation."""
+    import json as _json
+
+    from cdc_cascade_spark.streaming.windows import start_continuous_rollup
+
+    store = InMemoryKVStore()
+    q = start_continuous_rollup(
+        stream_events(spark, SF), store, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(k.split("|")): (v["n_events"], v["sum_value"])
+        for k, v in (
+            (k, _json.loads(v)) for k, v in store.snapshot().items()
+        )
+    }
+    from cdc_cascade_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    want = {
+        (r.hour.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
