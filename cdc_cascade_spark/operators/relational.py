@@ -1074,6 +1074,89 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + element ops: sequence generation, contains,
+    position-stable sort, slicing, and an exact integer fold — the
+    array-native surface (DuckDB lists / Spark arrays).
+
+    All deterministic: arrays are generated (``sequence``), never
+    aggregated from rows, so element order is defined in both engines.
+    Pure per-row projection — no shuffle at any scale.
+    """
+    part = load_table(spark, sf_dir, "part")
+    arr = F.sequence(F.lit(1), (F.col("p_partkey") % 5) + 1)
+    return part.select(
+        "p_partkey",
+        F.size(arr).alias("arr_len"),
+        F.array_contains(arr, 3).alias("has_three"),
+        F.element_at(F.reverse(arr), 1).alias("last_elem"),
+        F.slice(arr, 1, 2).cast("string").alias("first_two"),
+        F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "arr_sum"
+        ),
+        F.array_max(arr).alias("arr_max"),
+    )
+
+
+ORACLE_Q29 = """
+SELECT p_partkey,
+       CAST(len(range(1, (p_partkey % 5) + 2)) AS INTEGER) AS arr_len,
+       list_contains(range(1, (p_partkey % 5) + 2), 3) AS has_three,
+       list_reverse(range(1, (p_partkey % 5) + 2))[1] AS last_elem,
+       CAST(CAST(range(1, (p_partkey % 5) + 2)[1:2] AS BIGINT[]) AS VARCHAR) AS first_two,
+       list_sum(range(1, (p_partkey % 5) + 2))::BIGINT AS arr_sum,
+       list_max(range(1, (p_partkey % 5) + 2)) AS arr_max
+FROM part
+"""
+
+
+def q30_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: null-safe equality (<=> / IS NOT DISTINCT
+    FROM), NULLIF, COALESCE chains, and NULL-tolerant greatest/least —
+    the semantics corner every engine port gets subtly wrong.
+
+    Pure projection over an outer join that manufactures real NULLs
+    (customers without orders), so the NULL paths are exercised by
+    data, not literals.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice")).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    j = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.col("n_orders").eqNullSafe(F.lit(None).cast("long")).alias("never_ordered"),
+        F.nullif(F.col("n_orders"), F.lit(1)).alias("orders_unless_one"),
+        F.coalesce(F.col("spend"), F.col("c_acctbal"), F.lit(0.0)).alias(
+            "effective_value"
+        ),
+        F.greatest(F.col("spend"), F.col("c_acctbal")).alias("best_value"),
+        (F.col("spend").isNull() & (F.col("c_acctbal") > 0)).alias(
+            "dormant_with_balance"
+        ),
+    )
+
+
+ORACLE_Q30 = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       n_orders IS NOT DISTINCT FROM NULL AS never_ordered,
+       nullif(n_orders, 1) AS orders_unless_one,
+       coalesce(spend, c_acctbal, 0.0) AS effective_value,
+       greatest(spend, c_acctbal) AS best_value,
+       (spend IS NULL AND c_acctbal > 0) AS dormant_with_balance
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -1103,4 +1186,6 @@ QUERIES: dict[str, tuple] = {
     "q26_string_functions": (q26_string_functions, ORACLE_Q26),
     "q27_full_outer_join": (q27_full_outer_join, ORACLE_Q27),
     "q28_window_suite": (q28_window_suite, ORACLE_Q28),
+    "q29_array_functions": (q29_array_functions, ORACLE_Q29),
+    "q30_null_semantics": (q30_null_semantics, ORACLE_Q30),
 }

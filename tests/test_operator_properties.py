@@ -107,3 +107,46 @@ def test_guard_is_noop_below_cap_and_subset_above(spark, docs):
             if len(ids) > 1 and sizes[b] > 4:
                 a, bb = sorted(ids)[:2]
                 assert (a, bb) in got, f"identical docs {a},{bb} lost"
+
+
+# intervals: (key 0..1, start hour 0..20, duration hours 1..30)
+interval = st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(1, 30))
+point = st.tuples(st.integers(0, 1), st.integers(0, 59))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(interval, min_size=1, max_size=6),
+       st.lists(point, min_size=1, max_size=10))
+def test_bucketed_range_join_matches_naive_model(spark, intervals, points):
+    """Bucket binning must reproduce the naive start ≤ t < end join for
+    arbitrary window spans (including spans ≫ the bucket width)."""
+    import datetime
+
+    from cdc_cascade_spark.operators.ranges import bucketed_range_join
+
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    ivals = [
+        (i, k, base + s * h, base + (s + d) * h)
+        for i, (k, s, d) in enumerate(intervals)
+    ]
+    evs = [(j, k, base + t * h) for j, (k, t) in enumerate(points)]
+    idf = spark.createDataFrame(
+        ivals, "iid long, ikey long, s timestamp, e timestamp"
+    )
+    edf = spark.createDataFrame(evs, "eid long, ekey long, t timestamp")
+    got = {
+        (r.iid, r.eid)
+        for r in bucketed_range_join(edf, idf, "ekey", "ikey", "t", "s", "e").collect()
+    }
+    want = {
+        (i, j)
+        for i, k, s, e in ivals
+        for j, ek, t in evs
+        if ek == k and s <= t < e
+    }
+    assert got == want
