@@ -80,6 +80,69 @@ def bucketed_range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_unit: str = "day",
+) -> DataFrame:
+    """Inner join of two interval sets on key equality + interval
+    overlap (end-exclusive: ``s1 < e2 AND s2 < e1``) — the general
+    interval×interval case of :func:`bucketed_range_join`.
+
+    Both sides explode into the fixed-width buckets they cover and
+    equi-join on (key, bucket). Overlapping pairs share ≥1 bucket, but
+    possibly many — instead of a distinct pass (an extra shuffle over
+    the pair set), each pair is kept only in its FIRST shared bucket,
+    ``max(trunc(s1), trunc(s2))``: that bucket is wlog the later
+    interval's first bucket, and overlap (``s1 < e2``) guarantees the
+    earlier interval lists it too, so every overlapping pair survives
+    in exactly one bucket. One shuffle per side, no dedup stage — the
+    same plan cost as the containment join.
+
+    Column names must be disjoint across ``left`` and ``right``
+    (rename before calling, as for any self-join).
+    """
+    one = F.expr(f"INTERVAL 1 {bucket_unit}")
+
+    def binned(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        return df.withColumn(
+            out,
+            F.explode(
+                F.sequence(
+                    F.date_trunc(bucket_unit, F.col(s)),
+                    F.date_trunc(bucket_unit, F.col(e)),
+                    one,
+                )
+            ),
+        )
+
+    bl = binned(left, left_start, left_end, "__lb")
+    br = binned(right, right_start, right_end, "__rb")
+    first_shared = F.greatest(
+        F.date_trunc(bucket_unit, F.col(left_start)),
+        F.date_trunc(bucket_unit, F.col(right_start)),
+    )
+    return (
+        bl.join(
+            br,
+            (F.col(left_key) == F.col(right_key))
+            & (F.col("__lb") == F.col("__rb")),
+        )
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__lb") == first_shared)
+        )
+        .drop("__lb", "__rb")
+    )
+
+
 def range_join_signup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Follow-on activity within 1 hour after each signup event — the
     canonical attribution-window interval join, anchored on the events
@@ -125,6 +188,72 @@ GROUP BY a.event_id
 """
 
 
+def overlap_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer overlapping order-fulfilment windows: each order
+    opens a [orderdate, orderdate + 1..7 days) window (span keyed off
+    the order key, deterministic); count same-customer window pairs
+    that overlap and total the overlap seconds — the classic
+    concurrent-intervals analysis (double-booking / overlapping
+    sessions), via :func:`interval_overlap_join`.
+
+    Overlap seconds come from ``unix_timestamp`` diffs (whole-second
+    timestamps by construction), summed as bigint — exact in both
+    engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    span = "make_dt_interval(CAST(o_orderkey % 7 AS INT) + 1)"
+    w = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("s"),
+        F.expr(f"CAST(o_orderdate AS TIMESTAMP) + {span}").alias("e"),
+    )
+    a = w.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_custkey").alias("a_cust"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = w.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_custkey").alias("b_cust"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_cust", "b_cust", "a_s", "a_e", "b_s", "b_e", bucket_unit="day"
+    ).filter(F.col("a_key") < F.col("b_key"))  # each unordered pair once
+    overlap_sec = F.unix_timestamp(
+        F.least(F.col("a_e"), F.col("b_e"))
+    ) - F.unix_timestamp(F.greatest(F.col("a_s"), F.col("b_s")))
+    return pairs.groupBy(F.col("a_cust").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum(overlap_sec).alias("total_overlap_sec"),
+    )
+
+
+ORACLE_OVERLAP_JOIN = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_orderdate AS TIMESTAMP) AS s,
+         CAST(o_orderdate AS TIMESTAMP)
+           + ((o_orderkey % 7) + 1) * INTERVAL 1 DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       COUNT(*) AS n_overlap_pairs,
+       CAST(SUM(date_diff('second',
+                          greatest(a.s, b.s),
+                          least(a.e, b.e))) AS BIGINT) AS total_overlap_sec
+FROM w a JOIN w b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.o_custkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "range_join_signup_activity": (range_join_signup_activity, ORACLE_RANGE_JOIN),
+    "overlap_join_order_windows": (overlap_join_order_windows, ORACLE_OVERLAP_JOIN),
 }

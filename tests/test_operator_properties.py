@@ -150,3 +150,40 @@ def test_bucketed_range_join_matches_naive_model(spark, intervals, points):
         if ek == k and s <= t < e
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(interval, min_size=1, max_size=6),
+       st.lists(interval, min_size=1, max_size=6))
+def test_interval_overlap_join_matches_naive_model(spark, left, right):
+    """First-shared-bucket binning must reproduce the naive
+    s1 < e2 AND s2 < e1 join — each pair exactly once — for arbitrary
+    spans (including spans ≫ the bucket width)."""
+    import datetime
+
+    from cdc_cascade_spark.operators.ranges import interval_overlap_join
+
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    li = [(i, k, base + s * h, base + (s + d) * h)
+          for i, (k, s, d) in enumerate(left)]
+    ri = [(j, k, base + s * h, base + (s + d) * h)
+          for j, (k, s, d) in enumerate(right)]
+    ldf = spark.createDataFrame(li, "lid long, lkey long, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(ri, "rid long, rkey long, rs timestamp, re timestamp")
+    rows = interval_overlap_join(
+        ldf, rdf, "lkey", "rkey", "ls", "le", "rs", "re", bucket_unit="hour"
+    ).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    want = {
+        (i, j)
+        for i, lk, s1, e1 in li
+        for j, rk, s2, e2 in ri
+        if lk == rk and s1 < e2 and s2 < e1
+    }
+    assert set(got) == want
