@@ -146,3 +146,18 @@ def test_plan_lint_all_registered_queries(spark):
         if flags:
             bad[name] = sorted(flags)
     assert not bad, f"un-whitelisted plan hazards: {bad}"
+
+
+def test_check_first_queries_lead_the_registry():
+    """The driver verifies only the first ~50 registry entries; every
+    query that still needs a green CORRECTNESS row must sit inside that
+    window. CHECK_FIRST pins them to the very front."""
+    from cdc_cascade_spark.registry import CHECK_FIRST, all_queries
+
+    names = list(all_queries())
+    assert names[: len(CHECK_FIRST)] == CHECK_FIRST
+    assert len(CHECK_FIRST) <= 50
+    # every CHECK_FIRST entry must have an oracle (the whole point is a
+    # full rows+schema+hash row, not the weaker rows-only check)
+    for name in CHECK_FIRST:
+        assert all_queries()[name][1] is not None, name
