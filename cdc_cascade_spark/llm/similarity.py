@@ -151,50 +151,6 @@ LIMIT {TOPK}
 """
 
 
-def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top most-similar pairs within each label block.
-
-    The label column blocks the pair space (embedding near-dup's analog
-    of LSH bucketing); per block the join is a co-partitioned self-join.
-    """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
-        "label",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
-        "label",
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select(
-            "label",
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
-        .limit(PAIR_TOPK)
-    )
-
-
-ORACLE_TOP_PAIRS = f"""
-SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-ORDER BY cosine DESC, vec_a ASC, vec_b ASC
-LIMIT {PAIR_TOPK}
-"""
-
-
 # Random-hyperplane LSH: sign bits of dot products with H fixed pseudo-
 # random hyperplanes. The hyperplanes are generated deterministically
 # from md5 of (plane, dim) — reproducible in SQL, no RNG.
@@ -213,6 +169,176 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
+# Skew guard for the label-blocked pair join: a label with more than
+# LABEL_CAP vectors would make its self-join quadratic (one hot label ⇒
+# O(block²) pairs — the hazard the blocked dedup ops guard against).
+# Oversized labels are sub-blocked by PAIR_BUCKET_PLANES hyperplane sign
+# bits: only vectors agreeing on all sign bits pair up, shrinking a hot
+# label's pair space ~4^planes×. Recall on near-identical vectors is
+# high (near-dups rarely straddle a hyperplane); at larger scales the
+# plane count grows with log2(block/cap) — 4 is sized for the testdata
+# so sf0.01 exercises BOTH paths under the oracle.
+LABEL_CAP = 48
+PAIR_BUCKET_PLANES = 4
+
+
+def _planes_matrix(nplanes: int, dim: int = 64) -> np.ndarray:
+    return np.array([_hyperplane(p, dim) for p in range(nplanes)], dtype=np.float64)
+
+
+def _bucket_udf(nplanes: int, dim: int = 64):
+    """Arrow pandas_udf: hyperplane sign-bit bucket id for each vector.
+
+    Each plane dot is the same strict left-to-right IEEE fold as the
+    oracle's ``list_dot_product``, so sign bits cannot diverge near
+    zero.
+    """
+    planes = _planes_matrix(nplanes, dim)
+    weights = np.array([1 << p for p in range(nplanes)], dtype=np.int64)
+
+    @pandas_udf(IntegerType())
+    def bucket_pd(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int32")
+        m = _stack_f64(a)
+        dots = np.add.accumulate(m[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+        return pd.Series(((dots > 0) @ weights).astype(np.int32))
+
+    return bucket_pd
+
+
+def _bucket_sql(col: str, nplanes: int, dim: int = 64) -> str:
+    """DuckDB expression reproducing ``_bucket_udf`` bit-for-bit."""
+    terms = []
+    for p in range(nplanes):
+        comps = _hyperplane(p, dim)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({col}::DOUBLE[], {arr}::DOUBLE[]) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def label_blocked_pairs(emb: DataFrame, cap: int = LABEL_CAP) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs within equal-label blocks, with a
+    skew guard on label cardinality.
+
+    Labels with ≤ ``cap`` vectors self-join exactly. Oversized labels —
+    broadcast as a (≤ n/cap)-row list — pair only within their
+    hyperplane sign bucket, so a hot label's pair count collapses from
+    O(block²) to O(Σ bucket²) with buckets ~block/2^planes. Both paths
+    are deterministic; the DuckDB oracle reproduces the guard exactly.
+
+    ``emb`` must carry (vec_id, label, embedding, norm). Returns
+    (label, vec_a, ea, na, vec_b, eb, nb); cosine is computed by the
+    caller so this frame never materializes per-pair floats it does not
+    need.
+    """
+    big_labels = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("ln"))
+        .filter(F.col("ln") > cap)
+        .select("label")
+    )
+    small = emb.join(F.broadcast(big_labels), "label", "left_anti")
+    sa = small.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    sb = small.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    small_pairs = sa.join(sb, "label").filter(F.col("vec_a") < F.col("vec_b"))
+
+    bucket = _bucket_udf(PAIR_BUCKET_PLANES)
+    big = emb.join(F.broadcast(big_labels), "label", "left_semi").withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
+    ba = big.select(
+        "label",
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    bb = big.select(
+        "label",
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    big_pairs = (
+        ba.join(bb, ["label", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .drop("bucket")
+    )
+    cols = ["label", "vec_a", "ea", "na", "vec_b", "eb", "nb"]
+    return small_pairs.select(*cols).unionByName(big_pairs.select(*cols))
+
+
+def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top most-similar pairs within each label block, skew-guarded.
+
+    The label column blocks the pair space (embedding near-dup's analog
+    of LSH bucketing); ``label_blocked_pairs`` caps the per-label cost —
+    oversized labels pair only within hyperplane sign buckets.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    pairs = label_blocked_pairs(emb)
+    return (
+        pairs.select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(PAIR_TOPK)
+    )
+
+
+def _top_pairs_oracle_sql() -> str:
+    bucket = _bucket_sql("embedding", PAIR_BUCKET_PLANES)
+    return f"""
+WITH big AS (
+  SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) > {LABEL_CAP}
+), small_pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, a.embedding AS ea,
+         b.vec_id AS vec_b, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.label NOT IN (SELECT label FROM big)
+), bucketed AS (
+  SELECT label, vec_id, embedding, {bucket} AS bucket
+  FROM embeddings WHERE label IN (SELECT label FROM big)
+), big_pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, a.embedding AS ea,
+         b.vec_id AS vec_b, b.embedding AS eb
+  FROM bucketed a JOIN bucketed b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs
+)
+SELECT label, vec_a, vec_b,
+       {_cosine_sql('ea', 'eb')} AS cosine
+FROM pairs
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT {PAIR_TOPK}
+"""
+
+
+ORACLE_TOP_PAIRS = _top_pairs_oracle_sql()
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: exact cosine top-k *within the query's bucket*.
 
@@ -223,21 +349,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     true neighbors in other buckets, which is the accepted trade.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    planes = np.array([_hyperplane(p, dim) for p in range(LSH_PLANES)], dtype=np.float64)
-    weights = np.array([1 << p for p in range(LSH_PLANES)], dtype=np.int64)
-
-    @pandas_udf(IntegerType())
-    def bucket_pd(a: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="int32")
-        m = _stack_f64(a)
-        # (N, P, D) products folded sequentially along D: each plane dot
-        # is the same left-to-right IEEE sum as the oracle's
-        # list_dot_product, so sign bits can't diverge near zero.
-        dots = np.add.accumulate(m[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
-        return pd.Series(((dots > 0) @ weights).astype(np.int32))
-
+    bucket_pd = _bucket_udf(LSH_PLANES)
     bucketed = _with_norm(emb).select(
         "vec_id", "label", "embedding", "norm", bucket_pd(F.col("embedding")).alias("bucket")
     )
@@ -267,16 +379,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle_sql() -> str:
-    dim = 64
-    plane_dots = []
-    for p in range(LSH_PLANES):
-        comps = _hyperplane(p, dim)
-        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
-        plane_dots.append(
-            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
-            f"THEN {1 << p} ELSE 0 END"
-        )
-    bucket = " + ".join(plane_dots)
+    bucket = _bucket_sql("embedding", LSH_PLANES)
     return f"""
 WITH bucketed AS (
   SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings

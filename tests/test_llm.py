@@ -182,3 +182,46 @@ def test_kmv_estimate_accuracy(spark):
         e, n_kept = est[et]
         assert n_kept == KMV_K, f"{et}: estimator path not exercised"
         assert abs(e - n) / n < 0.4, f"{et}: est {e} vs exact {n}"
+
+
+def test_label_blocked_pairs_bound_hot_labels(spark):
+    """A hot label (more vectors than LABEL_CAP) must NOT produce a
+    quadratic pair count; near-identical vectors inside it must still
+    pair (they share every hyperplane sign bit)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.llm.similarity import (
+        LABEL_CAP,
+        _with_norm,
+        label_blocked_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    n_hot = 4 * LABEL_CAP
+    rows = [
+        (i, 1, [float(x) for x in rng.randn(64).astype(np.float32)])
+        for i in range(n_hot)
+    ]
+    # a true near-dup inside the hot label: identical to vec 0
+    rows.append((9001, 1, rows[0][2]))
+    # a small label: three vectors, must pair exactly (all 3 pairs)
+    rows += [
+        (9100 + i, 2, [float(x) for x in rng.randn(64).astype(np.float32)])
+        for i in range(3)
+    ]
+    emb = _with_norm(
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+    )
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in label_blocked_pairs(emb).select("vec_a", "vec_b").collect()
+    }
+    quadratic = n_hot * (n_hot + 1) // 2
+    assert len(pairs) < quadratic / 4, f"{len(pairs)} pairs ~ quadratic"
+    # the identical pair survives the bucket sub-blocking
+    assert (0, 9001) in pairs
+    # the small label still self-joins exactly
+    assert {(9100, 9101), (9100, 9102), (9101, 9102)} <= pairs
