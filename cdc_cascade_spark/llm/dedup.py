@@ -127,7 +127,11 @@ def guarded_block_candidates(
     Plan shape: block sizes come from a partial-aggregated groupBy (not
     a window — a window would shuffle+sort the whole corpus by block),
     and the oversized-block list is broadcast (by definition it has
-    ≤ n/cap entries).
+    ≤ n/cap entries). The no-skew fast path is an AQE-style runtime
+    choice: one bounded action checks for oversized blocks, and when
+    there are none the whole guard (broadcast, anti/semi split, MinHash
+    stages) is dropped from the plan — the common case pays only the
+    plain block self-join.
 
     ``carry``: payload columns of ``prepared`` returned as
     ``<col>_a``/``<col>_b`` on every pair. The small path carries them
@@ -143,9 +147,23 @@ def guarded_block_candidates(
         .filter(F.col("bn") > cap)
         .select("block")
     )
-    small = prepared.select("doc_id", "block", *carry).join(
-        F.broadcast(big_blocks), "block", "left_anti"
-    )
+    # Runtime short-circuit (AQE-style adaptive plan choice): the
+    # block-size aggregate is a bounded action — O(distinct blocks)
+    # output, one partial-aggregated pass over the (caller-persisted)
+    # prepared relation, which the main job then reads from cache. When
+    # no block is oversized — the common, no-skew case — the guard
+    # machinery (broadcast exchange, anti/semi split, MinHash stages
+    # over zero rows) would still cost real plan overhead, so drop it
+    # and run the plain block self-join. Result-identical by
+    # construction: with no oversized block the anti join keeps
+    # everything and the big path is empty.
+    no_big = big_blocks.isEmpty()
+    if no_big:
+        small = prepared.select("doc_id", "block", *carry)
+    else:
+        small = prepared.select("doc_id", "block", *carry).join(
+            F.broadcast(big_blocks), "block", "left_anti"
+        )
     sa = small.select(
         F.col("doc_id").alias("doc_a"),
         "block",
@@ -164,6 +182,8 @@ def guarded_block_candidates(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(*out_cols)
     )
+    if no_big:
+        return small_pairs
     big = prepared.join(F.broadcast(big_blocks), "block", "left_semi")
     if hset_expr is not None:
         big = big.select("doc_id", "block", hset_expr.alias("hset"))
