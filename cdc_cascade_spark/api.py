@@ -179,15 +179,23 @@ def install_signal_handlers(
     """Trap SIGINT/SIGTERM → graceful_shutdown (main.go:21-23,48).
 
     Returns the handler so tests can invoke it directly (sending real
-    signals through pytest is fragile); previous handlers are chained.
+    signals through pytest is fragile). The first signal runs the
+    graceful shutdown; later signals fall through to the previously
+    installed handler — so a second Ctrl-C still raises
+    KeyboardInterrupt instead of being swallowed.
     """
     done = threading.Event()
+    previous: dict[int, object] = {}
 
     def handler(signum, frame):
         if not done.is_set():  # idempotent under signal storms
             done.set()
             graceful_shutdown(server, queries, timeout)
+            return
+        prev = previous.get(signum)
+        if callable(prev):  # SIG_DFL / SIG_IGN / None are not callable
+            prev(signum, frame)
 
     for sig in (signal.SIGINT, signal.SIGTERM):
-        signal.signal(sig, handler)
+        previous[sig] = signal.signal(sig, handler)
     return handler

@@ -78,7 +78,16 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events table. Only the *build* side is shared — parse_envelope still
 # runs per query, so the round-trip fidelity each query exists to test
 # is exercised every time.
+#
+# Bounded: beyond _ENVELOPE_CACHE_MAX entries the oldest frame is
+# unpersisted and dropped, so a long-lived session cycling many sf_dirs
+# cannot pin executor memory without limit. Staleness assumption: a
+# cached frame reflects the parquet contents at first read — rewriting
+# a directory's files within the SAME application serves stale
+# envelopes (matching Spark's own FileScan cache behavior; restart the
+# session or evict the entry to re-read).
 _ENVELOPE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ENVELOPE_CACHE_MAX = 4
 
 
 def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +129,9 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key"),
         F.to_json(F.struct(payload.alias("payload"))).alias("value"),
     ).persist()
+    while len(_ENVELOPE_CACHE) >= _ENVELOPE_CACHE_MAX:
+        oldest = next(iter(_ENVELOPE_CACHE))
+        _ENVELOPE_CACHE.pop(oldest).unpersist()
     _ENVELOPE_CACHE[cache_key] = out
     return out
 

@@ -38,8 +38,14 @@ HASH_SPACE = float(2**60)  # token_hash is 15 hex digits = 60 bits
 def kmv_distinct(
     df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate of ``value_col``."""
-    hashed = df.select(
+    """Per-group KMV distinct-count estimate of ``value_col``.
+
+    NULL values are excluded before hashing (COUNT DISTINCT semantics).
+    Without the filter the engines diverge: Spark's row_number sorts a
+    NULL hash first while DuckDB defaults to NULLS LAST, so the kept
+    set — and n_kept — could differ.
+    """
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         group_col, token_hash(F.col(value_col).cast("string")).alias("h")
     ).distinct()
     w = W.partitionBy(group_col).orderBy("h")
@@ -69,6 +75,7 @@ WITH hashed AS (
   SELECT DISTINCT event_type,
          {token_hash_sql("CAST(user_id AS VARCHAR)")} AS h
   FROM events
+  WHERE user_id IS NOT NULL
 ), kept AS (
   SELECT event_type, h,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn

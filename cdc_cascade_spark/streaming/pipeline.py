@@ -135,25 +135,26 @@ def start_invalidation_pipeline(
     """The flagship pipeline: CDC events → cache invalidation (A1-A10).
 
     Malformed record values (A6 — the reference silently drops these,
-    queue/cdc.go:175-179) stay replayable: ``quarantine_dir`` appends
-    them to a parquet quarantine table with their batch id — a
-    distributed write, nothing flows through the driver, and the rows
-    survive pipeline restarts alongside the checkpoint. ``dead_letters``
-    is the in-process collector variant for small test batches.
+    queue/cdc.go:175-179) stay replayable: ``quarantine_dir`` writes
+    them to a ``batch_id=N``-partitioned parquet quarantine table — a
+    distributed write, nothing flows through the driver, the rows
+    survive pipeline restarts alongside the checkpoint, and a batch
+    replayed after a crash *overwrites* its own partition instead of
+    duplicating it. Clean batches write nothing (no empty-file
+    accumulation). ``dead_letters`` is the in-process collector variant
+    for small test batches.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_envelope(batch_df, table_schema)
         if dead_letters is not None or quarantine_dir is not None:
-            from pyspark.sql import functions as F
-
             from cdc_cascade_spark.cdc.envelope import dead_letter
 
             dead = dead_letter(parsed)
-            if quarantine_dir is not None:
-                dead.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(quarantine_dir)
+            if quarantine_dir is not None and not dead.isEmpty():
+                dead.write.mode("overwrite").parquet(
+                    f"{quarantine_dir}/batch_id={batch_id}"
+                )
             if dead_letters is not None:
                 dead_letters.extend(r.raw_value for r in dead.collect())
         payloads = valid_events(parsed)

@@ -73,15 +73,27 @@ def test_http_error_codes_match_reference(server):
 
 
 def test_signal_handler_runs_bounded_shutdown(spark):
+    import signal as _signal
+
     svc = CdcTableService(spark, InMemoryKVStore())
     srv = CdcApiServer(svc, port=0).start()
-    handler = install_signal_handlers(srv, queries=())
-    handler(15, None)  # SIGTERM path, invoked directly (main.go:48)
-    # server no longer accepts connections
-    with pytest.raises(Exception):
-        _req(srv, "GET", "/api/v1/sinners/read")
-    # idempotent on repeated signals
-    handler(2, None)
+    saved = {s: _signal.getsignal(s) for s in (_signal.SIGINT, _signal.SIGTERM)}
+    try:
+        handler = install_signal_handlers(srv, queries=())
+        handler(15, None)  # SIGTERM path, invoked directly (main.go:48)
+        # server no longer accepts connections
+        with pytest.raises(Exception):
+            _req(srv, "GET", "/api/v1/sinners/read")
+        # repeated signals chain to the previously installed handler:
+        # SIGTERM's previous is SIG_DFL (not callable) → no-op ...
+        handler(15, None)
+        # ... while SIGINT's previous is Python's default → a second
+        # Ctrl-C still raises KeyboardInterrupt instead of vanishing
+        with pytest.raises(KeyboardInterrupt):
+            handler(2, None)
+    finally:
+        for s, h in saved.items():
+            _signal.signal(s, h)
 
 
 def test_graceful_shutdown_reports_query_drain(spark, tmp_path):

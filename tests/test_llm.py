@@ -225,3 +225,19 @@ def test_label_blocked_pairs_bound_hot_labels(spark):
     assert (0, 9001) in pairs
     # the small label still self-joins exactly
     assert {(9100, 9101), (9100, 9102), (9101, 9102)} <= pairs
+
+
+def test_kmv_excludes_null_values(spark):
+    """NULL values must not enter the sketch (COUNT DISTINCT
+    semantics); engines also order NULL hashes differently, so keeping
+    them would let the kept sets diverge."""
+    from cdc_cascade_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)],
+        "g string, v string",
+    )
+    rows = {r.g: r for r in kmv_distinct(df, "g", "v").collect()}
+    assert rows["a"].n_kept == 2 and rows["a"].distinct_est == 2.0
+    # a group with only NULLs has nothing to sketch
+    assert "b" not in rows
