@@ -184,18 +184,9 @@ class RedisStore:
         self._client.delete(key)
 
 
-def upsert_view_batch(
-    store: KeyValueStore,
-    batch_payloads: DataFrame,
-    key_field: str,
-) -> None:
-    """Maintain a materialized latest-row view (the cache-rebuild side of
-    the reference's sequence-flows.mmd:45-53: after invalidation, reads
-    repopulate the cache from the source of truth — here we push the new
-    row image directly instead of waiting for a read-through miss).
-
-    Within a batch, latest-LSN-wins; deletes remove the key.
-    """
+def _latest_view_rows(batch_payloads: DataFrame, key_field: str) -> DataFrame:
+    """Compact one micro-batch to its latest row image per key:
+    (__key, op, after_json), latest-LSN-wins."""
     from cdc_cascade_spark.cdc.compaction import latest_wins
 
     keyed = batch_payloads.select(
@@ -207,8 +198,50 @@ def upsert_view_batch(
         F.to_json("after").alias("after_json"),
     )
     latest = latest_wins(keyed, ["__key"], ["__lsn"], op_col="op", delete_op=None)
-    for row in latest.toLocalIterator():
+    return latest.select("__key", "op", "after_json")
+
+
+def upsert_view_batch(
+    store: KeyValueStore,
+    batch_payloads: DataFrame,
+    key_field: str,
+) -> None:
+    """Maintain a materialized latest-row view (the cache-rebuild side of
+    the reference's sequence-flows.mmd:45-53: after invalidation, reads
+    repopulate the cache from the source of truth — here we push the new
+    row image directly instead of waiting for a read-through miss).
+
+    Within a batch, latest-LSN-wins; deletes remove the key. Row images
+    stream through the driver — bounded by ``maxOffsetsPerTrigger``;
+    for hot topics use :func:`upsert_view_batch_partitions`.
+    """
+    for row in _latest_view_rows(batch_payloads, key_field).toLocalIterator():
         if row["op"] == "d":
             store.delete(str(row["__key"]))
         else:
             store.set(str(row["__key"]), row["after_json"])
+
+
+def upsert_view_batch_partitions(
+    store_factory, batch_payloads: DataFrame, key_field: str
+) -> None:
+    """``foreachPartition`` variant of :func:`upsert_view_batch`: each
+    executor partition opens its own store client and writes its row
+    images directly, so no payload flows through the driver.
+
+    Safe without per-key partitioning: ``_latest_view_rows`` compacts
+    the batch to ONE row per key first, so no two partitions write the
+    same key. ``store_factory`` must be picklable (it runs in executor
+    workers). Replays rewrite the same final images (idempotent), the
+    same at-least-once contract as the driver-side variant.
+    """
+
+    def per_partition(rows) -> None:
+        store = store_factory()
+        for row in rows:
+            if row["op"] == "d":
+                store.delete(str(row["__key"]))
+            else:
+                store.set(str(row["__key"]), row["after_json"])
+
+    _latest_view_rows(batch_payloads, key_field).foreachPartition(per_partition)

@@ -370,3 +370,40 @@ def test_continuous_rollup_converges_to_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_upsert_view_batch_partitions_executor_side(spark, tmp_path):
+    """foreachPartition view maintenance: row images are written by
+    executor-side store clients — no payload iterates on the driver."""
+    import glob
+    import os
+
+    from cdc_cascade_spark.streaming.sinks import upsert_view_batch_partitions
+
+    outdir = str(tmp_path / "ops")
+    os.makedirs(outdir)
+
+    class FileStore:
+        """Executor-side stand-in: records SET/DEL to a per-worker file."""
+
+        def __init__(self, d):
+            self._path = os.path.join(d, f"w{os.getpid()}-{id(self)}.log")
+
+        def set(self, key, value):
+            with open(self._path, "a") as f:
+                f.write(f"SET {key} {json.loads(value)['name']}\n")
+
+        def delete(self, key):
+            with open(self._path, "a") as f:
+                f.write(f"DEL {key}\n")
+
+    lines = BATCH_1 + BATCH_2
+    raw = spark.createDataFrame([(v,) for v in lines if v], "value string")
+    payloads = valid_events(parse_envelope(raw))
+    upsert_view_batch_partitions(lambda: FileStore(outdir), payloads, "code")
+
+    ops = []
+    for path in glob.glob(outdir + "/*.log"):
+        ops += [l for l in open(path).read().splitlines() if l]
+    # one op per key (latest-wins compaction ran before the sink)
+    assert sorted(ops) == sorted(["SET 5 Aurelius", "SET 17 Shalom", "DEL 14"])
