@@ -405,15 +405,10 @@ ORACLE_MINHASH = _minhash_oracle_sql()
 # ---------------------------------------------------------------------------
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash over token frequencies.
-
-    Each token votes ±1 on each bit of its md5 hash; the document hash
-    is the sign vector. One md5 per token row, then 32 conditional-sum
-    aggregates (all codegen'd, with map-side partial aggregation) —
-    the per-bit work is integer shifts, not re-hashing.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): per-document 32-bit SimHash over token
+    frequencies — each token votes ±1 on each bit of its md5 hash; the
+    document hash is the sign vector."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     h = token_hash(F.col("t"))
     vote_aggs = [
@@ -435,13 +430,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-def _simhash_oracle_sql() -> str:
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (see :func:`_simhash_frame`).
+
+    One md5 per token row, then 32 conditional-sum aggregates (all
+    codegen'd, with map-side partial aggregation) — the per-bit work is
+    integer shifts, not re-hashing.
+    """
+    return _simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_cte() -> str:
+    """CTE fragment defining ``sim(doc_id, simhash)`` over DOCS_CTE."""
     from cdc_cascade_spark.functions.hashing import token_hash_sql
 
     th = token_hash_sql("t")
-    return (
-        DOCS_CTE
-        + f"""
+    return f"""
 , tok AS (SELECT doc_id, unnest(toks) AS t FROM docs)
 , bits AS (
   SELECT doc_id, j,
@@ -449,15 +453,90 @@ def _simhash_oracle_sql() -> str:
   FROM tok, range({SIMHASH_BITS}) r(j)
   GROUP BY doc_id, j
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits
-GROUP BY doc_id
+, sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits
+  GROUP BY doc_id
+)
 """
+
+
+ORACLE_SIMHASH = DOCS_CTE + _simhash_cte() + "SELECT doc_id, simhash FROM sim"
+
+
+# SimHash near-dup pairing: 4 bands of 8 bits. Pigeonhole gives FULL
+# recall at the threshold — a pair within Hamming distance
+# SIMHASH_MAX_HAMMING (= 3) differs in at most 3 bands, so at least one
+# band matches exactly and the pair always becomes a candidate. Scale
+# note: with a 32-bit hash each band key has only 256 values, so band
+# buckets grow as n/256 — fine at test scale, quadratic pressure at
+# billions of docs. The production shape is identical with a 64-bit
+# simhash and 16-bit bands (65 536 values per band); we keep 32 bits
+# because the per-bit vote aggregates stay cheap and oracle-checkable.
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash band blocking + Hamming verification.
+
+    simhash per doc (32 conditional-sum aggregates) → explode 4
+    (band, 8-bit key) rows per doc → band self-join → distinct
+    candidates → join hashes back → keep Hamming ≤ 3. Only candidate
+    pairs ever see the xor/bit_count; nothing is all-pairs.
+    """
+    sh = _simhash_frame(load_table(spark, sf_dir, "documents"))
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ]
+    bands = sh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bkey")
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 
 
-ORACLE_SIMHASH = _simhash_oracle_sql()
+ORACLE_SIMHASH_PAIRS = (
+    DOCS_CTE
+    + _simhash_cte()
+    + f"""
+, bands AS (
+  SELECT doc_id, b AS band, (simhash >> (8 * b)) & 255 AS bkey
+  FROM sim, range({SIMHASH_BANDS}) r(b)
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sim sa ON sa.doc_id = c.doc_a
+JOIN sim sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+)
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,4 +600,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS),
 }

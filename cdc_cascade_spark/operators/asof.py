@@ -44,15 +44,35 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     tiebreaker: str,
+    strict: bool = False,
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns + ``matched_<col>`` for each
-    right value column (NULL when no right row is ≤ the left time)."""
+    right value column (NULL when no right row is ≤ the left time).
+
+    ``strict=True`` requires the right time to be strictly *before* the
+    left time (a row never matches a same-timestamp right row — the
+    self-join case where each side is the same table). Implemented by
+    flipping the tie order: at equal time the left row sorts before the
+    right rows, so its frame excludes them — same single window, no
+    extra shuffle.
+
+    ``tolerance_micros`` bounds staleness: a match older than the
+    tolerance (left time − right time, in microseconds) becomes NULL —
+    pd.merge_asof's ``tolerance`` semantics. The right row's own time
+    rides inside the carried struct, so the bound is a post-projection
+    on the window output; the plan is unchanged. Correct because the
+    carried row is the *latest* eligible right row: any other is older
+    still.
+    """
     left_cols = left.columns
-    rv_type = (
-        "struct<"
-        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_values)
-        + ">"
-    )
+    rdt = dict(right.dtypes)
+    rv_fields = [f"{c}:{rdt[c]}" for c in right_values]
+    struct_cols = [F.col(c).alias(c) for c in right_values]
+    if tolerance_micros is not None:
+        rv_fields.append(f"__rt:{rdt[right_time]}")
+        struct_cols.append(F.col(right_time).alias("__rt"))
+    rv_type = "struct<" + ",".join(rv_fields) + ">"
     l_tagged = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
@@ -67,14 +87,14 @@ def asof_join(
         F.lit(1).alias("__is_right"),
         F.col(tiebreaker).cast("long").alias("__tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__rv"),
+        F.struct(*struct_cols).alias("__rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         W.partitionBy("__k")
         .orderBy(
             F.col("__t").asc(),
-            F.col("__is_right").desc(),
+            F.col("__is_right").asc() if strict else F.col("__is_right").desc(),
             F.col("__tb").asc_nulls_first(),
         )
         .rowsBetween(W.unboundedPreceding, 0)
@@ -82,10 +102,17 @@ def asof_join(
     carried = unioned.select(
         "*", F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__m")
     )
-    return carried.filter(F.col("__is_right") == 0).select(
-        *left_cols,
-        *[F.col(f"__m.{c}").alias(f"matched_{c}") for c in right_values],
-    )
+    if tolerance_micros is None:
+        matched = [F.col(f"__m.{c}").alias(f"matched_{c}") for c in right_values]
+    else:
+        age = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+            F.col("__m.__rt").cast("timestamp")
+        )
+        matched = [
+            F.when(age <= tolerance_micros, F.col(f"__m.{c}")).alias(f"matched_{c}")
+            for c in right_values
+        ]
+    return carried.filter(F.col("__is_right") == 0).select(*left_cols, *matched)
 
 
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +164,68 @@ FROM carried WHERE is_right = 0
 """
 
 
+# Max staleness for the tolerance query: one day. Over the testdata's
+# per-user prior-click gap distribution (p10 ≈ 5 h, p50 ≈ 35 h) this
+# leaves roughly half the events matched and half NULLed — both
+# outcomes live under the oracle.
+ASOF_TOLERANCE_SECS = 86_400
+
+
+def asof_prev_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's most recent *click* event
+    strictly before it, but only if that click is at most one day old —
+    the nearest-asof-with-tolerance shape (session attribution with a
+    staleness bound). Strict self-as-of: an event never matches itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["click_id"],
+        tiebreaker="click_id",
+        strict=True,
+        tolerance_micros=ASOF_TOLERANCE_SECS * 1_000_000,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("matched_click_id").alias("prev_click_id")
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH u AS (
+  SELECT user_id AS k, ts AS t, 0 AS is_right, event_id,
+         NULL::BIGINT AS tb,
+         NULL::STRUCT(click_id BIGINT, rt TIMESTAMP) AS rv
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, 1, NULL,
+         event_id,
+         {{'click_id': event_id, 'rt': ts}}
+  FROM events WHERE event_type = 'click'
+), carried AS (
+  SELECT event_id, k, t, is_right,
+         last_value(rv IGNORE NULLS) OVER w AS m
+  FROM u
+  WINDOW w AS (PARTITION BY k
+               ORDER BY t ASC, is_right ASC, tb ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id,
+       CASE WHEN epoch_us(t) - epoch_us(m.rt) <= {ASOF_TOLERANCE_SECS * 1_000_000}
+            THEN m.click_id END AS prev_click_id
+FROM carried WHERE is_right = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
+    "asof_prev_click_tolerance": (asof_prev_click_tolerance, ORACLE_ASOF_TOLERANCE),
 }

@@ -30,6 +30,9 @@ CHECK_FIRST: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "dedup_minhash_lsh",
+    # new this round
+    "asof_prev_click_tolerance",
+    "dedup_simhash_pairs",
 ]
 
 

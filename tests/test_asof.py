@@ -77,3 +77,81 @@ def test_asof_excludes_future_right_rows(spark):
         left, right, "k", "k", "t", "t", right_values=["v1"], tiebreaker="tb"
     ).collect()
     assert out[0]["matched_v1"] == "past"
+
+
+def _ts(h: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+
+
+def test_asof_strict_excludes_same_timestamp_right(spark):
+    """strict=True: a right row AT the left time must not match — the
+    self-as-of case where an event would otherwise match itself."""
+    left = spark.createDataFrame([(1, _ts(5), "e1")], "k long, t timestamp, event string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 9, "same"), (1, _ts(4), 1, "before")],
+        "k long, t timestamp, tb long, v1 string",
+    )
+    loose = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["v1"], tiebreaker="tb"
+    ).collect()
+    strict = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["v1"], tiebreaker="tb",
+        strict=True,
+    ).collect()
+    assert loose[0]["matched_v1"] == "same"
+    assert strict[0]["matched_v1"] == "before"
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """A match older than the tolerance becomes NULL; a fresh one stays."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "fresh"), (2, _ts(10), "stale")],
+        "k long, t timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 1, "recent"), (2, _ts(1), 2, "ancient")],
+        "k long, t timestamp, tb long, v1 string",
+    )
+    out = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["v1"], tiebreaker="tb",
+        tolerance_micros=3 * 3600 * 1_000_000,
+    )
+    rows = {r["event"]: r for r in out.collect()}
+    assert rows["fresh"]["matched_v1"] == "recent"  # 2h old, within 3h
+    assert rows["stale"]["matched_v1"] is None      # 9h old, beyond 3h
+
+
+def test_asof_tolerance_strict_matches_naive_model(spark):
+    """Randomized parity with the obvious per-row model: latest right
+    strictly before t, NULLed when older than the tolerance."""
+    import random
+
+    rng = random.Random(42)
+    tol_h = 5
+    lefts = [
+        (k, _ts(rng.randrange(0, 50)), f"e{i}")
+        for i, k in enumerate(rng.choices(range(6), k=60))
+    ]
+    rights = [
+        (k, _ts(rng.randrange(0, 50)), i, f"v{i}")
+        for i, k in enumerate(rng.choices(range(6), k=80))
+    ]
+    left = spark.createDataFrame(lefts, "k long, t timestamp, event string")
+    right = spark.createDataFrame(rights, "k long, t timestamp, tb long, v1 string")
+    out = asof_join(
+        left, right, "k", "k", "t", "t", right_values=["v1"], tiebreaker="tb",
+        strict=True, tolerance_micros=tol_h * 3600 * 1_000_000,
+    )
+    got = {r["event"]: r["matched_v1"] for r in out.collect()}
+    for k, t, event in lefts:
+        eligible = [
+            (rt, tb, v)
+            for (rk, rt, tb, v) in rights
+            if rk == k and rt < t
+        ]
+        expect = None
+        if eligible:
+            rt, tb, v = max(eligible, key=lambda x: (x[0], x[1]))
+            if (t - rt) <= datetime.timedelta(hours=tol_h):
+                expect = v
+        assert got[event] == expect, (event, got[event], expect)
