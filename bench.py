@@ -47,6 +47,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # A passthrough lambda is not enough: numpy (and the Arrow
+    # array<float> serialization path) import lazily per worker process
+    # the first time a real kernel runs, so warm with the actual norm
+    # kernel — repartitioned so every worker slot sees a task.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from cdc_cascade_spark.llm.similarity import _norm_pd
+
+    load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(_norm_pd(F.col("embedding")).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(queries().items()):
         t0 = time.perf_counter()

@@ -405,29 +405,60 @@ ORACLE_MINHASH = _minhash_oracle_sql()
 # ---------------------------------------------------------------------------
 
 
+def _vote_aggs(h: "F.Column", prefix: str) -> list:
+    """32 conditional-sum aggregates: token votes ±1 per bit of ``h``."""
+    return [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{prefix}{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def _assemble_bits(prefix: str) -> "F.Column":
+    """Sign vector of the vote columns → a 32-bit value in a bigint."""
+    terms = [
+        F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _simhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): per-document 32-bit SimHash over token
     frequencies — each token votes ±1 on each bit of its md5 hash; the
     document hash is the sign vector."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    h = token_hash(F.col("t"))
-    vote_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    votes = tok.groupBy("doc_id").agg(*vote_aggs)
-    bit_terms = [
-        F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        for j in range(SIMHASH_BITS)
-    ]
-    simhash = bit_terms[0]
-    for t in bit_terms[1:]:
-        simhash = simhash + t
-    return votes.select("doc_id", simhash.alias("simhash"))
+    votes = tok.groupBy("doc_id").agg(*_vote_aggs(token_hash(F.col("t")), "b"))
+    return votes.select("doc_id", _assemble_bits("b").alias("simhash"))
+
+
+def _simhash64_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit halves.
+
+    64 bits is the production fingerprint width (a 32-bit hash drowns
+    in birthday collisions beyond a few thousand docs). Two halves
+    rather than one bigint keep every bit op signed-safe in BOTH
+    engines (bit 63 of a single int64 would need wrap-around shifts);
+    the low half reuses the token hash, the high half hashes the token
+    with a salt — independent bits, one extra md5 per token row.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    h_lo = token_hash(F.col("t"))
+    h_hi = token_hash(F.concat(F.col("t"), F.lit("#hi")))
+    votes = tok.groupBy("doc_id").agg(
+        *_vote_aggs(h_lo, "lo"), *_vote_aggs(h_hi, "hi")
+    )
+    return votes.select(
+        "doc_id",
+        _assemble_bits("hi").alias("sim_hi"),
+        _assemble_bits("lo").alias("sim_lo"),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,34 +496,41 @@ def _simhash_cte() -> str:
 ORACLE_SIMHASH = DOCS_CTE + _simhash_cte() + "SELECT doc_id, simhash FROM sim"
 
 
-# SimHash near-dup pairing: 4 bands of 8 bits. Pigeonhole gives FULL
-# recall at the threshold — a pair within Hamming distance
-# SIMHASH_MAX_HAMMING (= 3) differs in at most 3 bands, so at least one
-# band matches exactly and the pair always becomes a candidate. Scale
-# note: with a 32-bit hash each band key has only 256 values, so band
-# buckets grow as n/256 — fine at test scale, quadratic pressure at
-# billions of docs. The production shape is identical with a 64-bit
-# simhash and 16-bit bands (65 536 values per band); we keep 32 bits
-# because the per-bit vote aggregates stay cheap and oracle-checkable.
-SIMHASH_BANDS = 4
-SIMHASH_MAX_HAMMING = 3
+# SimHash near-dup pairing: 64-bit fingerprint, 4 bands of 16 bits,
+# Hamming ≤ 3 — the classic web-near-dup configuration. Pigeonhole
+# gives FULL recall at the threshold: a pair differing in ≤ 3 bits can
+# break at most 3 of the 4 bands, so at least one band matches exactly
+# and the pair always becomes a candidate. Each band key has 65 536
+# values, so band buckets grow as n/65 536 — the scale-honest blocking
+# (the 32-bit variant's 256-value bands would go quadratic at millions
+# of docs).
+SIMHASH64_BANDS = 4
+SIMHASH64_MAX_HAMMING = 3
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash band blocking + Hamming verification.
+    """Near-dup pairs by 64-bit SimHash band blocking + Hamming
+    verification.
 
-    simhash per doc (32 conditional-sum aggregates) → explode 4
-    (band, 8-bit key) rows per doc → band self-join → distinct
-    candidates → join hashes back → keep Hamming ≤ 3. Only candidate
-    pairs ever see the xor/bit_count; nothing is all-pairs.
+    sim_hi/sim_lo per doc (64 conditional-sum aggregates, one shuffle)
+    → explode 4 (band, 16-bit key) rows per doc → band self-join →
+    distinct candidates → join fingerprints back → keep total Hamming
+    ≤ 3. Only candidate pairs ever see the xor/bit_count; nothing is
+    all-pairs.
+
+    The fingerprint frame is persisted: three consumers (bands + both
+    verification sides) would otherwise each recompute the token
+    explode + 64 vote aggregates — the expensive part. 24 bytes per doc
+    of cache.
     """
-    sh = _simhash_frame(load_table(spark, sf_dir, "documents"))
+    sh = _simhash64_frame(load_table(spark, sf_dir, "documents")).persist()
+    halves = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+            F.shiftright(col, shift).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
         )
-        for i in range(SIMHASH_BANDS)
+        for i, (col, shift) in enumerate(halves)
     ]
     bands = sh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
@@ -505,24 +543,64 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    ha = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+    )
+    hb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
     return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .filter(F.col("hamming") <= SIMHASH64_MAX_HAMMING)
     )
+
+
+def _simhash64_cte() -> str:
+    """CTE fragment defining ``sim64(doc_id, sim_hi, sim_lo)``."""
+    from cdc_cascade_spark.functions.hashing import token_hash_sql
+
+    th_lo = token_hash_sql("t")
+    th_hi = token_hash_sql("t || '#hi'")
+    return f"""
+, tok AS (SELECT doc_id, unnest(toks) AS t FROM docs)
+, bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (({th_lo}) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote_lo,
+         SUM(CASE WHEN (({th_hi}) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote_hi
+  FROM tok, range({SIMHASH_BITS}) r(j)
+  GROUP BY doc_id, j
+)
+, sim64 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote_hi > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim_hi,
+         CAST(SUM(CASE WHEN vote_lo > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim_lo
+  FROM bits
+  GROUP BY doc_id
+)
+"""
 
 
 ORACLE_SIMHASH_PAIRS = (
     DOCS_CTE
-    + _simhash_cte()
+    + _simhash64_cte()
     + f"""
 , bands AS (
-  SELECT doc_id, b AS band, (simhash >> (8 * b)) & 255 AS bkey
-  FROM sim, range({SIMHASH_BANDS}) r(b)
+  SELECT doc_id, b AS band,
+         CASE b WHEN 0 THEN sim_lo & 65535
+                WHEN 1 THEN (sim_lo >> 16) & 65535
+                WHEN 2 THEN sim_hi & 65535
+                ELSE (sim_hi >> 16) & 65535 END AS bkey
+  FROM sim64, range({SIMHASH64_BANDS}) r(b)
 )
 , cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -530,11 +608,13 @@ ORACLE_SIMHASH_PAIRS = (
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       CAST(bit_count(xor(sa.sim_hi, sb.sim_hi))
+          + bit_count(xor(sa.sim_lo, sb.sim_lo)) AS INTEGER) AS hamming
 FROM cand c
-JOIN sim sa ON sa.doc_id = c.doc_a
-JOIN sim sb ON sb.doc_id = c.doc_b
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+JOIN sim64 sa ON sa.doc_id = c.doc_a
+JOIN sim64 sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.sim_hi, sb.sim_hi))
+    + bit_count(xor(sa.sim_lo, sb.sim_lo)) <= {SIMHASH64_MAX_HAMMING}
 """
 )
 

@@ -241,3 +241,26 @@ def test_kmv_excludes_null_values(spark):
     assert rows["a"].n_kept == 2 and rows["a"].distinct_est == 2.0
     # a group with only NULLs has nothing to sketch
     assert "b" not in rows
+
+
+def test_simhash64_pairs_identical_docs_distance_zero(spark):
+    """Identical documents must pair at Hamming 0 through the band
+    join; unrelated documents must not appear."""
+    from cdc_cascade_spark.llm.dedup import _simhash64_frame
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: (r.sim_hi, r.sim_lo) for r in _simhash64_frame(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+    # halves stay within 32 unsigned bits (signed-safe in both engines)
+    for hi, lo in sh.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
