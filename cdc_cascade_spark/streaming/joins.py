@@ -1,0 +1,94 @@
+"""Stream-stream joins and stream deduplication.
+
+Two Structured Streaming capabilities the CDC/event surface needs that
+no batch query can express:
+
+- **Interval (time-range) stream-stream join** — correlate two live
+  event streams on a key within a bounded event-time window (purchase
+  attribution: which click led to this purchase?). Spark buffers both
+  sides in keyed state; the time-range predicate plus watermarks lets
+  it *evict* state once no future match is possible, so state is
+  O(events inside the interval), independent of stream length.
+
+- **Watermarked stream deduplication** — CDC transport is
+  at-least-once (reference: queue/cdc.go offset commit AFTER effects),
+  so a crash replays records. ``dropDuplicatesWithinWatermark``
+  suppresses re-deliveries of the same event id arriving within the
+  watermark delay, turning at-least-once transport into effectively-
+  once *processing* even when the downstream effect is not naturally
+  idempotent. State: one entry per id seen within the watermark, then
+  evicted.
+
+The reference itself relies on effect idempotence (Redis DEL) instead
+of dedup — both strategies are implemented here; sinks choose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    events: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join each purchase to the same user's clicks in the preceding
+    ``attribution_window`` — a stream-stream self-join with a
+    time-range condition.
+
+    Both sides carry watermarks; with the range predicate
+    ``click_ts < purchase_ts ≤ click_ts + window`` Spark derives how
+    long each side's state can matter and drops older rows. Inner join:
+    unmatched purchases/clicks simply never emit.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, id_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Drop re-delivered events: duplicates of ``id_cols`` arriving
+    within the watermark delay of each other are suppressed.
+
+    The at-least-once → effectively-once bridge for non-idempotent
+    sinks; state holds one entry per id until the watermark passes it.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

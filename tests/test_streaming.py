@@ -407,3 +407,94 @@ def test_upsert_view_batch_partitions_executor_side(spark, tmp_path):
         ops += [l for l in open(path).read().splitlines() if l]
     # one op per key (latest-wins compaction ran before the sink)
     assert sorted(ops) == sorted(["SET 5 Aurelius", "SET 17 Shalom", "DEL 14"])
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join + stream dedup (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_join_matches_batch_interval_join(spark):
+    """The stream-stream time-range join must produce exactly the rows
+    of the equivalent batch interval join over the same data."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.streaming.joins import attribution_join
+    from cdc_cascade_spark.streaming.windows import stream_events
+
+    out = attribution_join(stream_events(spark, SF))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    expect = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 2 hours")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
+    """Re-delivered event ids (at-least-once transport replay) must be
+    emitted exactly once across micro-batches within the watermark."""
+    import datetime
+
+    from cdc_cascade_spark.streaming.joins import dedup_within_watermark
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _rows(ids_and_offsets):
+        return [
+            (i, 7, t0 + datetime.timedelta(minutes=m)) for i, m in ids_and_offsets
+        ]
+
+    src = tmp_path / "src"
+    schema = "event_id long, user_id long, ts timestamp"
+    # batch 1: events 1,2; batch 2 replays 2 (same ts) and adds 3
+    spark.createDataFrame(_rows([(1, 0), (2, 5)]), schema).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(_rows([(2, 5), (3, 10)]), schema).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM deduped").collect())
+    assert ids == [1, 2, 3]
