@@ -429,15 +429,6 @@ def _assemble_bits(prefix: str) -> "F.Column":
     return out
 
 
-def _simhash_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): per-document 32-bit SimHash over token
-    frequencies — each token votes ±1 on each bit of its md5 hash; the
-    document hash is the sign vector."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    votes = tok.groupBy("doc_id").agg(*_vote_aggs(token_hash(F.col("t")), "b"))
-    return votes.select("doc_id", _assemble_bits("b").alias("simhash"))
-
-
 def _simhash64_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit halves.
 
@@ -461,14 +452,37 @@ def _simhash64_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash (see :func:`_simhash_frame`).
+# One persisted fingerprint frame per (session, sf_dir): dedup_simhash
+# reads the low half (bit-identical to the historical 32-bit simhash —
+# same token hash, same votes) and dedup_simhash_pairs reads both
+# halves, so the expensive token explode + 64 vote aggregates run once.
+# Bounded like the CDC envelope cache; same same-application staleness
+# assumption.
+_SIMHASH64_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIMHASH64_CACHE_MAX = 4
 
-    One md5 per token row, then 32 conditional-sum aggregates (all
-    codegen'd, with map-side partial aggregation) — the per-bit work is
-    integer shifts, not re-hashing.
-    """
-    return _simhash_frame(load_table(spark, sf_dir, "documents"))
+
+def _simhash64_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH64_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _simhash64_frame(load_table(spark, sf_dir, "documents")).persist()
+    while len(_SIMHASH64_CACHE) >= _SIMHASH64_CACHE_MAX:
+        oldest = next(iter(_SIMHASH64_CACHE))
+        _SIMHASH64_CACHE.pop(oldest).unpersist()
+    _SIMHASH64_CACHE[key] = out
+    return out
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash: the low half of the shared 64-bit
+    fingerprint frame (bit-identical to hashing with ``token_hash``
+    alone — same md5, same vote aggregates, all codegen'd with map-side
+    partial aggregation)."""
+    return _simhash64_cached(spark, sf_dir).select(
+        "doc_id", F.col("sim_lo").alias("simhash")
+    )
 
 
 def _simhash_cte() -> str:
@@ -518,12 +532,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 3. Only candidate pairs ever see the xor/bit_count; nothing is
     all-pairs.
 
-    The fingerprint frame is persisted: three consumers (bands + both
-    verification sides) would otherwise each recompute the token
-    explode + 64 vote aggregates — the expensive part. 24 bytes per doc
-    of cache.
+    The fingerprint frame is persisted and shared with ``dedup_simhash``
+    (three consumers here — bands + both verification sides — would
+    otherwise each recompute the token explode + 64 vote aggregates).
+    24 bytes per doc of cache.
     """
-    sh = _simhash64_frame(load_table(spark, sf_dir, "documents")).persist()
+    sh = _simhash64_cached(spark, sf_dir)
     halves = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
     band_structs = [
         F.struct(
