@@ -26,10 +26,13 @@ CHECK_FIRST: list[str] = [
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frame_sample",
-    # changed this round (guard fast-path rework)
+    # changed this round (guard fast-path rework, shared fingerprint
+    # frame, bucket-UDF refactor)
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
     # new this round
     "asof_prev_click_tolerance",
     "dedup_simhash_pairs",
