@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.cdc.compaction import latest_wins
+from cdc_cascade_spark.functions.caching import BoundedDFCache
 from cdc_cascade_spark.cdc.envelope import (
     invalidation_keys,
     op_routed,
@@ -77,17 +78,8 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consume it, and rebuilding it costs a window + to_json over the whole
 # events table. Only the *build* side is shared — parse_envelope still
 # runs per query, so the round-trip fidelity each query exists to test
-# is exercised every time.
-#
-# Bounded: beyond _ENVELOPE_CACHE_MAX entries the oldest frame is
-# unpersisted and dropped, so a long-lived session cycling many sf_dirs
-# cannot pin executor memory without limit. Staleness assumption: a
-# cached frame reflects the parquet contents at first read — rewriting
-# a directory's files within the SAME application serves stale
-# envelopes (matching Spark's own FileScan cache behavior; restart the
-# session or evict the entry to re-read).
-_ENVELOPE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_ENVELOPE_CACHE_MAX = 4
+# is exercised every time. Bounds/staleness: see BoundedDFCache.
+_ENVELOPE_CACHE = BoundedDFCache()
 
 
 def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,10 +89,12 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Debezium c/r semantics the reference branches on, cdc.go:181-186);
     after = current image (NULL for deletes).
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _ENVELOPE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    return _ENVELOPE_CACHE.get_or_build(
+        spark, sf_dir, lambda: _build_envelopes(spark, sf_dir)
+    )
+
+
+def _build_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = changelog_from_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("lsn")
     image = F.struct(
@@ -125,15 +119,10 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op"),
         (F.col("lsn") * 1000).alias("ts_ms"),
     )
-    out = with_images.select(
+    return with_images.select(
         F.col("user_id").cast("string").alias("key"),
         F.to_json(F.struct(payload.alias("payload"))).alias("value"),
-    ).persist()
-    while len(_ENVELOPE_CACHE) >= _ENVELOPE_CACHE_MAX:
-        oldest = next(iter(_ENVELOPE_CACHE))
-        _ENVELOPE_CACHE.pop(oldest).unpersist()
-    _ENVELOPE_CACHE[cache_key] = out
-    return out
+    )
 
 
 def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.caching import BoundedDFCache
 from cdc_cascade_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
@@ -297,9 +298,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     small shuffle payload.
     """
     # the prepared relation feeds the candidate generator and (on the
-    # big path) the payload join-back — persist so the shingle hashing
-    # runs once; the small path carries hsets through the block join
-    sh = _docs_prepared(spark, sf_dir).persist()
+    # big path) the payload join-back — cached/persisted so the shingle
+    # hashing runs once per session AND is shared with the MinHash
+    # query; the small path carries hsets through the block join
+    sh = _docs_prepared_cached(spark, sf_dir)
     pairs = guarded_block_candidates(sh, carry=("hset",))
     jac = jaccard(F.col("hset_a"), F.col("hset_b"))
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
@@ -339,12 +341,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the shingle sets). This is the standard 100 TB near-dedup shape.
     """
     # The prepared (doc_id, hset) relation is read by three consumers
-    # (signature agg + both verification sides); persist it so the
-    # shingle hashing runs once. The cached payload is doc_id + ~50
-    # longs per doc — at 100 TB-of-raw-text this is the standard
-    # "materialize the feature set" step, spilled to disk by Spark as
-    # needed (MEMORY_AND_DISK default).
-    prepared = _docs_prepared(spark, sf_dir).select("doc_id", "hset").persist()
+    # (signature agg + both verification sides) and shared with the
+    # Jaccard query via the session cache, so the shingle hashing runs
+    # once. The cached payload is doc_id + ~50 longs per doc — at
+    # 100 TB-of-raw-text this is the standard "materialize the feature
+    # set" step, spilled to disk by Spark as needed (MEMORY_AND_DISK
+    # default).
+    prepared = _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
     hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
     sigs = hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
     bands = sigs.select(
@@ -456,23 +459,25 @@ def _simhash64_frame(docs: DataFrame) -> DataFrame:
 # reads the low half (bit-identical to the historical 32-bit simhash —
 # same token hash, same votes) and dedup_simhash_pairs reads both
 # halves, so the expensive token explode + 64 vote aggregates run once.
-# Bounded like the CDC envelope cache; same same-application staleness
-# assumption.
-_SIMHASH64_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SIMHASH64_CACHE_MAX = 4
+_SIMHASH64_CACHE = BoundedDFCache()
 
 
 def _simhash64_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIMHASH64_CACHE.get(key)
-    if cached is not None:
-        return cached
-    out = _simhash64_frame(load_table(spark, sf_dir, "documents")).persist()
-    while len(_SIMHASH64_CACHE) >= _SIMHASH64_CACHE_MAX:
-        oldest = next(iter(_SIMHASH64_CACHE))
-        _SIMHASH64_CACHE.pop(oldest).unpersist()
-    _SIMHASH64_CACHE[key] = out
-    return out
+    return _SIMHASH64_CACHE.get_or_build(
+        spark, sf_dir, lambda: _simhash64_frame(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# The (doc_id, hset, block) shingle-set relation likewise feeds two
+# queries (Jaccard blocking + MinHash signatures); the shingle hashing
+# over every token runs once per (session, sf_dir).
+_PREPARED_CACHE = BoundedDFCache()
+
+
+def _docs_prepared_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _PREPARED_CACHE.get_or_build(
+        spark, sf_dir, lambda: _docs_prepared(spark, sf_dir)
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
