@@ -521,9 +521,187 @@ LIMIT {TOPK}
 ORACLE_IVF_TOPK = _ivf_oracle_sql()
 
 
+# Trained IVF: one k-means refinement round on top of the sampled
+# centroids. The cross-engine determinism trick: centroid UPDATE is an
+# elementwise mean, and float sums are partition-order-dependent in
+# both engines — so components are quantized to int64
+# (floor(x · 2^20)) and summed exactly (order-independent bigint
+# aggregation), and because cosine is scale-invariant the SUM vector is
+# used directly as the centroid direction: the mean's division never
+# happens, so no float nondeterminism can enter the training loop.
+KMEANS_SCALE = 1 << 20
+
+
+def _assign_udf(cids: np.ndarray, C: np.ndarray):
+    """Arrow pandas_udf assigning each vector to its nearest centroid
+    (cosine, ties → smallest centroid id; ``cids`` must ascend)."""
+    normC = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
+
+    @pandas_udf("long")
+    def assign_pd(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        E = _stack_f64(a)
+        dots = np.add.accumulate(E[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        normE = np.sqrt(np.add.accumulate(E * E, axis=1)[:, -1])
+        cos = dots / (normE[:, None] * normC[None, :])
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    return assign_pd
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: sampled centroids →
+    assign → exact integer centroid update → re-assign → probe.
+
+    The train loop is the standard distributed k-means step: assignment
+    is a map-side Arrow pandas_udf (no shuffle, no per-row centroid
+    join), the update is one partial-aggregated groupBy over
+    (centroid, dim) whose output is K·dim rows — collected to the
+    driver as the next centroid matrix (the bounded train step; K·dim
+    = 512 values here). Empty clusters drop out, exactly as in the
+    oracle's GROUP BY. Everything stays bit-exact cross-engine: see
+    KMEANS_SCALE above.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cent_rows = (
+        emb.orderBy("vec_id").limit(IVF_CENTROIDS).select("vec_id", "embedding").collect()
+    )
+    cids0 = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C0 = np.floor(
+        np.stack([np.asarray(r.embedding) for r in cent_rows]).astype(np.float64)
+        * KMEANS_SCALE
+    )
+
+    # iteration 1: assign to the sampled (quantized) centroids
+    assign1 = emb.select(
+        "vec_id", "embedding", _assign_udf(cids0, C0)(F.col("embedding")).alias("cid")
+    )
+    # exact integer centroid update: sum of floor(x · 2^20) per dim
+    qv = F.floor(F.col("val").cast("double") * F.lit(float(KMEANS_SCALE))).cast(
+        "bigint"
+    )
+    sums = (
+        assign1.select("cid", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.sum(qv).alias("s"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by_cid.setdefault(r.cid, {})[r.dim] = r.s
+    cids1 = np.array(sorted(by_cid), dtype=np.int64)
+    dim = len(cent_rows[0].embedding)
+    C1 = np.array(
+        [[float(by_cid[c][d]) for d in range(dim)] for c in cids1], dtype=np.float64
+    )
+
+    # iteration 2: assign to the trained centroid directions
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "norm",
+        _assign_udf(cids1, C1)(F.col("embedding")).alias("centroid"),
+    )
+
+    # probe selection against the trained centroids (driver-side, same
+    # fold arithmetic as the oracle)
+    q = np.asarray(cent_rows[0].embedding, dtype=np.float32).astype(np.float64)
+    qdots = np.add.accumulate(C1 * q[None, :], axis=1)[:, -1]
+    qnorm = np.sqrt(np.add.accumulate(q * q)[-1])
+    normC1 = np.sqrt(np.add.accumulate(C1 * C1, axis=1)[:, -1])
+    qcos = qdots / (normC1 * qnorm)
+    order = sorted(range(len(cids1)), key=lambda i: (-qcos[i], cids1[i]))
+    probes = [int(cids1[i]) for i in order[:IVF_NPROBE]]
+    qid = int(cids0[0])
+
+    qrow = assigned.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            "centroid",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _ivf_kmeans_oracle_sql() -> str:
+    def cos(e: str, c: str) -> str:
+        return (
+            f"({_DOT_SQL.format(a=e, b=c)} / "
+            f"(sqrt({_DOT_SQL.format(a=e, b=e)}) * "
+            f"sqrt({_DOT_SQL.format(a=c, b=c)})))"
+        )
+
+    dim = 64
+    return f"""
+WITH cent0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {KMEANS_SCALE}.0)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+), assign1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.cvec')} DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+), sums AS (
+  SELECT cid, r.dim,
+         SUM(CAST(floor(embedding[r.dim + 1]::DOUBLE * {KMEANS_SCALE}.0)
+                  AS BIGINT)) AS s
+  FROM assign1, range({dim}) r(dim)
+  GROUP BY cid, r.dim
+), cent1 AS (
+  SELECT cid, list(s::DOUBLE ORDER BY dim) AS cvec
+  FROM sums GROUP BY cid
+), assigned AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.cvec')} DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent1 c
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qvec FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), probes AS (
+  SELECT c.cid FROM cent1 c, q
+  ORDER BY {cos('q.qvec', 'c.cvec')} DESC, c.cid ASC LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, a.label, a.cid AS centroid,
+       {_cosine_sql('a.embedding', 'qvec')} AS cosine
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probes)
+  AND a.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_IVF_KMEANS = _ivf_kmeans_oracle_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_IVF_TOPK),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
     "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),
 }

@@ -36,6 +36,7 @@ CHECK_FIRST: list[str] = [
     # new this round
     "asof_prev_click_tolerance",
     "dedup_simhash_pairs",
+    "ann_ivf_kmeans_topk",
 ]
 
 

@@ -264,3 +264,33 @@ def test_simhash64_pairs_identical_docs_distance_zero(spark):
     # halves stay within 32 unsigned bits (signed-safe in both engines)
     for hi, lo in sh.values():
         assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_ivf_kmeans_scores_exact_and_probes_bounded(spark):
+    """Trained-IVF results come only from probed cells, and every hit's
+    cosine equals the exact brute-force score for that vector."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.similarity import (
+        IVF_NPROBE,
+        _cosine,
+        ann_ivf_kmeans_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ann_ivf_kmeans_topk(spark, SF).collect()
+    assert rows, "trained IVF probe returned nothing"
+    assert len({r.centroid for r in rows}) <= IVF_NPROBE
+
+    emb = load_table(spark, SF, "embeddings")
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    q = emb.join(F.broadcast(qid), emb.vec_id == F.col("qid")).select(
+        F.col("embedding").alias("qvec")
+    )
+    full = {
+        r.vec_id: r.cosine
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("embedding"), F.col("qvec")).alias("cosine"))
+        .collect()
+    }
+    for r in rows:
+        assert full[r.vec_id] == pytest.approx(r.cosine, abs=1e-12)

@@ -127,6 +127,7 @@ def test_plan_lint_all_registered_queries(spark):
         # single-row build side IS the intended map-side shape.
         "ann_cosine_topk": {"bnlj"},
         "ann_ivf_topk": {"bnlj"},
+        "ann_ivf_kmeans_topk": {"bnlj"},
         "ann_lsh_topk": {"bnlj"},
         # global windows over the ~80-row month aggregate; safety pinned
         # by test_q09_windows_see_only_preaggregated_input.
