@@ -187,3 +187,32 @@ def test_interval_overlap_join_matches_naive_model(spark, left, right):
         if lk == rk and s1 < e2 and s2 < e1
     }
     assert set(got) == want
+
+
+def test_bounded_df_cache_evicts_and_unpersists(spark):
+    """The shared feature-frame cache must stay bounded and unpersist
+    what it evicts (three operator families rely on it)."""
+    from cdc_cascade_spark.functions.caching import BoundedDFCache
+
+    cache = BoundedDFCache(max_entries=2)
+    frames = {}
+    sizes = {"a": 5, "a2": 5, "b": 6, "c": 7, "a3": 5}
+
+    def build(tag):
+        # distinct row counts → distinct canonicalized plans: Spark's
+        # CacheManager keys on the plan, so identical plans would share
+        # one cache entry and confound the eviction assertions
+        df = spark.range(sizes[tag])
+        frames[tag] = df
+        return df
+
+    a = cache.get_or_build(spark, "a", lambda: build("a"))
+    assert cache.get_or_build(spark, "a", lambda: build("a2")) is a  # hit
+    cache.get_or_build(spark, "b", lambda: build("b"))
+    assert a.storageLevel.useMemory
+    cache.get_or_build(spark, "c", lambda: build("c"))  # evicts "a"
+    assert not frames["a"].storageLevel.useMemory  # unpersisted
+    assert frames["b"].storageLevel.useMemory
+    # a rebuild after eviction is a fresh frame, not the stale one
+    a2 = cache.get_or_build(spark, "a", lambda: build("a3"))
+    assert a2 is not a
