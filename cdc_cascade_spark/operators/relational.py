@@ -1157,6 +1157,40 @@ FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 """
 
 
+def q31_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshaping) — the inverse of q14's pivot.
+
+    Per-priority order metrics computed wide, then melted into
+    (priority, metric, value) rows with ``DataFrame.unpivot`` (Spark's
+    ``stack``/melt). The unpivot is a zero-shuffle projection — each
+    wide row expands in place — so the only exchange is the aggregate's.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        _dec_sum(F.col("o_totalprice")).alias("sum_total"),
+        F.max("o_totalprice").alias("max_total"),
+        F.min("o_totalprice").alias("min_total"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["sum_total", "max_total", "min_total"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_Q31 = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_total,
+         MAX(o_totalprice) AS max_total,
+         MIN(o_totalprice) AS min_total
+  FROM orders GROUP BY o_orderpriority
+)
+UNPIVOT wide ON sum_total, max_total, min_total INTO NAME metric VALUE value
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, ORACLE_Q01),
     "q02_topk_orders": (q02_topk_orders, ORACLE_Q02),
@@ -1188,4 +1222,5 @@ QUERIES: dict[str, tuple] = {
     "q28_window_suite": (q28_window_suite, ORACLE_Q28),
     "q29_array_functions": (q29_array_functions, ORACLE_Q29),
     "q30_null_semantics": (q30_null_semantics, ORACLE_Q30),
+    "q31_unpivot_metrics": (q31_unpivot_metrics, ORACLE_Q31),
 }

@@ -37,6 +37,7 @@ CHECK_FIRST: list[str] = [
     "asof_prev_click_tolerance",
     "dedup_simhash_pairs",
     "ann_ivf_kmeans_topk",
+    "q31_unpivot_metrics",
 ]
 
 
