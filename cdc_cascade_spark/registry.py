@@ -33,6 +33,8 @@ CHECK_FIRST: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
+    "cdc_op_routing",
+    "cdc_invalidation_summary",
     # new this round
     "asof_prev_click_tolerance",
     "dedup_simhash_pairs",
