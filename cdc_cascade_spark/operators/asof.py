@@ -164,6 +164,78 @@ FROM carried WHERE is_right = 0
 """
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tiebreaker: str,
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` + ``pd.merge_asof`` —
+    the groupwise-pandas alternative to the window composition.
+
+    Spark cogroups both sides by key and hands each key's pair of
+    pandas frames to one Arrow batch; ``merge_asof`` does the
+    per-group backward search. Tie semantics are aligned with
+    :func:`asof_join` by sorting the right side so the highest
+    ``tiebreaker`` row is the last one at each timestamp (merge_asof
+    takes the last).
+
+    Shape trade-off, recorded honestly: the window form shuffles once
+    and streams; this form materializes each key group as a pandas
+    frame — a hot key's whole history must fit in one task's memory,
+    so at 100 TB prefer :func:`asof_join` and use this one when group
+    sizes are known-bounded (it exists to pin the window operator
+    against pandas' reference implementation, and as the idiomatic
+    cogroup/applyInPandas example).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    )
+    rdt = dict(right.dtypes)
+    out_schema = out_fields + ", " + ", ".join(
+        f"matched_{c} {rdt[c]}" for c in right_values
+    )
+    left_cols = left.columns
+
+    matched_cols = [f"matched_{c}" for c in right_values]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values([left_time])
+        if rpdf.empty:
+            for mc in matched_cols:
+                lpdf[mc] = pd.Series([None] * len(lpdf), dtype="object")
+            return lpdf[left_cols + matched_cols]
+        # "__rt" sidesteps a left/right time-column name collision
+        # (the self-as-of case); object dtype keeps unmatched rows as
+        # None instead of NaN so Arrow can build integer columns
+        rpdf = rpdf.sort_values([right_time, tiebreaker]).rename(
+            columns={right_time: "__rt", **{c: f"matched_{c}" for c in right_values}}
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[["__rt"] + matched_cols],
+            left_on=left_time,
+            right_on="__rt",
+            direction="backward",
+        )
+        for mc in matched_cols:
+            col = merged[mc]
+            merged[mc] = col.astype(object).where(col.notna(), None)
+        return merged[left_cols + matched_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, out_schema)
+    )
+
+
 # Max staleness for the tolerance query: one day. Over the testdata's
 # per-user prior-click gap distribution (p10 ≈ 5 h, p50 ≈ 35 h) this
 # leaves roughly half the events matched and half NULLed — both

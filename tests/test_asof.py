@@ -155,3 +155,54 @@ def test_asof_tolerance_strict_matches_naive_model(spark):
             if (t - rt) <= datetime.timedelta(hours=tol_h):
                 expect = v
         assert got[event] == expect, (event, got[event], expect)
+
+
+def test_asof_pandas_cogroup_matches_window_form(spark):
+    """The cogroup/merge_asof implementation and the window composition
+    must agree row-for-row on the real events⨝orders as-of query —
+    pandas' reference implementation pins the custom operator."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.operators.asof import asof_join_pandas
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    kwargs = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        tiebreaker="o_orderkey",
+    )
+    window_rows = {
+        r.event_id: (r.matched_o_orderkey, r.matched_o_totalprice)
+        for r in asof_join(events, orders, **kwargs).collect()
+    }
+    pandas_rows = {
+        r.event_id: (r.matched_o_orderkey, r.matched_o_totalprice)
+        for r in asof_join_pandas(events, orders, **kwargs).collect()
+    }
+    assert window_rows == pandas_rows and len(window_rows) > 0
+
+
+def test_asof_pandas_handles_unmatched_groups(spark):
+    """Keys with no right rows must yield NULL matches (not drop)."""
+    from cdc_cascade_spark.operators.asof import asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(1, _ts(5), "has_match"), (2, _ts(5), "no_right_rows")],
+        "k long, t timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 7, "v")], "k long, t timestamp, tb long, v1 string"
+    )
+    rows = {
+        r.event: r.matched_v1
+        for r in asof_join_pandas(
+            left, right, "k", "k", "t", "t", ["v1"], "tb"
+        ).collect()
+    }
+    assert rows == {"has_match": "v", "no_right_rows": None}
