@@ -34,6 +34,7 @@ from cdc_cascade_spark.streaming.sinks import (
     KeyValueStore,
     invalidate_batch,
     upsert_view_batch,
+    upsert_view_batch_partitions,
 )
 
 # Kafka/Debezium wiring constants from the reference deployment.
@@ -170,21 +171,32 @@ def start_invalidation_pipeline(
 
 def start_materialized_view_pipeline(
     stream: DataFrame,
-    store: KeyValueStore,
+    store: KeyValueStore | None,
     checkpoint_dir: str,
     table_schema: T.StructType = SINNERS_SCHEMA,
     key_field: str = "code",
+    store_factory=None,
 ) -> StreamingQuery:
     """Maintained latest-row view: upsert on c/u/r, delete on d.
 
     The pure-Spark analog of the reference's cache-aside rebuild
     (sequence-flows.mmd:45-53) — instead of invalidate-then-miss, the
     view converges to the compacted table state.
+
+    Pass ``store`` for the driver-side sink (bounded by
+    ``maxOffsetsPerTrigger``), or ``store_factory`` (picklable, one
+    client per executor partition) to write row images executor-side —
+    the hot-topic path where no payload flows through the driver.
     """
+    if (store is None) == (store_factory is None):
+        raise ValueError("pass exactly one of store / store_factory")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         payloads = valid_events(parse_envelope(batch_df, table_schema))
-        upsert_view_batch(store, payloads, key_field)
+        if store_factory is not None:
+            upsert_view_batch_partitions(store_factory, payloads, key_field)
+        else:
+            upsert_view_batch(store, payloads, key_field)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

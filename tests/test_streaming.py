@@ -498,3 +498,53 @@ def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
     q.stop()
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM deduped").collect())
     assert ids == [1, 2, 3]
+
+
+def test_materialized_view_pipeline_executor_side(spark, tmp_path):
+    """The full pipeline with store_factory writes the view from
+    executors and still converges to the batch-compacted state."""
+    import glob
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, BATCH_1, "b1.txt")
+    _write_batch(src, BATCH_2, "b2.txt")
+    outdir = str(tmp_path / "view")
+    os.makedirs(outdir)
+
+    class FileStore:
+        def __init__(self, d):
+            self._d = d
+
+        def _write(self, op, key, payload=""):
+            path = os.path.join(self._d, f"w{os.getpid()}-{id(self)}.log")
+            with open(path, "a") as f:
+                f.write(f"{op} {key} {payload}\n")
+
+        def set(self, key, value):
+            self._write("SET", key, json.loads(value)["name"])
+
+        def delete(self, key):
+            self._write("DEL", key)
+
+    q = start_materialized_view_pipeline(
+        read_cdc_files(spark, str(src)),
+        store=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_factory=lambda: FileStore(outdir),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # replay the op log: last op per key wins (files are per-batch,
+    # per-worker; batches arrive in order within this single run)
+    state = {}
+    for path in sorted(glob.glob(outdir + "/*.log"), key=os.path.getmtime):
+        for line in open(path).read().splitlines():
+            parts = line.split(" ", 2)
+            if parts[0] == "SET":
+                state[parts[1]] = parts[2].strip()
+            else:
+                state.pop(parts[1], None)
+    assert state == {"5": "Aurelius", "17": "Shalom"}
