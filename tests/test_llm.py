@@ -294,3 +294,31 @@ def test_ivf_kmeans_scores_exact_and_probes_bounded(spark):
     }
     for r in rows:
         assert full[r.vec_id] == pytest.approx(r.cosine, abs=1e-12)
+
+
+def test_label_blocked_pairs_equal_exact_when_uncapped(spark):
+    """With the cap above every label size the guard must be inert:
+    the pair set equals the naive per-label all-pairs model exactly."""
+    import numpy as np
+
+    from cdc_cascade_spark.llm.similarity import _with_norm, label_blocked_pairs
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, int(lab), [float(x) for x in rng.randn(8).astype(np.float32)])
+        for i, lab in enumerate(rng.randint(0, 4, size=40))
+    ]
+    emb = _with_norm(
+        spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in label_blocked_pairs(emb, cap=10_000).select("vec_a", "vec_b").collect()
+    }
+    expect = {
+        (a, b)
+        for (a, la, _) in rows
+        for (b, lb, _) in rows
+        if la == lb and a < b
+    }
+    assert got == expect
