@@ -41,6 +41,7 @@ from cdc_cascade_spark.functions.hashing import (
     band_key_sql,
     minhash_signature_sql,
     token_hash,
+    token_hash_sql,
 )
 from cdc_cascade_spark.llm.prep import (
     DOCS_CTE,
@@ -638,6 +639,91 @@ WHERE bit_count(xor(sa.sim_hi, sb.sim_hi))
 )
 
 
+# Weighted SimHash: the production variant — each distinct token votes
+# with weight tf · idf_tier instead of once per occurrence, so stopwords
+# (high document frequency) barely move the fingerprint while salient
+# terms dominate it. The idf tier is INTEGER math (no log/float):
+#     w(t) = clamp(n_docs div df(t), 1, WSIMHASH_MAX_W)
+# — a token in every doc gets 1, a rare token gets the cap. Exact in
+# both engines, so the oracle reproduces the fingerprint bit-for-bit.
+WSIMHASH_MAX_W = 8
+
+
+def _weighted_vote_aggs(h: "F.Column", w: "F.Column", prefix: str) -> list:
+    """32 conditional-sum aggregates: ±w votes per bit of ``h``."""
+    return [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, w).otherwise(-w)
+        ).alias(f"{prefix}{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_weighted_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_w): 32-bit tf·idf-weighted SimHash.
+
+    Shape: explode tokens → pre-aggregate to (doc_id, token, tf) —
+    the groupBy key carries doc_id, so a hot stopword never
+    concentrates on one partition — → broadcast-join the document
+    frequencies and the 1-row corpus count → 32 conditional-sum
+    aggregates (codegen'd, map-side partial agg) → bit assembly.
+
+    The df (vocabulary) frame is broadcast here; vocabulary grows
+    ~log-linearly with corpus size, so at 100 TB it may outgrow a
+    broadcast — then drop the hint and let AQE's skew-join handle the
+    (pre-aggregated, doc_id-spread) token join instead.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    occ = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf_tier = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(F.lit(WSIMHASH_MAX_W).cast("bigint"), F.expr("n div df")),
+    )
+    weighted = (
+        occ.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "t", (F.col("tf") * idf_tier).alias("w"))
+    )
+    votes = weighted.groupBy("doc_id").agg(
+        *_weighted_vote_aggs(token_hash(F.col("t")), F.col("w"), "wv")
+    )
+    return votes.select("doc_id", _assemble_bits("wv").alias("simhash_w"))
+
+
+def dedup_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf·idf-weighted 32-bit SimHash over ``documents``."""
+    return simhash_weighted_frame(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH_WEIGHTED = (
+    DOCS_CTE
+    + f"""
+, tok AS (SELECT doc_id, unnest(toks) AS t FROM docs)
+, occ AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t)
+, dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t)
+, nd AS (SELECT COUNT(*) AS n FROM documents)
+, weighted AS (
+  SELECT doc_id, t,
+         tf * greatest(1, least({WSIMHASH_MAX_W}, n // df)) AS w
+  FROM occ JOIN dfreq USING (t) CROSS JOIN nd
+)
+, bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (({token_hash_sql('t')}) >> j) & 1 = 1
+                  THEN w ELSE -w END) AS vote
+  FROM weighted, range({SIMHASH_BITS}) r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash_w
+FROM bits
+GROUP BY doc_id
+"""
+)
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by Levenshtein edit distance over skew-guarded
     blocks (same candidate generator as the Jaccard pass).
@@ -700,4 +786,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "dedup_simhash_weighted": (dedup_simhash_weighted, ORACLE_SIMHASH_WEIGHTED),
 }

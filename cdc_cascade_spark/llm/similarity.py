@@ -399,6 +399,110 @@ LIMIT {TOPK}
 ORACLE_LSH_TOPK = _lsh_oracle_sql()
 
 
+# Multi-probe LSH: probe the query's own bucket PLUS the buckets reached
+# by flipping the sign bits whose hyperplane dot products are closest to
+# zero (the planes the query nearly straddles — where true neighbors
+# most likely landed on the other side). This recovers most of
+# single-probe's recall loss for PROBES× the scan, still ≪ full scan.
+LSH_PROBES = 3  # own bucket + (LSH_PROBES - 1) single-bit flips
+
+
+def _query_probe_buckets(qvec: np.ndarray, nplanes: int, probes: int) -> list[int]:
+    """Deterministic probe-bucket list for a query vector.
+
+    Same strict left-to-right fold as ``_bucket_udf`` / the oracle's
+    ``list_dot_product``, so the bucket id and the |dot| flip order are
+    bit-identical cross-engine (ties on |dot| break to the lower plane
+    index). Driver-side on ONE vector — a bounded train-style step,
+    like the IVF centroid collect.
+    """
+    planes = _planes_matrix(nplanes, qvec.shape[0])
+    dots = np.add.accumulate(planes * qvec[None, :], axis=1)[:, -1]
+    bucket = int(sum((1 << p) for p in range(nplanes) if dots[p] > 0))
+    flip_order = sorted(range(nplanes), key=lambda p: (abs(dots[p]), p))
+    return [bucket] + [bucket ^ (1 << p) for p in flip_order[: probes - 1]]
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: exact cosine top-k within the query's bucket
+    and its ``LSH_PROBES - 1`` nearest Hamming-neighbor buckets.
+
+    The probed neighbors flip the sign bits with the smallest |dot| —
+    the planes the query sits closest to. The query row is collected
+    once (1-row bounded action, like the IVF centroid "train" collect)
+    to derive the probe list; the scan is then a partition-prunable
+    ``bucket IN (...)`` filter over ~PROBES/2^planes of the data. At
+    100 TB the bucket is the partition key, so this reads PROBES
+    partitions instead of one — the standard recall/cost dial.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket_pd = _bucket_udf(LSH_PLANES)
+    bucketed = _with_norm(emb).select(
+        "vec_id", "label", "embedding", "norm", bucket_pd(F.col("embedding")).alias("bucket")
+    )
+    qrow_local = (
+        emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    )
+    qid = int(qrow_local.vec_id)
+    q = np.asarray(qrow_local.embedding, dtype=np.float32).astype(np.float64)
+    probes = _query_probe_buckets(q, LSH_PLANES, LSH_PROBES)
+    qdf = bucketed.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _lsh_multiprobe_oracle_sql() -> str:
+    bucket = _bucket_sql("embedding", LSH_PLANES)
+    plane_dots = "\nUNION ALL\n".join(
+        f"SELECT {p} AS p, list_dot_product(qvec::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in _hyperplane(p, 64))}]::DOUBLE[]) AS d FROM q"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, bucket AS qbucket FROM bucketed
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), plane_dots AS (
+{plane_dots}
+), flips AS (
+  SELECT p FROM plane_dots ORDER BY abs(d) ASC, p ASC LIMIT {LSH_PROBES - 1}
+), probes AS (
+  SELECT qbucket AS pb FROM q
+  UNION ALL
+  SELECT xor(qbucket, 1 << p) FROM q, flips
+)
+SELECT vec_id, label, bucket,
+       {_cosine_sql('embedding', 'qvec')} AS cosine
+FROM bucketed, q
+WHERE bucket IN (SELECT pb FROM probes)
+  AND vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_LSH_MULTIPROBE = _lsh_multiprobe_oracle_sql()
+
+
 # IVF (inverted-file) ANN: assign every vector to its nearest centroid
 # (the "coarse quantizer"), probe only the query's NPROBE nearest
 # centroid cells. Centroids here are a deterministic sample (the
@@ -701,6 +805,7 @@ ORACLE_IVF_KMEANS = _ivf_kmeans_oracle_sql()
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
+    "ann_lsh_multiprobe_topk": (ann_lsh_multiprobe_topk, ORACLE_LSH_MULTIPROBE),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_IVF_TOPK),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
     "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),

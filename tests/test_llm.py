@@ -322,3 +322,44 @@ def test_label_blocked_pairs_equal_exact_when_uncapped(spark):
         if la == lb and a < b
     }
     assert got == expect
+
+
+def test_multiprobe_lsh_widens_single_probe(spark):
+    """Multi-probe LSH must dominate single-probe: its probed set is a
+    superset (own bucket plus flipped-bit neighbors), so its results
+    contain every single-probe hit and its best cosine can only be
+    ≥ the single-probe best. On this data the extra probes find
+    strictly more and strictly better neighbors."""
+    from cdc_cascade_spark.llm.similarity import ann_lsh_multiprobe_topk
+
+    single = {r.vec_id: r.cosine for r in ann_lsh_topk(spark, SF).collect()}
+    multi = {r.vec_id: r.cosine for r in ann_lsh_multiprobe_topk(spark, SF).collect()}
+    assert set(single) <= set(multi)
+    assert len(multi) > len(single)
+    assert max(multi.values()) > max(single.values())
+    # exactness within probed buckets: shared hits score identically
+    for vid, cos in single.items():
+        assert multi[vid] == pytest.approx(cos, abs=0.0)
+
+
+def test_weighted_simhash_stopword_convergence(spark):
+    """tf·idf-weighted SimHash must pull stopword-heavy near-dups
+    together: two docs with identical salient content but very
+    different stopword counts are far apart unweighted (stopword
+    occurrences vote with full strength) and close weighted (df-based
+    tier collapses stopword influence)."""
+    from cdc_cascade_spark.llm.dedup import _simhash64_frame, simhash_weighted_frame
+
+    stop = ["the", "of", "and", "a", "to"]
+    content = [f"w{i}x" for i in range(30)]
+    rows = [(0, " ".join(content + stop * 6)), (1, " ".join(content + stop))]
+    for d in range(2, 10):
+        rows.append((d, " ".join([f"u{d}w{i}" for i in range(20)] + stop)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unw = {r.doc_id: r.sim_lo for r in _simhash64_frame(docs).collect()}
+    wgt = {r.doc_id: r.simhash_w for r in simhash_weighted_frame(docs).collect()}
+    ham_u = bin(unw[0] ^ unw[1]).count("1")
+    ham_w = bin(wgt[0] ^ wgt[1]).count("1")
+    assert ham_u >= 8, "unweighted fingerprints should diverge on stopword spam"
+    assert ham_w <= ham_u // 2, f"weighting should at least halve the gap ({ham_w} vs {ham_u})"

@@ -1,0 +1,65 @@
+"""Guard for the driver's ~50-query check window (ADVICE r3 #1).
+
+The external correctness harness verifies only the first
+``registry.CHECK_WINDOW`` queries in dict order; everything past the
+window rests on the claim "code unchanged since its last green row".
+These tests make that claim mechanical:
+
+- every query whose fingerprint (defining module + transitive
+  first-party imports + oracle SQL) differs from
+  ``tests/verified_manifest.json`` MUST be pinned in ``CHECK_FIRST``
+  (i.e. inside the verified window this round);
+- the pinned list must fit the window with margin.
+
+Workflow when this fails after an edit: add the affected queries to
+``registry.CHECK_FIRST`` (rotating long-green ones out), then run
+``python -m cdc_cascade_spark.registry --regen-manifest``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from cdc_cascade_spark.registry import (
+    CHECK_FIRST,
+    CHECK_WINDOW,
+    all_queries,
+    query_fingerprints,
+)
+
+MANIFEST = Path(__file__).resolve().parent / "verified_manifest.json"
+
+
+def test_check_first_fits_window_with_margin():
+    assert len(CHECK_FIRST) == len(set(CHECK_FIRST)), "duplicate pins"
+    assert len(CHECK_FIRST) <= CHECK_WINDOW - 5, (
+        "CHECK_FIRST is close to the driver's window size — rotate "
+        "long-green queries out so every pin is guaranteed a row"
+    )
+
+
+def test_changed_queries_are_pinned_in_window():
+    manifest = json.loads(MANIFEST.read_text())
+    current = query_fingerprints()
+    window = set(list(all_queries())[:CHECK_WINDOW])
+    stale = [
+        name
+        for name, fp in current.items()
+        if manifest.get(name) != fp and name not in window
+    ]
+    assert not stale, (
+        f"queries changed since their last verified green row but NOT in "
+        f"this round's check window: {stale} — pin them in "
+        f"registry.CHECK_FIRST and regen the manifest "
+        f"(python -m cdc_cascade_spark.registry --regen-manifest)"
+    )
+
+
+def test_manifest_covers_every_registered_query():
+    manifest = json.loads(MANIFEST.read_text())
+    missing = sorted(set(all_queries()) - set(manifest))
+    assert not missing, (
+        f"no manifest entry for {missing} — regen the manifest after "
+        f"pinning them in CHECK_FIRST"
+    )
