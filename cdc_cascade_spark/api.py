@@ -23,6 +23,7 @@ stopped gracefully.
 from __future__ import annotations
 
 import json
+import os
 import re
 import signal
 import threading
@@ -45,8 +46,6 @@ class CdcApiServer:
     def __init__(
         self, service: CdcTableService, host: str = "127.0.0.1", port: int | None = None
     ) -> None:
-        import os
-
         if port is None:
             port = int(os.environ.get("API_PORT", "8080"))
         self.service = service
@@ -54,8 +53,39 @@ class CdcApiServer:
         api = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 enables chunked transfer for the streamed full
+            # scan; every other response carries Content-Length.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # B7 logging stays opt-in
                 pass
+
+            def _send_json_stream(self, row_iter) -> None:
+                """Chunked-transfer JSON array: one partition of rows in
+                driver memory at a time, never a full-table collect. The
+                byte stream is identical to ``json.dumps(list(rows))``."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes) -> None:
+                    if data:
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
+
+                buf = b"["
+                first = True
+                for d in row_iter:
+                    piece = ("" if first else ", ") + json.dumps(d)
+                    first = False
+                    buf += piece.encode()
+                    if len(buf) >= 32768:
+                        chunk(buf)
+                        buf = b""
+                chunk(buf + b"]")
+                self.wfile.write(b"0\r\n\r\n")
 
             def _send(self, status: int, payload) -> None:
                 body = (
@@ -87,7 +117,7 @@ class CdcApiServer:
                         if method == "POST" and action == "create" and code is None:
                             self._send(201, api.service.create(self._body()))
                         elif method == "GET" and action == "read" and code is None:
-                            self._send(200, api._read_all_rows())
+                            self._send_json_stream(api._iter_all_rows())
                         elif method == "GET" and action == "read":
                             self._send(200, api.service.read_one(code))
                         elif method == "PUT" and action == "update" and code:
@@ -116,18 +146,26 @@ class CdcApiServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
-    def _read_all_rows(self) -> list[dict]:
+    def _iter_all_rows(self):
+        """Key-ordered row dicts for ``GET /read``, streamed.
+
+        The sort runs INSIDE the Spark plan (a distributed range sort,
+        not a driver-side list sort) and ``toLocalIterator`` then pulls
+        one partition at a time — the driver never funnels the whole
+        table the way ``collect()`` would (reference controllers.go:38-46
+        is an unbounded ``SELECT *`` to HTTP; same semantics, bounded
+        driver memory).
+        """
         from datetime import datetime
 
-        rows = []
-        for r in self.service.read_all().collect():
+        df = self.service.read_all()
+        key = self.service.key_field
+        for r in df.orderBy(df[key].asc_nulls_first()).toLocalIterator():
             d = r.asDict()
             for k, v in d.items():
                 if isinstance(v, datetime):
                     d[k] = v.strftime("%Y-%m-%dT%H:%M:%S")
-            rows.append(d)
-        rows.sort(key=lambda d: d.get(self.service.key_field) or 0)
-        return rows
+            yield d
 
     @property
     def port(self) -> int:
@@ -180,9 +218,12 @@ def install_signal_handlers(
 
     Returns the handler so tests can invoke it directly (sending real
     signals through pytest is fragile). The first signal runs the
-    graceful shutdown; later signals fall through to the previously
-    installed handler — so a second Ctrl-C still raises
-    KeyboardInterrupt instead of being swallowed.
+    graceful shutdown; later signals chain to the previously installed
+    disposition: a callable handler is invoked (a second Ctrl-C still
+    raises KeyboardInterrupt); SIG_DFL is *restored and re-delivered*
+    via ``os.kill`` — so after graceful shutdown a hung process remains
+    killable by a further SIGTERM instead of swallowing it; SIG_IGN
+    stays ignored.
     """
     done = threading.Event()
     previous: dict[int, object] = {}
@@ -193,8 +234,11 @@ def install_signal_handlers(
             graceful_shutdown(server, queries, timeout)
             return
         prev = previous.get(signum)
-        if callable(prev):  # SIG_DFL / SIG_IGN / None are not callable
+        if callable(prev):
             prev(signum, frame)
+        elif prev == signal.SIG_DFL:
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
 
     for sig in (signal.SIGINT, signal.SIGTERM):
         previous[sig] = signal.signal(sig, handler)

@@ -14,10 +14,15 @@ Semantics every user signs up for:
   read. Rewriting a directory's files within the SAME application
   serves stale data (matching Spark's own FileScan cache behavior);
   restart the session or evict to re-read.
+- Thread-safe: concurrent callers (foreachBatch worker threads,
+  parallel query runners) may both build on a cold key; exactly one
+  build wins the slot and the loser is unpersisted, so no persisted
+  frame can leak executor memory.
 """
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +32,7 @@ class BoundedDFCache:
     def __init__(self, max_entries: int = 4) -> None:
         self._max = max_entries
         self._entries: dict[tuple[str, str], DataFrame] = {}
+        self._lock = threading.Lock()
 
     def get_or_build(
         self,
@@ -35,12 +41,21 @@ class BoundedDFCache:
         build: Callable[[], DataFrame],
     ) -> DataFrame:
         key = (spark.sparkContext.applicationId, sf_dir)
-        cached = self._entries.get(key)
+        with self._lock:
+            cached = self._entries.get(key)
         if cached is not None:
             return cached
+        # Build outside the lock: plan construction can be slow and must
+        # not serialize unrelated keys. Re-check under the lock — the
+        # losing builder unpersists its frame instead of leaking it.
         out = build().persist()
-        while len(self._entries) >= self._max:
-            oldest = next(iter(self._entries))
-            self._entries.pop(oldest).unpersist()
-        self._entries[key] = out
+        with self._lock:
+            winner = self._entries.get(key)
+            if winner is not None:
+                out.unpersist()
+                return winner
+            while len(self._entries) >= self._max:
+                oldest = next(iter(self._entries))
+                self._entries.pop(oldest).unpersist()
+            self._entries[key] = out
         return out

@@ -101,6 +101,8 @@ def guarded_block_candidates(
     cap: int = BLOCK_CAP,
     hset_expr: "F.Column | None" = None,
     carry: tuple[str, ...] = (),
+    adaptive: bool = True,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs within equal-``block`` groups,
     with a skew guard on block cardinality.
@@ -114,17 +116,25 @@ def guarded_block_candidates(
     follows the LSH S-curve (≈0.9995 at Jaccard 0.9); cost per hot
     block is O(docs·bands) plus the true-duplicate band groups.
 
-    ``prepared`` must have columns (doc_id, block) plus either a
-    materialized ``hset`` column (the Jaccard case — already persisted,
-    free to carry) or ``hset_expr``, a shingle-set expression evaluated
-    HERE, explicitly *above* the big-block semi join — so an expensive
-    hset computation runs only for docs that actually take the MinHash
-    path, and costs nothing when no block is oversized (relying on the
-    optimizer to push a join below the projection does not work: the
-    explode's implicit size filter pins the projection below the join
-    and inlines the expression per use). Both paths are deterministic,
-    so the DuckDB oracle reproduces the exact result via
-    ``guarded_candidates_sql``.
+    ``prepared`` must have columns (doc_id, block) plus ONE of:
+
+    - ``bands``: a precomputed (doc_id, band, bkey) frame — the shared
+      per-session MinHash band relation (``minhash_bands_cached``) that
+      ``dedup_minhash_lsh`` also consumes; the big path semi-joins it
+      down to oversized-block docs, so the signature aggregation runs
+      once per session instead of once per query;
+    - a materialized ``hset`` column (already persisted, free to carry);
+    - ``hset_expr``, a shingle-set expression evaluated HERE, explicitly
+      *above* the big-block semi join — so an expensive hset computation
+      runs only for docs that actually take the MinHash path, and costs
+      nothing when no block is oversized (relying on the optimizer to
+      push a join below the projection does not work: the explode's
+      implicit size filter pins the projection below the join and
+      inlines the expression per use).
+
+    All paths produce identical candidates (band keys are pure per-doc
+    values), so the DuckDB oracle reproduces the exact result via
+    ``guarded_candidates_sql`` regardless of which one runs.
 
     Plan shape: block sizes come from a partial-aggregated groupBy (not
     a window — a window would shuffle+sort the whole corpus by block),
@@ -134,6 +144,15 @@ def guarded_block_candidates(
     there are none the whole guard (broadcast, anti/semi split, MinHash
     stages) is dropped from the plan — the common case pays only the
     plain block self-join.
+
+    ``adaptive=True`` (the default) makes DataFrame CONSTRUCTION run an
+    eager bounded Spark job (``big_blocks.isEmpty()`` — one
+    partial-aggregated pass over the caller-persisted input) to choose
+    the no-skew fast path, and the choice is frozen into the returned
+    plan (stale if the input changes later — the cache-staleness
+    contract callers already sign). Plan-only consumers (plan lint,
+    ``explain`` tooling) pass ``adaptive=False`` to get the full
+    guarded plan with zero jobs triggered.
 
     ``carry``: payload columns of ``prepared`` returned as
     ``<col>_a``/``<col>_b`` on every pair. The small path carries them
@@ -159,7 +178,7 @@ def guarded_block_candidates(
     # and run the plain block self-join. Result-identical by
     # construction: with no oversized block the anti join keeps
     # everything and the big path is empty.
-    no_big = big_blocks.isEmpty()
+    no_big = adaptive and big_blocks.isEmpty()
     if no_big:
         small = prepared.select("doc_id", "block", *carry)
     else:
@@ -186,16 +205,24 @@ def guarded_block_candidates(
     )
     if no_big:
         return small_pairs
-    big = prepared.join(F.broadcast(big_blocks), "block", "left_semi")
-    if hset_expr is not None:
-        big = big.select("doc_id", "block", hset_expr.alias("hset"))
-    hashes = big.select("doc_id", "block", F.explode("hset").alias("h"))
-    sigs = hashes.groupBy("doc_id", "block").agg(*_minhash_sig_aggs())
-    bands = sigs.select(
-        "doc_id", "block", F.explode(F.array(*_lsh_band_structs())).alias("b")
-    ).select("doc_id", "block", "b.band", "b.bkey")
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "block", "band", "bkey")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "block", "band", "bkey")
+    if bands is not None:
+        big_ids = prepared.select("doc_id", "block").join(
+            F.broadcast(big_blocks), "block", "left_semi"
+        )
+        doc_bands = bands.join(big_ids, "doc_id").select(
+            "doc_id", "block", "band", "bkey"
+        )
+    else:
+        big = prepared.join(F.broadcast(big_blocks), "block", "left_semi")
+        if hset_expr is not None:
+            big = big.select("doc_id", "block", hset_expr.alias("hset"))
+        hashes = big.select("doc_id", "block", F.explode("hset").alias("h"))
+        sigs = hashes.groupBy("doc_id", "block").agg(*_minhash_sig_aggs())
+        doc_bands = sigs.select(
+            "doc_id", "block", F.explode(F.array(*_lsh_band_structs())).alias("b")
+        ).select("doc_id", "block", "b.band", "b.bkey")
+    ba = doc_bands.select(F.col("doc_id").alias("doc_a"), "block", "band", "bkey")
+    bb = doc_bands.select(F.col("doc_id").alias("doc_b"), "block", "band", "bkey")
     big_pairs = (
         ba.join(bb, ["block", "band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -301,9 +328,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prepared relation feeds the candidate generator and (on the
     # big path) the payload join-back — cached/persisted so the shingle
     # hashing runs once per session AND is shared with the MinHash
-    # query; the small path carries hsets through the block join
+    # query; the small path carries hsets through the block join; the
+    # big path reads the shared band relation instead of re-aggregating
+    # signatures
     sh = _docs_prepared_cached(spark, sf_dir)
-    pairs = guarded_block_candidates(sh, carry=("hset",))
+    pairs = guarded_block_candidates(
+        sh, carry=("hset",), bands=minhash_bands_cached(spark, sf_dir)
+    )
     jac = jaccard(F.col("hset_a"), F.col("hset_b"))
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -349,11 +380,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set" step, spilled to disk by Spark as needed (MEMORY_AND_DISK
     # default).
     prepared = _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
-    hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
-    sigs = hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*_lsh_band_structs())).alias("b")
-    ).select("doc_id", "b.band", "b.bkey")
+    bands = minhash_bands_cached(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (
@@ -479,6 +506,42 @@ def _docs_prepared_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PREPARED_CACHE.get_or_build(
         spark, sf_dir, lambda: _docs_prepared(spark, sf_dir)
     )
+
+
+# The (doc_id, band, bkey) MinHash band relation is the third shared
+# frame: dedup_minhash_lsh consumes it whole, and the skew guard's big
+# path (dedup_ngram_jaccard, dedup_edit_distance) semi-joins it down to
+# oversized-block docs — so the explode + 16 signature minima + band
+# keys run once per (session, sf_dir) instead of once per query.
+# 4 band rows × (8-byte id + 32-byte key) per doc of cache.
+_BANDS_CACHE = BoundedDFCache()
+
+
+def _bands_frame(prepared: DataFrame) -> DataFrame:
+    hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
+    sigs = hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
+    return sigs.select(
+        "doc_id", F.explode(F.array(*_lsh_band_structs())).alias("b")
+    ).select("doc_id", "b.band", "b.bkey")
+
+
+def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _BANDS_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _bands_frame(_docs_prepared_cached(spark, sf_dir)),
+    )
+
+
+def warm_shared_frames(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize every shared per-session document feature frame
+    (shingle-set relation, MinHash band relation, 64-bit SimHash
+    fingerprints). The bench calls this so each per-query timing slot
+    measures that query's marginal plan under the declared warm-cache
+    policy — see bench.py's docstring."""
+    _docs_prepared_cached(spark, sf_dir).count()
+    minhash_bands_cached(spark, sf_dir).count()
+    _simhash64_cached(spark, sf_dir).count()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +738,11 @@ def simhash_weighted_frame(docs: DataFrame) -> DataFrame:
     """
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     occ = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    # df(t) = COUNT(DISTINCT doc_id) — occ already holds one row per
+    # (doc, token), so a plain count over it is the distinct count AND
+    # its (doc_id, t) exchange is identical to occ's own, letting
+    # ReuseExchange run the token explode + shuffle once, not twice.
+    dfreq = occ.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     idf_tier = F.greatest(
         F.lit(1).cast("bigint"),
@@ -737,16 +804,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    # Persist WITHOUT hset: the shingle-hash set is only needed by the
-    # guard's big-block MinHash path, and as a lazy projection over the
-    # persisted frame Catalyst computes it just for docs that pass the
-    # bn > cap filter — not for the whole corpus.
+    # Persist WITHOUT hset: the guard's big-block path reads the shared
+    # per-session band relation (built lazily, only materialized when an
+    # oversized block actually exists), so this frame never computes
+    # shingle sets at all.
     prepared = docs.select(
         "doc_id", "text", first_shingle(toks).alias("block")
     ).persist()
     cand = guarded_block_candidates(
         prepared.select("doc_id", "block", "text"),
-        hset_expr=shingle_hash_set(tokens(F.col("text"))),
+        bands=minhash_bands_cached(spark, sf_dir),
     )
     ta = prepared.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = prepared.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))

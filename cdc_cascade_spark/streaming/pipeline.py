@@ -142,8 +142,11 @@ def start_invalidation_pipeline(
     survive pipeline restarts alongside the checkpoint, and a batch
     replayed after a crash *overwrites* its own partition instead of
     duplicating it. Clean batches write nothing (no empty-file
-    accumulation). ``dead_letters`` is the in-process collector variant
-    for small test batches.
+    accumulation) — so the quarantine directory may not exist at all;
+    read it through :func:`read_quarantine`, which returns an empty
+    frame for a never-written path instead of raising.
+    ``dead_letters`` is the in-process collector variant for small test
+    batches.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -167,6 +170,24 @@ def start_invalidation_pipeline(
         .outputMode("update")
         .start()
     )
+
+
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """Read the dead-letter quarantine written by
+    :func:`start_invalidation_pipeline`.
+
+    Clean pipelines never create the directory (batches with no
+    malformed record write nothing), so a bare
+    ``spark.read.parquet(dir)`` would raise ``AnalysisException`` on a
+    healthy deployment. This helper returns an EMPTY frame with the
+    quarantine schema (raw_value + batch_id) in that case — monitoring
+    jobs can always aggregate it unconditionally.
+    """
+    import os
+
+    if not os.path.isdir(quarantine_dir):
+        return spark.createDataFrame([], "raw_value string, batch_id int")
+    return spark.read.option("basePath", quarantine_dir).parquet(quarantine_dir)
 
 
 def start_materialized_view_pipeline(

@@ -72,21 +72,31 @@ def test_http_error_codes_match_reference(server):
     assert st == 404
 
 
-def test_signal_handler_runs_bounded_shutdown(spark):
+def test_signal_handler_runs_bounded_shutdown(spark, monkeypatch):
+    import os as _os
     import signal as _signal
+
+    import cdc_cascade_spark.api as api_mod
 
     svc = CdcTableService(spark, InMemoryKVStore())
     srv = CdcApiServer(svc, port=0).start()
     saved = {s: _signal.getsignal(s) for s in (_signal.SIGINT, _signal.SIGTERM)}
     try:
+        _signal.signal(_signal.SIGTERM, _signal.SIG_DFL)  # the normal case
         handler = install_signal_handlers(srv, queries=())
         handler(15, None)  # SIGTERM path, invoked directly (main.go:48)
         # server no longer accepts connections
         with pytest.raises(Exception):
             _req(srv, "GET", "/api/v1/sinners/read")
-        # repeated signals chain to the previously installed handler:
-        # SIGTERM's previous is SIG_DFL (not callable) → no-op ...
+        # repeated signals chain to the previous disposition. SIGTERM's
+        # previous is SIG_DFL: the handler must RESTORE the default and
+        # re-deliver — a hung process stays killable after graceful
+        # shutdown (ADVICE r3) — rather than silently swallowing it.
+        delivered = []
+        monkeypatch.setattr(api_mod.os, "kill", lambda pid, s: delivered.append((pid, s)))
         handler(15, None)
+        assert delivered == [(_os.getpid(), 15)]
+        assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
         # ... while SIGINT's previous is Python's default → a second
         # Ctrl-C still raises KeyboardInterrupt instead of vanishing
         with pytest.raises(KeyboardInterrupt):
@@ -121,3 +131,38 @@ def test_graceful_shutdown_reports_query_drain(spark, tmp_path):
     report = graceful_shutdown(None, queries=[q])
     assert report == {"http_stopped": True, "queries_stopped": True}
     assert not q.isActive
+
+
+def test_read_all_streams_without_collect(server, monkeypatch):
+    """GET /read must stream the scan (chunked transfer, toLocalIterator)
+    — never a full-table collect on the driver (VERDICT r3) — and the
+    body must be byte-identical to the old json.dumps(collected) form."""
+    from pyspark.sql import DataFrame
+
+    for code in (3, 1, 2):
+        server.service.create({"code": code, "name": f"n{code}", "class": "A"})
+
+    def _no_collect(self):
+        raise AssertionError("GET /read must not collect() the full table")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    url = f"http://127.0.0.1:{server.port}/api/v1/sinners/read"
+    with urllib.request.urlopen(url) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        body = resp.read().decode()
+    rows = json.loads(body)
+    assert [r["code"] for r in rows] == [1, 2, 3, 14]
+    assert rows[0]["name"] == "n1"
+    # exact byte shape of the old collected response
+    assert body == json.dumps(rows)
+
+
+def test_quarantine_reader_tolerates_missing_dir(spark, tmp_path):
+    """Clean pipelines never create the quarantine dir; read_quarantine
+    must return an empty typed frame, not raise (ADVICE r3)."""
+    from cdc_cascade_spark.streaming.pipeline import read_quarantine
+
+    df = read_quarantine(spark, str(tmp_path / "never_written"))
+    assert df.count() == 0
+    assert set(df.columns) == {"raw_value", "batch_id"}

@@ -216,3 +216,45 @@ def test_bounded_df_cache_evicts_and_unpersists(spark):
     # a rebuild after eviction is a fresh frame, not the stale one
     a2 = cache.get_or_build(spark, "a", lambda: build("a3"))
     assert a2 is not a
+
+
+def test_bounded_df_cache_concurrent_build_single_winner(spark):
+    """Two threads racing a cold key must agree on ONE cached frame and
+    the losing build must be unpersisted, not leaked (ADVICE r3)."""
+    import threading
+
+    from cdc_cascade_spark.functions.caching import BoundedDFCache
+
+    cache = BoundedDFCache(max_entries=2)
+    built, results = [], []
+    gate = threading.Barrier(2)
+
+    def make_build(n):
+        # distinct row counts → distinct canonicalized plans: Spark's
+        # CacheManager keys on the plan, so identical plans would share
+        # ONE cache entry and the loser's unpersist would clear the
+        # winner's too
+        def build():
+            df = spark.range(n)
+            built.append(df)
+            return df
+
+        return build
+
+    def worker(n):
+        gate.wait()
+        results.append(cache.get_or_build(spark, "k", make_build(n)))
+
+    threads = [threading.Thread(target=worker, args=(100 + i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(results) == 2
+    assert results[0] is results[1], "both callers must get the same frame"
+    winner = results[0]
+    assert winner.storageLevel.useMemory
+    for df in built:
+        if df is not winner:
+            assert not df.storageLevel.useMemory, "losing build leaked a persisted frame"

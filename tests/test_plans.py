@@ -129,6 +129,9 @@ def test_plan_lint_all_registered_queries(spark):
         "ann_ivf_topk": {"bnlj"},
         "ann_ivf_kmeans_topk": {"bnlj"},
         "ann_lsh_topk": {"bnlj"},
+        "ann_lsh_multiprobe_topk": {"bnlj"},
+        # 1-row corpus-count frame broadcast into the idf-tier weight
+        "dedup_simhash_weighted": {"bnlj"},
         # global windows over the ~80-row month aggregate; safety pinned
         # by test_q09_windows_see_only_preaggregated_input.
         "q09_monthly_revenue_window": {"single-part-window"},
