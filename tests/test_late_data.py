@@ -128,3 +128,81 @@ def test_event_inside_watermark_is_counted(spark, tmp_path):
     q.stop()
     rows = {(str(r.ws), r.n) for r in spark.sql("SELECT * FROM ontime_out").collect()}
     assert ("2024-01-01 02:00:00", 2) in rows
+
+
+def test_session_window_drops_late_event_and_bounds_state(spark, tmp_path):
+    """Session windows must EVICT state at the watermark, not just stop
+    emitting: a late event for a long-closed session is dropped (the
+    engine reports it in numRowsDroppedByWatermark) and total state rows
+    stay bounded by the active sessions — the property that keeps
+    session state O(active users), not O(stream length), at scale."""
+    import os
+    from datetime import datetime
+
+    from cdc_cascade_spark.streaming.windows import session_counts
+
+    def write(path, rows, mtime):
+        parsed = [
+            (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u)
+            for i, ts, u in rows
+        ]
+        spark.createDataFrame(
+            parsed, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    src = tmp_path / "src"
+    # b1: user 7's session; b2 advances the watermark far past it
+    # (wm = 10:00 - 2h = 08:00 > session end 00:40), so b2's end evicts
+    # + emits the session; b3 keeps the stream moving (a late row in the
+    # SAME batch as the eviction may still merge — observed Spark 4.1
+    # semantics, same best-effort bound as the tumbling test above);
+    # b4 is a LATE event for the long-evicted session → dropped by the
+    # watermark, reported in numRowsDroppedByWatermark.
+    write(str(src / "b1"), [(1, "2024-01-01 00:10:00", 7)], mtime=1_000_000)
+    write(str(src / "b2"), [(2, "2024-01-01 10:00:00", 8)], mtime=1_000_100)
+    write(str(src / "b3"), [(3, "2024-01-01 11:00:00", 8)], mtime=1_000_200)
+    write(str(src / "b4"), [(4, "2024-01-01 00:20:00", 7)], mtime=1_000_300)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    import json as _json
+
+    progress = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    rows = {
+        (str(r.session_start), r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM session_evict_out").collect()
+    }
+    # the closed session was emitted exactly once, with only event 1
+    assert ("2024-01-01 00:10:00", 7, 1) in rows
+    assert not any(u == 7 and n != 1 for _s, u, n in rows)
+
+    ops = [op for p in progress for op in p.get("stateOperators", [])]
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0) for op in ops)
+    assert dropped > 0, "the late event must be dropped BY THE WATERMARK"
+    # state stays bounded by user 8's two open sessions — eviction
+    # actually removed the closed session's rows and the dropped late
+    # event never created new state
+    final_state = [
+        op.get("numRowsTotal", 0)
+        for p in progress[-1:]
+        for op in p.get("stateOperators", [])
+    ]
+    assert final_state and max(final_state) <= 2, final_state
