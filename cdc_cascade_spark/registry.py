@@ -55,6 +55,7 @@ CHECK_FIRST: list[str] = [
     # new this round
     "ann_lsh_multiprobe_topk",
     "dedup_simhash_weighted",
+    "dedup_cluster_representatives",
     # modules changed this round (llm/dedup.py: weighted simhash +
     # shared band frame; llm/similarity.py: multi-probe LSH) — every
     # query they define re-verifies.

@@ -363,3 +363,44 @@ def test_weighted_simhash_stopword_convergence(spark):
     ham_w = bin(wgt[0] ^ wgt[1]).count("1")
     assert ham_u >= 8, "unweighted fingerprints should diverge on stopword spam"
     assert ham_w <= ham_u // 2, f"weighting should at least halve the gap ({ham_w} vs {ham_u})"
+
+
+@pytest.mark.parametrize("local_max_edges", [0, 1 << 20],
+                         ids=["distributed", "driver-union-find"])
+def test_connected_components_transitive_fixpoint(spark, local_max_edges):
+    """Both CC paths must collapse transitive chains (A-B, B-C, C-D →
+    one component labelled by the min node) and leave disjoint
+    components separate — including a chain deep enough (32 nodes)
+    that the distributed path needs several pointer-jumping rounds,
+    proving it iterates to the true fixpoint, not one round."""
+    from cdc_cascade_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 32)]
+    edges = spark.createDataFrame(
+        chain + [(100, 101), (200, 200)], ["src", "dst"]
+    )
+    comps = {
+        r.node: r.comp
+        for r in connected_components(edges, local_max_edges=local_max_edges).collect()
+    }
+    assert {comps[n] for n in range(1, 33)} == {1}
+    assert comps[100] == comps[101] == 100
+    assert comps[200] == 200
+
+
+def test_cluster_representatives_cover_simhash_pairs(spark):
+    """Every doc that appears in a SimHash near-dup pair must be
+    assigned a representative, reps must be cluster minima, and both
+    docs of each pair must land in the same cluster."""
+    from cdc_cascade_spark.llm.dedup import (
+        dedup_cluster_representatives,
+        dedup_simhash_pairs,
+    )
+
+    pairs = dedup_simhash_pairs(spark, SF).collect()
+    reps = {r.doc_id: r.rep_doc_id for r in dedup_cluster_representatives(spark, SF).collect()}
+    assert pairs, "expected injected near-dup pairs in testdata"
+    for p in pairs:
+        assert reps[p.doc_a] == reps[p.doc_b]
+    for doc, rep in reps.items():
+        assert rep <= doc
