@@ -56,6 +56,8 @@ CHECK_FIRST: list[str] = [
     "ann_lsh_multiprobe_topk",
     "dedup_simhash_weighted",
     "dedup_cluster_representatives",
+    "contamination_check",
+    "stratified_sample",
     # modules changed this round (llm/dedup.py: weighted simhash +
     # shared band frame; llm/similarity.py: multi-probe LSH) — every
     # query they define re-verifies.
@@ -73,7 +75,7 @@ CHECK_FIRST: list[str] = [
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from cdc_cascade_spark.cdc import queries as cdc_queries
-    from cdc_cascade_spark.llm import dedup, multimodal, similarity, text
+    from cdc_cascade_spark.llm import curation, dedup, multimodal, similarity, text
     from cdc_cascade_spark.operators import asof, ranges, relational, sketches
 
     merged: dict[str, tuple] = {}
@@ -87,6 +89,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup,
         similarity,
         multimodal,
+        curation,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

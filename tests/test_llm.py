@@ -404,3 +404,46 @@ def test_cluster_representatives_cover_simhash_pairs(spark):
         assert reps[p.doc_a] == reps[p.doc_b]
     for doc, rep in reps.items():
         assert rep <= doc
+
+
+def test_contamination_pairs_are_bench_to_train(spark):
+    """Every contamination pair must cross the bench/train partition in
+    the right direction, stay above the containment floor, and at least
+    one injected near-dup pair with a benchmark member must surface."""
+    from cdc_cascade_spark.llm.curation import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_CONTAINMENT,
+        contamination_check,
+    )
+
+    rows = contamination_check(spark, SF).collect()
+    assert rows, "expected contaminated pairs in testdata"
+    for r in rows:
+        assert r.bench_doc % CONTAM_BENCH_MOD == 0
+        assert r.train_doc % CONTAM_BENCH_MOD != 0
+        assert r.containment >= CONTAM_MIN_CONTAINMENT
+        assert 0 < r.n_common
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """The sample must be a subset of the corpus, byte-identical across
+    runs, keep small strata whole, and thin every stratum larger than
+    the target (Bernoulli, so bound loosely at 4× target)."""
+    from cdc_cascade_spark.llm.curation import (
+        SAMPLE_TARGET_PER_STRATUM,
+        stratified_sample,
+    )
+
+    s1 = {r.doc_id for r in stratified_sample(spark, SF).collect()}
+    s2 = {r.doc_id for r in stratified_sample(spark, SF).collect()}
+    assert s1 == s2
+    kept = stratified_sample(spark, SF).groupBy("lang", "source").count().collect()
+    sizes = {(r.lang, r.source): r.n_stratum
+             for r in stratified_sample(spark, SF)
+             .select("lang", "source", "n_stratum").distinct().collect()}
+    for r in kept:
+        n = sizes[(r.lang, r.source)]
+        if n <= SAMPLE_TARGET_PER_STRATUM:
+            assert r["count"] == n, "small strata must be kept whole"
+        else:
+            assert r["count"] <= 4 * SAMPLE_TARGET_PER_STRATUM
