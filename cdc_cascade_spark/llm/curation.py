@@ -194,7 +194,180 @@ WHERE {_SLOT_SQL}
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+# Patterns restricted to the RE2 ∩ java.util.regex common subset
+# (character classes, bounded repetition, \b ASCII word boundary — no
+# lookaround, no backreferences) so Spark and DuckDB match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPv4 addresses.
+
+    The synthetic corpus contains no PII (verified: zero matches for
+    any pattern at sf0.01/sf0.1), so the query injects a deterministic
+    PII suffix first — every doc_id ≡ 0 (mod 10) gains an email,
+    every doc_id ≡ 5 (mod 10) a phone + IP — and both engines apply
+    the identical injection, making the redaction path genuinely
+    exercised AND oracle-checked. Untouched docs pass through
+    byte-identical (the no-PII fast path is part of the contract).
+
+    Redaction order matters and is fixed: emails first (their
+    local/domain parts contain dots and digits that the IP pattern
+    could otherwise chew on), then phones, then IPs.
+
+    Scale shape: pure scan → project; three JVM regexp passes per row,
+    no Python, no shuffle. At 100 TB this is the shape of every
+    PII-scrub pass — embarrassingly parallel, bounded by scan I/O.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mod10 = F.col("doc_id") % 10
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            mod10 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org today"),
+            ),
+        )
+        .when(
+            mod10 == 5,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 now"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", aug.alias("aug"))
+    n_emails = F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_PHONE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(F.col("aug"), F.lit(PII_IP), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+ORACLE_PII = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 10 = 0 THEN
+             ' contact user' || doc_id || '@example.org today'
+           WHEN doc_id % 10 = 5 THEN
+             ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             || ' from 192.168.' || (doc_id % 256) || '.7 now'
+           ELSE ''
+         END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{PII_EMAIL}'))::INTEGER AS n_emails,
+       len(regexp_extract_all(aug, '{PII_PHONE}'))::INTEGER AS n_phones,
+       len(regexp_extract_all(aug, '{PII_IP}'))::INTEGER AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(aug, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         '{PII_IP}', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-floor filter (drop the bottom decile)
+# --------------------------------------------------------------------------
+QUALITY_DROP_NUM = 1
+QUALITY_DROP_DEN = 10
+
+
+def quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the lowest-quality 10% of the corpus by exact rank.
+
+    The cut is the bottom ``n // 10`` documents under the total order
+    ``(quality_score, doc_id)`` — doc_id breaks score ties so the kept
+    set is unambiguous in both engines.
+
+    Scale shape: the threshold document is found with
+    ``orderBy(...).limit(k)`` — Spark compiles this to
+    TakeOrderedAndProject (each task keeps its local top-k, the driver
+    merges k·partitions rows), NOT a global sort — then broadcast back
+    as a 1-row frame; the keep-filter is a second scan-project. Two
+    scans, zero wide shuffles. The oracle uses the equivalent (but
+    single-reducer) ROW_NUMBER form — fine for DuckDB, wrong for
+    Spark at scale, which is exactly why the Spark plan differs.
+    ``scored.count()`` is a bounded action (same contract as the dedup
+    guards' probe).
+    """
+    from cdc_cascade_spark.llm.text import text_stats
+
+    scored = text_stats(spark, sf_dir).select("doc_id", "lang", "quality_score")
+    k = scored.count() * QUALITY_DROP_NUM // QUALITY_DROP_DEN
+    if k == 0:
+        return scored
+    thr = (
+        scored.orderBy("quality_score", "doc_id")
+        .limit(k)
+        .agg(F.max(F.struct("quality_score", "doc_id")).alias("t"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("quality_score") > F.col("t.quality_score"))
+            | (
+                (F.col("quality_score") == F.col("t.quality_score"))
+                & (F.col("doc_id") > F.col("t.doc_id"))
+            )
+        )
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+ORACLE_QUALITY_FLOOR = (
+    DOCS_CTE
+    + f"""
+, scored AS (
+  SELECT doc_id, lang,
+         least(1.0, len(toks)::DOUBLE / 100.0)
+           * (len(list_distinct(toks))::DOUBLE / len(toks)) AS quality_score
+  FROM sh
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, lang, quality_score
+FROM ranked
+WHERE rn > n * {QUALITY_DROP_NUM} // {QUALITY_DROP_DEN}
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "contamination_check": (contamination_check, ORACLE_CONTAMINATION),
     "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "pii_redaction": (pii_redaction, ORACLE_PII),
+    "quality_floor_filter": (quality_floor_filter, ORACLE_QUALITY_FLOOR),
 }

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.llm.prep import (
     DOCS_CTE,
+    SHINGLE_K,
     shingle_hash_set,
     tokens,
 )
@@ -283,8 +284,51 @@ FROM (
 )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: how much of the doc is itself again.
+
+    The boilerplate/loop-generation filter every pretraining pipeline
+    runs: ``repetition_ratio = 1 − distinct_shingles / total_shingles``
+    (0 = no 3-gram repeats, → 1 = the same phrase over and over).
+    Docs shorter than one shingle are repetition-free by definition.
+
+    Scale shape: map-only projection — the shingle set is computed
+    per-row with JVM array expressions (llm/prep.py), nothing shuffles,
+    nothing explodes. The 100 TB plan is scan → project → (optional)
+    filter pushed to the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total = F.greatest(n - (SHINGLE_K - 1), F.lit(1))
+    distinct_sh = F.size(shingle_hash_set(toks))
+    ratio = F.lit(1.0) - distinct_sh.cast("double") / total.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        total.alias("n_shingles"),
+        distinct_sh.alias("n_distinct_shingles"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+ORACLE_REPETITION = (
+    DOCS_CTE
+    + f"""
+SELECT doc_id, lang,
+       greatest(len(toks) - {SHINGLE_K - 1}, 1)::INTEGER AS n_shingles,
+       len(shingles)::INTEGER AS n_distinct_shingles,
+       1.0 - len(shingles)::DOUBLE
+           / greatest(len(toks) - {SHINGLE_K - 1}, 1)::DOUBLE
+         AS repetition_ratio
+FROM sh
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "doc_repetition": (doc_repetition, ORACLE_REPETITION),
     "text_salient_terms": (text_salient_terms, ORACLE_SALIENT),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),

@@ -58,6 +58,13 @@ CHECK_FIRST: list[str] = [
     "dedup_cluster_representatives",
     "contamination_check",
     "stratified_sample",
+    "pack_sequences",
+    "pii_redaction",
+    "quality_floor_filter",
+    "doc_repetition",
+    "sketch_kmv_setops",
+    # operators/sketches.py changed (setops added) — its sibling re-verifies
+    "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +
     # shared band frame; llm/similarity.py: multi-probe LSH) — every
     # query they define re-verifies.
@@ -75,7 +82,14 @@ CHECK_FIRST: list[str] = [
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from cdc_cascade_spark.cdc import queries as cdc_queries
-    from cdc_cascade_spark.llm import curation, dedup, multimodal, similarity, text
+    from cdc_cascade_spark.llm import (
+        curation,
+        dedup,
+        multimodal,
+        packing,
+        similarity,
+        text,
+    )
     from cdc_cascade_spark.operators import asof, ranges, relational, sketches
 
     merged: dict[str, tuple] = {}
@@ -90,6 +104,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         similarity,
         multimodal,
         curation,
+        packing,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

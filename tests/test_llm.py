@@ -447,3 +447,115 @@ def test_stratified_sample_deterministic_and_bounded(spark):
             assert r["count"] == n, "small strata must be kept whole"
         else:
             assert r["count"] <= 4 * SAMPLE_TARGET_PER_STRATUM
+
+
+def test_pack_sequences_contiguous_stream_per_shard(spark):
+    """Within each shard the packed stream must be gapless: offsets
+    ordered by doc_id tile exactly (prev.start + prev.n == next.start),
+    chunk spans must match the offsets, and a straddling doc (first !=
+    last chunk) must exist so the boundary case is exercised."""
+    from cdc_cascade_spark.llm.packing import PACK_BUDGET, pack_sequences
+
+    rows = pack_sequences(spark, SF).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 8
+    straddlers = 0
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.start_offset == off, (r.doc_id, r.start_offset, off)
+            assert r.first_chunk == r.start_offset // PACK_BUDGET
+            assert r.last_chunk == (r.start_offset + r.n_tokens - 1) // PACK_BUDGET
+            straddlers += r.first_chunk != r.last_chunk
+            off += r.n_tokens
+    assert straddlers > 0, "budget too large: no chunk boundary exercised"
+
+
+def test_pii_redaction_clean_and_complete(spark):
+    """Injected PII must be counted and fully redacted; untouched docs
+    must pass through byte-identical to the source text."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.curation import pii_redaction
+
+    original = {r.doc_id: r.text
+                for r in load_table(spark, SF, "documents").collect()}
+    rows = pii_redaction(spark, SF).collect()
+    assert len(rows) == len(original)
+    for r in rows:
+        mod = r.doc_id % 10
+        if mod == 0:
+            assert r.n_emails == 1 and "<EMAIL>" in r.redacted
+            assert "@" not in r.redacted
+        elif mod == 5:
+            assert r.n_phones == 1 and r.n_ips == 1
+            assert "<PHONE>" in r.redacted and "<IP>" in r.redacted
+            assert "192.168." not in r.redacted
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+            assert r.redacted == original[r.doc_id]
+
+
+def test_quality_floor_drops_exactly_bottom_decile(spark):
+    """The kept set must be the exact complement of the bottom-k under
+    (quality_score, doc_id) order, computed against the full scored
+    frame."""
+    from cdc_cascade_spark.llm.curation import quality_floor_filter
+    from cdc_cascade_spark.llm.text import text_stats
+
+    scored = sorted(
+        ((r.quality_score, r.doc_id) for r in text_stats(spark, SF).collect())
+    )
+    k = len(scored) // 10
+    expected = {doc for _, doc in scored[k:]}
+    kept = {r.doc_id for r in quality_floor_filter(spark, SF).collect()}
+    assert kept == expected
+    assert len(kept) == len(scored) - k
+
+
+def test_quality_floor_threshold_is_distributed_topk(spark):
+    """The threshold scan must compile to TakeOrderedAndProject (each
+    task keeps a local top-k), never a global sort."""
+    from cdc_cascade_spark.llm.curation import quality_floor_filter
+
+    plan = quality_floor_filter(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [quality_score" not in plan
+
+
+def test_repetition_ratio_bounds_and_detects_repeats(spark):
+    """Ratio ∈ [0, 1); distinct-shingle count never exceeds the total
+    shingle count."""
+    from cdc_cascade_spark.llm.text import doc_repetition
+
+    rows = doc_repetition(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.repetition_ratio < 1.0
+        assert r.n_distinct_shingles <= r.n_shingles
+
+
+def test_kmv_setops_close_to_exact(spark):
+    """Union/intersection estimates must sit within the KMV error
+    envelope (~1/sqrt(K) ≈ 12.5%, allow 3σ) of the exact counts."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.operators.sketches import sketch_kmv_setops
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select("event_type", "user_id").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        if r.user_id is not None:
+            users.setdefault(r.event_type, set()).add(r.user_id)
+    rows = sketch_kmv_setops(spark, sf).collect()
+    assert len(rows) == len(users) * (len(users) - 1) // 2
+    for r in rows:
+        u = len(users[r.type_a] | users[r.type_b])
+        i = len(users[r.type_a] & users[r.type_b])
+        assert abs(r.union_est - u) / u < 0.4, (r.type_a, r.type_b, r.union_est, u)
+        # intersection estimates inherit union noise; bound loosely
+        assert abs(r.inter_est - i) <= max(0.5 * u / 8, 0.5 * i), (
+            r.type_a, r.type_b, r.inter_est, i,
+        )

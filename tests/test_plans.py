@@ -132,6 +132,13 @@ def test_plan_lint_all_registered_queries(spark):
         "ann_lsh_multiprobe_topk": {"bnlj"},
         # 1-row corpus-count frame broadcast into the idf-tier weight
         "dedup_simhash_weighted": {"bnlj"},
+        # 1-row quality-threshold frame (TakeOrderedAndProject result)
+        # broadcast into the keep-filter
+        "quality_floor_filter": {"bnlj"},
+        # pairwise sketch join on type_a < type_b: |groups| one-row
+        # sketches of K longs each — the build side is kilobytes by
+        # construction (that is the point of sketch algebra)
+        "sketch_kmv_setops": {"bnlj"},
         # global windows over the ~80-row month aggregate; safety pinned
         # by test_q09_windows_see_only_preaggregated_input.
         "q09_monthly_revenue_window": {"single-part-window"},
