@@ -27,7 +27,7 @@ DuckDB oracle reproduces every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -592,21 +592,7 @@ SIMHASH64_BANDS = 4
 SIMHASH64_MAX_HAMMING = 3
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash band blocking + Hamming
-    verification.
-
-    sim_hi/sim_lo per doc (64 conditional-sum aggregates, one shuffle)
-    → explode 4 (band, 16-bit key) rows per doc → band self-join →
-    distinct candidates → join fingerprints back → keep total Hamming
-    ≤ 3. Only candidate pairs ever see the xor/bit_count; nothing is
-    all-pairs.
-
-    The fingerprint frame is persisted and shared with ``dedup_simhash``
-    (three consumers here — bands + both verification sides — would
-    otherwise each recompute the token explode + 64 vote aggregates).
-    24 bytes per doc of cache.
-    """
+def _simhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _simhash64_cached(spark, sf_dir)
     halves = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
     band_structs = [
@@ -646,6 +632,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH64_MAX_HAMMING)
+    )
+
+
+# The verified near-dup pairs feed two queries (the pairs listing and
+# the connected-components clustering), so the band self-join + Hamming
+# verification runs once per (session, sf_dir). Cache rows are
+# (id, id, int) — near-dup pairs are a vanishing fraction of the corpus
+# (841 at sf0.1), so this is the cheapest shared frame of the lot.
+_SIMHASH_PAIRS_CACHE = BoundedDFCache()
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash band blocking + Hamming
+    verification.
+
+    sim_hi/sim_lo per doc (64 conditional-sum aggregates, one shuffle)
+    → explode 4 (band, 16-bit key) rows per doc → band self-join →
+    distinct candidates → join fingerprints back → keep total Hamming
+    ≤ 3. Only candidate pairs ever see the xor/bit_count; nothing is
+    all-pairs.
+
+    The fingerprint frame is persisted and shared with ``dedup_simhash``
+    (three consumers here — bands + both verification sides — would
+    otherwise each recompute the token explode + 64 vote aggregates);
+    the verified pairs result is itself persisted and shared with
+    ``dedup_cluster_representatives``.
+    """
+    return _SIMHASH_PAIRS_CACHE.get_or_build(
+        spark, sf_dir, lambda: _simhash_pairs_frame(spark, sf_dir)
     )
 
 
@@ -777,11 +792,12 @@ def connected_components(
     equality ⟺ converged (summed as decimal(38,0) so 100 TB-scale id
     sums cannot overflow int64).
     """
-    both = (
-        edges.union(edges.select(F.col("dst"), F.col("src")))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    # Checkpoint the edge list BEFORE mirroring: the union's two
+    # branches would otherwise each re-derive the full upstream pairs
+    # pipeline (band join + Hamming verify) — measured 2× the upstream
+    # cost at sf0.1. The mirror is then a narrow op over the snapshot.
+    e = edges.toDF("src", "dst").localCheckpoint(eager=True)
+    both = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
     n_edges = both.count()  # bounded action on the checkpointed frame
     if n_edges <= local_max_edges:
         # bounded by local_max_edges (≤ ~32 MB of id pairs); collect()
@@ -844,14 +860,13 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comps = connected_components(pairs)
-    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comps.join(sizes, "comp")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("rep_doc_id"),
-            "cluster_size",
-        )
+    # cluster_size via one window over comp (hash-partitioned, never a
+    # single-partition exchange) — a groupBy + join-back would shuffle
+    # the same rows twice for the same answer.
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("rep_doc_id"),
+        F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
     )
 
 
