@@ -548,3 +548,86 @@ def test_materialized_view_pipeline_executor_side(spark, tmp_path):
             else:
                 state.pop(parts[1], None)
     assert state == {"5": "Aurelius", "17": "Shalom"}
+
+
+# ---------------------------------------------------------------------------
+# Stream-static near-dup screening (streaming/enrich.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rowwise_featurization_equals_agg_bands(spark):
+    """The stream path's per-row array_min signatures must produce the
+    exact (doc_id, band, bkey) set the batch explode+aggregate path
+    produces — the two formulations are pinned together."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.dedup import minhash_bands_cached
+    from cdc_cascade_spark.streaming.enrich import featurize_rowwise
+
+    docs = load_table(spark, SF, "documents")
+    rowwise = {
+        (r.doc_id, r.band, r.bkey)
+        for r in featurize_rowwise(docs).select("doc_id", "band", "bkey").collect()
+    }
+    agg = {
+        (r.doc_id, r.band, r.bkey)
+        for r in minhash_bands_cached(spark, SF).collect()
+    }
+    assert rowwise == agg
+
+
+def test_near_dup_matches_one_row_per_pair(spark):
+    """Batch-mode matches: every verified near-dup pair appears exactly
+    once (first-shared-band rule), in both directions, with the exact
+    Jaccard; the pair set must agree with dedup_minhash_lsh."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.dedup import dedup_minhash_lsh
+    from cdc_cascade_spark.streaming.enrich import near_dup_matches
+
+    docs = load_table(spark, SF, "documents")
+    rows = near_dup_matches(docs, docs).collect()
+    pair_counts: dict[tuple, int] = {}
+    for r in rows:
+        pair_counts[(r.doc_id, r.static_doc)] = (
+            pair_counts.get((r.doc_id, r.static_doc), 0) + 1
+        )
+    assert pair_counts, "expected injected near-dups to match"
+    assert all(c == 1 for c in pair_counts.values()), "pair emitted twice"
+    # symmetric: screening the corpus against itself sees both directions
+    undirected = {tuple(sorted(p)) for p in pair_counts}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert undirected == lsh
+
+
+def test_admission_stream_matches_batch_filter(spark, tmp_path):
+    """Streaming admission via foreachBatch must admit exactly the docs
+    the batch left-anti admits, across multiple micro-batches."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.streaming.enrich import (
+        admit_new_docs,
+        start_admission_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    static = docs  # screen the corpus against itself: near-dups rejected
+    expected = {r.doc_id for r in admit_new_docs(docs, static).collect()}
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two files → two micro-batches
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    other.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "admitted")
+    q = start_admission_stream(stream, static, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == expected
+    assert len(admitted) < docs.count()  # the near-dups were rejected
