@@ -41,7 +41,7 @@ avoids).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
@@ -365,9 +365,51 @@ WHERE rn > n * {QUALITY_DROP_NUM} // {QUALITY_DROP_DEN}
 )
 
 
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N stratified sample: the ``min(n_stratum, TARGET)`` docs
+    with the smallest salted hash per (lang, source) stratum.
+
+    The exact-size counterpart to the Bernoulli ``stratified_sample``:
+    deterministic (hash order, doc_id tie-break), and each stratum
+    yields exactly its quota. The price is a per-stratum ranking — but
+    it compiles to WindowGroupLimit (rank pushdown: each map task
+    keeps only TARGET rows per stratum before the shuffle), so the
+    shuffle carries ≤ TARGET·partitions rows per stratum, not the
+    stratum. A dominant stratum therefore does NOT funnel through one
+    reducer at full volume — the residual skew (TARGET rows × number
+    of map partitions for one hot stratum key) is the bounded kind.
+    Plan shape pinned in tests/test_plans.py.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    slot = token_hash(
+        F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy("lang", "source").orderBy(slot.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_TARGET_PER_STRATUM)
+        .select("doc_id", "lang", "source", F.col("rk").alias("sample_rank"))
+    )
+
+
+ORACLE_STRATIFIED_EXACT = f"""
+SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {token_hash_sql(f"'{_SAMPLE_SALT}' || doc_id")}, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_TARGET_PER_STRATUM}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "contamination_check": (contamination_check, ORACLE_CONTAMINATION),
     "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "stratified_sample_exact": (stratified_sample_exact, ORACLE_STRATIFIED_EXACT),
     "pii_redaction": (pii_redaction, ORACLE_PII),
     "quality_floor_filter": (quality_floor_filter, ORACLE_QUALITY_FLOOR),
 }

@@ -94,6 +94,90 @@ FROM o
 """
 
 
+# Overlapping chunking (RAG / embedding prep): fixed-size token windows
+# with stride < size so consecutive chunks share SIZE−STRIDE tokens of
+# context. Small sizes so multi-chunk docs are common at sf0.01
+# (docs average ~50 tokens); production: 512/384 or similar.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document.
+
+    Output: (doc_id, chunk_id, start_tok, end_tok, chunk_text) with
+    ``[start_tok, end_tok)`` 0-based token spans. Chunk count is
+    ``1`` for docs ≤ SIZE tokens, else ``ceil((n−SIZE)/STRIDE)+1``;
+    the LAST chunk's start is clipped to ``n−SIZE`` so every chunk is
+    full-size whenever the doc allows (the standard
+    tokenizer-sliding-window convention).
+
+    Scale shape: map-side explode only — each doc expands to
+    ~n/STRIDE rows with no shuffle anywhere; the explode factor is
+    bounded by document length, not corpus size. Chunk text is built
+    by slicing the already-split token array (no re-tokenization).
+    Deterministic: pure integer arithmetic, so chunk ids/spans are
+    engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.expr(f"(n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}") + 1
+    )
+    ch = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.least(
+        F.col("chunk_id") * CHUNK_STRIDE,
+        F.greatest(F.col("n") - CHUNK_SIZE, F.lit(0)),
+    )
+    end = F.least(start + CHUNK_SIZE, F.col("n"))
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        F.concat_ws(
+            " ", F.slice("toks", start + 1, end - start)
+        ).alias("chunk_text"),
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, {TOKENS_SQL.format(x='text')} AS toks,
+         len({TOKENS_SQL.format(x='text')}) AS n
+  FROM documents
+), nc AS (
+  SELECT *,
+         CASE WHEN n <= {CHUNK_SIZE} THEN 1
+              ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+         END AS n_chunks
+  FROM d
+), ch AS (
+  SELECT doc_id, toks, n, unnest(range(n_chunks)) AS chunk_id FROM nc
+), sp AS (
+  SELECT doc_id, chunk_id,
+         least(chunk_id * {CHUNK_STRIDE}, greatest(n - {CHUNK_SIZE}, 0)) AS start_tok,
+         least(least(chunk_id * {CHUNK_STRIDE}, greatest(n - {CHUNK_SIZE}, 0))
+               + {CHUNK_SIZE}, n) AS end_tok,
+         toks
+  FROM ch
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(end_tok AS INTEGER) AS end_tok,
+       array_to_string(toks[start_tok + 1:end_tok], ' ') AS chunk_text
+FROM sp
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pack_sequences": (pack_sequences, ORACLE_PACK),
+    "doc_chunks": (doc_chunks, ORACLE_CHUNKS),
 }

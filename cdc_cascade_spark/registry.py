@@ -59,6 +59,8 @@ CHECK_FIRST: list[str] = [
     "contamination_check",
     "stratified_sample",
     "pack_sequences",
+    "doc_chunks",
+    "stratified_sample_exact",
     "pii_redaction",
     "quality_floor_filter",
     "doc_repetition",

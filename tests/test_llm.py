@@ -559,3 +559,58 @@ def test_kmv_setops_close_to_exact(spark):
         assert abs(r.inter_est - i) <= max(0.5 * u / 8, 0.5 * i), (
             r.type_a, r.type_b, r.inter_est, i,
         )
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunks must tile each doc: first starts at 0, last ends at n,
+    consecutive chunks advance by exactly STRIDE (except the clipped
+    last), every chunk is full-size unless the doc is shorter, and the
+    chunk text matches the token span."""
+    from cdc_cascade_spark.llm.packing import CHUNK_SIZE, CHUNK_STRIDE, doc_chunks
+    from cdc_cascade_spark.catalog import load_table
+
+    import re
+
+    # mirror the engine's tokenizer: split on \s+ (''.split() drops
+    # leading empties and would disagree on empty text)
+    texts = {r.doc_id: re.split(r"\s+", r.text)
+             for r in load_table(spark, SF, "documents").collect()}
+    by_doc: dict[int, list] = {}
+    for r in doc_chunks(spark, SF).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    multi = 0
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = len(texts[doc])
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == n
+        multi += len(chunks) > 1
+        for r in chunks:
+            assert r.end_tok - r.start_tok == min(CHUNK_SIZE, n)
+            assert r.chunk_text == " ".join(texts[doc][r.start_tok:r.end_tok])
+            if r.chunk_id < len(chunks) - 1:
+                assert r.start_tok == r.chunk_id * CHUNK_STRIDE
+    assert multi > 0, "chunk size too large: no doc produced multiple chunks"
+
+
+def test_stratified_exact_quota_and_determinism(spark):
+    """Every stratum yields exactly min(n_stratum, TARGET) docs; two
+    runs pick identical doc sets; the sample is a subset of the
+    Bernoulli sample's universe (the corpus)."""
+    from cdc_cascade_spark.llm.curation import (
+        SAMPLE_TARGET_PER_STRATUM,
+        stratified_sample_exact,
+    )
+    from cdc_cascade_spark.catalog import load_table
+
+    sizes: dict[tuple, int] = {}
+    for r in load_table(spark, SF, "documents").collect():
+        sizes[(r.lang, r.source)] = sizes.get((r.lang, r.source), 0) + 1
+    s1 = {(r.doc_id, r.lang, r.source) for r in stratified_sample_exact(spark, SF).collect()}
+    s2 = {(r.doc_id, r.lang, r.source) for r in stratified_sample_exact(spark, SF).collect()}
+    assert s1 == s2
+    kept: dict[tuple, int] = {}
+    for _, lang, source in s1:
+        kept[(lang, source)] = kept.get((lang, source), 0) + 1
+    for stratum, n in sizes.items():
+        assert kept.get(stratum, 0) == min(n, SAMPLE_TARGET_PER_STRATUM), stratum
