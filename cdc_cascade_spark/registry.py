@@ -65,6 +65,8 @@ CHECK_FIRST: list[str] = [
     "quality_floor_filter",
     "doc_repetition",
     "sketch_kmv_setops",
+    "funnel_conversion",
+    "cohort_retention",
     # operators/sketches.py changed (setops added) — its sibling re-verifies
     "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +
@@ -92,11 +94,18 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         similarity,
         text,
     )
-    from cdc_cascade_spark.operators import asof, ranges, relational, sketches
+    from cdc_cascade_spark.operators import (
+        asof,
+        behavior,
+        ranges,
+        relational,
+        sketches,
+    )
 
     merged: dict[str, tuple] = {}
     for module in (
         relational,
+        behavior,
         asof,
         ranges,
         sketches,

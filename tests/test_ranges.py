@@ -65,3 +65,38 @@ def test_kmv_exact_below_k(spark):
     )
     got = {r.g: (r.distinct_est, r.n_kept) for r in kmv_distinct(df, "g", "v").collect()}
     assert got == {"a": (7.0, 7), "b": (3.0, 3)}
+
+
+def test_funnel_counts_monotone(spark):
+    """Funnel stages shrink (or hold) monotonically and every stage
+    converts someone at sf0.001."""
+    from cdc_cascade_spark.operators.behavior import funnel_conversion
+
+    sf = "/root/testdata/sf0.001"
+    counts = {r.stage: r.n_users for r in funnel_conversion(spark, sf).collect()}
+    assert set(counts) == {"1_view", "2_click", "3_purchase"}
+    assert counts["1_view"] >= counts["2_click"] >= counts["3_purchase"] > 0
+
+
+def test_cohort_offset_zero_covers_every_user(spark):
+    """Offset 0 of each cohort counts exactly the cohort's members
+    (every user is active in their own first week), and offsets are
+    non-negative."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.operators.behavior import cohort_retention
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = cohort_retention(spark, sf).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    cohort_sizes = {
+        r.cohort_week: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    at_zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    assert at_zero == cohort_sizes
