@@ -211,8 +211,60 @@ GROUP BY 1
 )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from the changelog.
+
+    The warehouse-side complement of ``cdc_latest_state``: instead of
+    compacting to current rows, every change opens a version valid
+    over ``[valid_from_lsn, valid_to_lsn)``; the next change (or
+    delete) closes it, and the open version per key is flagged
+    ``is_current``. Delete rows close their predecessor but are not
+    themselves versions — exactly how a Debezium→lakehouse SCD2
+    materialization behaves.
+
+    Scale shape: one window over (key, lsn) — the same key-partitioned
+    shuffle every CDC operator here uses (no global ordering); output
+    is ~1 row per change, append-friendly.
+    """
+    log = changelog_from_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("lsn")
+    with_to = log.select(
+        "user_id",
+        F.col("lsn").alias("valid_from_lsn"),
+        F.lead("lsn", 1).over(w).alias("valid_to_lsn"),
+        "op",
+        "event_type",
+        "value",
+    )
+    return with_to.filter(F.col("op") != "d").select(
+        "user_id",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "event_type",
+        "value",
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = (
+    _CHANGELOG_SQL_CTE
+    + """
+SELECT user_id, valid_from_lsn, valid_to_lsn, event_type, value,
+       valid_to_lsn IS NULL AS is_current
+FROM (
+  SELECT user_id, lsn AS valid_from_lsn,
+         LEAD(lsn, 1) OVER (PARTITION BY user_id ORDER BY lsn)
+           AS valid_to_lsn,
+         op, event_type, value
+  FROM changelog
+) WHERE op <> 'd'
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "cdc_latest_state": (cdc_latest_state, ORACLE_LATEST_STATE),
     "cdc_invalidation_summary": (cdc_invalidation_summary, ORACLE_INVALIDATION),
     "cdc_op_routing": (cdc_op_routing, ORACLE_OP_ROUTING),
+    "cdc_scd2_history": (cdc_scd2_history, ORACLE_SCD2),
 }

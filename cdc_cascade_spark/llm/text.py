@@ -326,9 +326,63 @@ FROM sh
 )
 
 
+BPE_TOP_PAIRS = 20
+
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE training: the corpus's most frequent
+    adjacent pre-token pairs (the merge candidates).
+
+    Pre-tokens come from the same BPE_PATTERN as ``text_stats``;
+    adjacent pairs are built by zipping the pre-token array against
+    its own 1-shifted slice (map-side, no window), then one explode →
+    count → top-K. A full BPE trainer iterates this: merge the top
+    pair, re-tokenize, repeat — each round is exactly this query over
+    the updated vocabulary, so the single round IS the distributed
+    building block.
+
+    Scale shape: explode → map-side partial count → one shuffle on the
+    pair key (vocabulary², but Zipf-concentrated); top-K is
+    TakeOrderedAndProject, never a global sort. Ties break on the pair
+    string so K is deterministic in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    n = F.size(pre)
+    pairs = F.zip_with(
+        F.slice(pre, 1, n - 1),
+        F.slice(pre, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH pre AS (
+  SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}') AS p
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(p)),
+                               i -> p[i] || ' ' || p[i+1])) AS pair
+  FROM pre
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "doc_repetition": (doc_repetition, ORACLE_REPETITION),
+    "bpe_merge_pairs": (bpe_merge_pairs, ORACLE_BPE_PAIRS),
     "text_salient_terms": (text_salient_terms, ORACLE_SALIENT),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),

@@ -67,6 +67,8 @@ CHECK_FIRST: list[str] = [
     "sketch_kmv_setops",
     "funnel_conversion",
     "cohort_retention",
+    "cdc_scd2_history",
+    "bpe_merge_pairs",
     # operators/sketches.py changed (setops added) — its sibling re-verifies
     "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +

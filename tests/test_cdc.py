@@ -161,3 +161,33 @@ def test_route_by_table(spark):
     assert routed["sinners"].count() == 1
     assert routed["saints"].count() == 1
     assert routed["__unknown__"].count() == 1
+
+
+def test_scd2_versions_chain_and_agree_with_latest_state(spark):
+    """Per key: version intervals chain (valid_to == next valid_from),
+    exactly one current version unless the key ended deleted, and the
+    current versions coincide with cdc_latest_state."""
+    from cdc_cascade_spark.cdc.queries import cdc_latest_state, cdc_scd2_history
+
+    sf = "/root/testdata/sf0.001"
+    by_user: dict[int, list] = {}
+    for r in cdc_scd2_history(spark, sf).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    latest = {r.user_id: (r.last_lsn, r.last_event_type)
+              for r in cdc_latest_state(spark, sf).collect()}
+    currents = {}
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r.valid_from_lsn)
+        open_versions = [r for r in versions if r.is_current]
+        assert len(open_versions) <= 1
+        if open_versions:
+            currents[user] = (
+                open_versions[0].valid_from_lsn,
+                open_versions[0].event_type,
+            )
+        for r in versions:
+            assert r.is_current == (r.valid_to_lsn is None)
+            if r.valid_to_lsn is not None:
+                assert r.valid_to_lsn > r.valid_from_lsn
+    # current versions == latest non-deleted state
+    assert currents == latest

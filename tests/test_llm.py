@@ -614,3 +614,22 @@ def test_stratified_exact_quota_and_determinism(spark):
         kept[(lang, source)] = kept.get((lang, source), 0) + 1
     for stratum, n in sizes.items():
         assert kept.get(stratum, 0) == min(n, SAMPLE_TARGET_PER_STRATUM), stratum
+
+
+def test_bpe_pairs_counts_match_manual(spark):
+    """Top merge-pair counts must equal a driver-side recount over the
+    same pre-tokenization, and the frame must be K rows, ties broken
+    by pair string."""
+    import re
+    from collections import Counter
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.text import BPE_PATTERN, BPE_TOP_PAIRS, bpe_merge_pairs
+
+    counts: Counter = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        pre = re.findall(BPE_PATTERN, r.text)
+        counts.update(f"{a} {b}" for a, b in zip(pre, pre[1:]))
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    rows = bpe_merge_pairs(spark, SF).collect()
+    assert [(r.pair, r.n_occurrences) for r in rows] == expected
