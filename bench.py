@@ -9,7 +9,8 @@ entry.
 
 Shared-frame policy (fairness): several query families ride persisted
 per-(session, sf_dir) feature frames (CDC envelope fixture, shingle-set
-relation, MinHash band relation, 64-bit SimHash fingerprints). The
+relation, MinHash band relation, 64-bit SimHash fingerprints, verified
+SimHash near-dup pairs). The
 bench warms ALL of them up front, so every per-query slot measures that
 query's marginal plan over the warm substrate — no slot silently pays a
 shared build that other queries then ride for free. The one-time build

