@@ -258,3 +258,111 @@ def test_bounded_df_cache_concurrent_build_single_winner(spark):
     for df in built:
         if df is not winner:
             assert not df.storageLevel.useMemory, "losing build leaked a persisted frame"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: tiling invariant over arbitrary corpora
+# ---------------------------------------------------------------------------
+
+doc_text = st.text(alphabet="ab ", min_size=0, max_size=40)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(doc_text, min_size=1, max_size=12))
+def test_pack_sequences_tiles_any_corpus(spark, texts):
+    """For arbitrary (including empty / whitespace-heavy) documents the
+    packed stream must tile gaplessly per shard and chunk spans must be
+    consistent with the offsets — the same invariant the sf-data test
+    checks, under adversarial token counts."""
+    import re
+
+    from pyspark.sql import functions as F, Window as W
+    from cdc_cascade_spark.llm.packing import PACK_BUDGET, PACK_SHARDS
+    from cdc_cascade_spark.llm.prep import tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # inline the operator body over the synthetic frame (pack_sequences
+    # loads from a sf_dir; the plan under test is identical)
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    rows = (
+        d.withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+        )
+        .collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.start_offset == off
+            assert r.n_tokens == len(re.split(r"\s+", texts[r.doc_id]))
+            off += r.n_tokens
+
+
+def test_contamination_df_cap_kills_hot_shingle(spark):
+    """A shingle present in EVERY document (boilerplate) must be
+    removed by the df-cap before the index join: docs that share ONLY
+    boilerplate must produce no contamination pair, while a genuine
+    containment pair must survive."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.llm.curation import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_CONTAINMENT,
+    )
+    from cdc_cascade_spark.llm.prep import shingle_hash_set, tokens
+
+    # 200 docs all opening with the same boilerplate sentence, then a
+    # unique tail; doc 0 (bench: 0 % 7 == 0) is fully contained in doc
+    # 1 (train). Docs 7k share only boilerplate with everything else.
+    boiler = "terms of service apply to this document"
+    rows = [(0, boiler + " alpha beta gamma delta"),
+            (1, boiler + " alpha beta gamma delta epsilon zeta " +
+             " ".join(f"t{j}" for j in range(10)))]
+    rows += [(i, boiler + f" unique{i} tail{i} x{i} y{i}") for i in range(2, 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens(F.col("text"))
+    prepared = docs.select("doc_id", shingle_hash_set(toks).alias("hset"))
+
+    # replicate contamination_check's plan over the synthetic frame
+    cap = max(5, min(1000, 200 // 20))
+    exploded = prepared.select("doc_id", F.explode("hset").alias("h"))
+    hot = (
+        exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap).select("h")
+    )
+    rare = exploded.join(F.broadcast(hot), "h", "left_anti")
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = rare.filter(is_bench)
+    train = rare.filter(~is_bench)
+    bsz = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        bench.select(F.col("doc_id").alias("bench_doc"), "h")
+        .join(train.select(F.col("doc_id").alias("train_doc"), "h"), "h")
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(bsz.withColumnRenamed("doc_id", "bench_doc"), "bench_doc")
+        .withColumn("containment",
+                    F.col("n_common").cast("double") / F.col("sz").cast("double"))
+        .filter(F.col("containment") >= CONTAM_MIN_CONTAINMENT)
+        .collect()
+    )
+    found = {(r.bench_doc, r.train_doc) for r in pairs}
+    assert (0, 1) in found, "genuine containment must survive the cap"
+    # boilerplate-only overlaps: no pair involving the unique-tail docs
+    assert all(p == (0, 1) for p in found), f"boilerplate-only pairs leaked: {found - {(0,1)}}"
