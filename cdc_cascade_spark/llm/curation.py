@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.functions.hashing import token_hash, token_hash_sql
-from cdc_cascade_spark.llm.prep import DOCS_CTE
+from cdc_cascade_spark.llm.prep import DOCS_CTE, TOKENS_SQL
 
 # Benchmark-suite model: every doc_id ≡ 0 (mod 7) is "eval data".
 CONTAM_BENCH_MOD = 7
@@ -406,8 +406,95 @@ WHERE rk <= {SAMPLE_TARGET_PER_STRATUM}
 """
 
 
+def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality audit per embedding cluster label: join
+    ``documents`` × ``embeddings`` on id and profile each label.
+
+    The pipeline step after clustering: "which embedding clusters are
+    full of junk?". Output per label: doc count, total tokens, a
+    corpus-level type-token ratio, and the dominant language (count
+    mode, ties broken alphabetically).
+
+    Determinism: all aggregates are INTEGER sums; the two doubles are
+    single divisions of those sums (never accumulated floats — a mean
+    of per-doc double scores would be summation-order-dependent and
+    break the cross-engine hash).
+
+    Scale shape: one id-equi-join (both sides hash-partition on the
+    id — co-partitioned shuffle), then a label rollup whose output is
+    |labels| rows; the lang-mode window partitions by label over the
+    tiny (label, lang) count frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    from cdc_cascade_spark.llm.prep import tokens
+
+    toks = tokens(F.col("text"))
+    joined = docs.join(emb, "doc_id").select(
+        "doc_id",
+        "label",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
+    )
+    prof = joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+        F.sum("n_dist").alias("sum_distinct"),
+    )
+    lang_counts = joined.groupBy("label", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lw = W.partitionBy("label").orderBy(F.desc("cnt"), F.asc("lang"))
+    dominant = (
+        lang_counts.withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("lang").alias("dominant_lang"))
+    )
+    return prof.join(dominant, "label").select(
+        "label",
+        "n_docs",
+        "sum_tokens",
+        (F.col("sum_distinct").cast("double") / F.col("sum_tokens").cast("double"))
+        .alias("corpus_ttr"),
+        (F.col("sum_tokens").cast("double") / F.col("n_docs").cast("double"))
+        .alias("avg_tokens"),
+        "dominant_lang",
+    )
+
+
+ORACLE_LABEL_PROFILE = f"""
+WITH joined AS (
+  SELECT d.doc_id, e.label, d.lang,
+         len({TOKENS_SQL.format(x='d.text')}) AS n_toks,
+         len(list_distinct({TOKENS_SQL.format(x='d.text')})) AS n_dist
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), prof AS (
+  SELECT label, COUNT(*) AS n_docs, SUM(n_toks) AS sum_tokens,
+         SUM(n_dist) AS sum_distinct
+  FROM joined GROUP BY label
+), lc AS (
+  SELECT label, lang, COUNT(*) AS cnt FROM joined GROUP BY 1, 2
+), dom AS (
+  SELECT label, lang AS dominant_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY cnt DESC, lang ASC) AS rn
+        FROM lc)
+  WHERE rn = 1
+)
+SELECT p.label, p.n_docs, p.sum_tokens,
+       p.sum_distinct::DOUBLE / p.sum_tokens::DOUBLE AS corpus_ttr,
+       p.sum_tokens::DOUBLE / p.n_docs::DOUBLE AS avg_tokens,
+       dom.dominant_lang
+FROM prof p JOIN dom USING (label)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "contamination_check": (contamination_check, ORACLE_CONTAMINATION),
+    "label_quality_profile": (label_quality_profile, ORACLE_LABEL_PROFILE),
     "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "stratified_sample_exact": (stratified_sample_exact, ORACLE_STRATIFIED_EXACT),
     "pii_redaction": (pii_redaction, ORACLE_PII),

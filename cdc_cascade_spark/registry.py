@@ -69,6 +69,7 @@ CHECK_FIRST: list[str] = [
     "cohort_retention",
     "cdc_scd2_history",
     "bpe_merge_pairs",
+    "label_quality_profile",
     # operators/sketches.py changed (setops added) — its sibling re-verifies
     "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +
