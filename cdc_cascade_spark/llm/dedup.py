@@ -472,10 +472,18 @@ def _simhash64_frame(docs: DataFrame) -> DataFrame:
     with a salt — independent bits, one extra md5 per token row.
     """
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    h_lo = token_hash(F.col("t"))
-    h_hi = token_hash(F.concat(F.col("t"), F.lit("#hi")))
-    votes = tok.groupBy("doc_id").agg(
-        *_vote_aggs(h_lo, "lo"), *_vote_aggs(h_hi, "hi")
+    # Project the two hashes BEFORE the vote aggregates: aggregate
+    # expressions do not get common-subexpression elimination, so an
+    # inlined token_hash(t) is re-evaluated by every one of the 64
+    # bit-aggregates — measured 10× the whole build at sf0.1. A
+    # projected column is hashed exactly once per token row.
+    hashed = tok.select(
+        "doc_id",
+        token_hash(F.col("t")).alias("h_lo"),
+        token_hash(F.concat(F.col("t"), F.lit("#hi"))).alias("h_hi"),
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *_vote_aggs(F.col("h_lo"), "lo"), *_vote_aggs(F.col("h_hi"), "hi")
     )
     return votes.select(
         "doc_id",
@@ -974,13 +982,21 @@ def simhash_weighted_frame(docs: DataFrame) -> DataFrame:
         F.lit(1).cast("bigint"),
         F.least(F.lit(WSIMHASH_MAX_W).cast("bigint"), F.expr("n div df")),
     )
+    # h is projected, not inlined: aggregate expressions get no
+    # common-subexpression elimination, so an inlined token_hash(t)
+    # would be re-evaluated by all 32 vote aggregates (measured 10×
+    # the whole build at sf0.1 — same fix as _simhash64_frame).
     weighted = (
         occ.join(F.broadcast(dfreq), "t")
         .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "t", (F.col("tf") * idf_tier).alias("w"))
+        .select(
+            "doc_id",
+            token_hash(F.col("t")).alias("h"),
+            (F.col("tf") * idf_tier).alias("w"),
+        )
     )
     votes = weighted.groupBy("doc_id").agg(
-        *_weighted_vote_aggs(token_hash(F.col("t")), F.col("w"), "wv")
+        *_weighted_vote_aggs(F.col("h"), F.col("w"), "wv")
     )
     return votes.select("doc_id", _assemble_bits("wv").alias("simhash_w"))
 
