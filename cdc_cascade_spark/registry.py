@@ -70,6 +70,7 @@ CHECK_FIRST: list[str] = [
     "cdc_scd2_history",
     "bpe_merge_pairs",
     "label_quality_profile",
+    "dq_constraint_report",
     # operators/sketches.py changed (setops added) — its sibling re-verifies
     "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +
@@ -100,6 +101,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     from cdc_cascade_spark.operators import (
         asof,
         behavior,
+        quality,
         ranges,
         relational,
         sketches,
@@ -109,6 +111,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     for module in (
         relational,
         behavior,
+        quality,
         asof,
         ranges,
         sketches,

@@ -100,3 +100,21 @@ def test_cohort_offset_zero_covers_every_user(spark):
     }
     at_zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
     assert at_zero == cohort_sizes
+
+
+def test_dq_report_fires_and_clears_correctly(spark):
+    """The constraint suite must report zero violations for the clean
+    checks and a positive count for orders_without_lineitem (orders
+    with no line items exist in TPC-H-style data) — proving both the
+    pass and the fire path flow through the same plan."""
+    from cdc_cascade_spark.operators.quality import dq_constraint_report
+
+    sf = "/root/testdata/sf0.001"
+    report = {r.check_name: r.n for r in dq_constraint_report(spark, sf).collect()}
+    assert len(report) == 6
+    assert report["orders_without_lineitem"] > 0
+    for name in ("orders_pk_unique", "lineitem_fk_orders",
+                 "lineitem_required_columns_not_null",
+                 "lineitem_quantity_in_range",
+                 "documents_n_chars_consistent"):
+        assert report[name] == 0, (name, report[name])
