@@ -172,3 +172,19 @@ def test_check_first_queries_lead_the_registry():
     # full rows+schema+hash row, not the weaker rows-only check)
     for name in CHECK_FIRST:
         assert all_queries()[name][1] is not None, name
+
+
+def test_map_only_doc_queries_prune_to_id_and_text(spark):
+    """The r4 scan-project operators must read ONLY (doc_id, text) from
+    the documents parquet — lang/source/n_chars never reach the scan."""
+    import re
+
+    from cdc_cascade_spark.llm.curation import pii_redaction
+    from cdc_cascade_spark.llm.packing import doc_chunks, pack_sequences
+
+    for fn in (pii_redaction, doc_chunks, pack_sequences):
+        plan = physical_plan(fn(spark, SF))
+        schemas = re.findall(r"ReadSchema: (\S+)", plan)
+        assert schemas, plan[:500]
+        for s in schemas:
+            assert s == "struct<doc_id:bigint,text:string>", (fn.__name__, s)
