@@ -366,3 +366,71 @@ def test_contamination_df_cap_kills_hot_shingle(spark):
     assert (0, 1) in found, "genuine containment must survive the cap"
     # boilerplate-only overlaps: no pair involving the unique-tail docs
     assert all(p == (0, 1) for p in found), f"boilerplate-only pairs leaked: {found - {(0,1)}}"
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: strictly-after semantics vs a replay model
+# ---------------------------------------------------------------------------
+
+event_row = st.tuples(
+    st.integers(0, 3),              # user
+    st.integers(0, 20),             # ts (as int seconds)
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(event_row, min_size=1, max_size=20,
+                unique_by=lambda e: (e[0], e[1])))
+def test_funnel_matches_replay_model(spark, events):
+    """The chained-aggregate funnel must agree with a trivial per-user
+    replay (first view, first click strictly after it, first purchase
+    strictly after that) on arbitrary event sets — including users
+    with purchases BEFORE their first view (must not convert)."""
+    import datetime
+
+    from pyspark.sql import functions as F, Window as W
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(seconds=t), et) for u, t, et in events]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    # replay model
+    expected = {"1_view": set(), "2_click": set(), "3_purchase": set()}
+    by_user: dict[int, list] = {}
+    for u, t, et in events:
+        by_user.setdefault(u, []).append((t, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, et in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        expected["1_view"].add(u)
+        t2 = min((t for t, et in evs if et == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        expected["2_click"].add(u)
+        t3 = min((t for t, et in evs if et == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            expected["3_purchase"].add(u)
+
+    # the operator body over the synthetic frame (funnel_conversion
+    # itself loads from sf_dir; the plan under test is identical)
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    got = {
+        "1_view": {r.user_id for r in v.collect()},
+        "2_click": {r.user_id for r in c.collect()},
+        "3_purchase": {r.user_id for r in p.collect()},
+    }
+    assert got == expected
