@@ -90,24 +90,48 @@ def featurize_rowwise(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_matches(incoming: DataFrame, static_docs: DataFrame) -> DataFrame:
-    """(doc_id, static_doc, jaccard) for every incoming doc within
-    ``JACCARD_THRESHOLD`` of a static-corpus doc.
-
-    ``incoming`` may be a streaming frame (the intended use) or a batch
-    frame (tests pin batch ≡ stream); ``static_docs`` must be batch.
-    Exactly one row per matched pair (first-shared-band rule). Self
-    matches (same doc_id) are excluded so an already-admitted corpus
-    can screen its own re-deliveries.
-    """
-    stream_side = featurize_rowwise(incoming)
-    static_side = featurize_rowwise(static_docs).select(
+def _as_index(static_docs: DataFrame) -> DataFrame:
+    return featurize_rowwise(static_docs).select(
         F.col("doc_id").alias("static_doc"),
         F.col("hset").alias("static_hset"),
         F.col("keys").alias("static_keys"),
         "band",
         "bkey",
     )
+
+
+def build_static_index(static_docs: DataFrame) -> DataFrame:
+    """Featurize the static corpus once and persist the result.
+
+    A stream-static join re-executes the static side's plan every
+    micro-batch; over an unpersisted corpus that means re-hashing every
+    static document per batch. Callers with a long-lived query build
+    this index once and pass it to ``near_dup_matches`` /
+    ``start_admission_stream``; at 100 TB the same frame is what you
+    would write out as the corpus's band-index table. Caller owns the
+    persist (unpersist when the query stops).
+    """
+    return _as_index(static_docs).persist()
+
+
+def near_dup_matches(
+    incoming: DataFrame,
+    static_docs: DataFrame,
+    static_index: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, static_doc, jaccard) for every incoming doc within
+    ``JACCARD_THRESHOLD`` of a static-corpus doc.
+
+    ``incoming`` may be a streaming frame (the intended use) or a batch
+    frame (tests pin batch ≡ stream); ``static_docs`` must be batch.
+    Pass ``static_index`` (from ``build_static_index``) to avoid
+    re-featurizing the corpus per micro-batch. Exactly one row per
+    matched pair (first-shared-band rule). Self matches (same doc_id)
+    are excluded so an already-admitted corpus can screen its own
+    re-deliveries.
+    """
+    stream_side = featurize_rowwise(incoming)
+    static_side = static_index if static_index is not None else _as_index(static_docs)
     joined = stream_side.join(static_side, ["band", "bkey"]).filter(
         F.col("doc_id") != F.col("static_doc")
     )
@@ -129,7 +153,11 @@ def near_dup_matches(incoming: DataFrame, static_docs: DataFrame) -> DataFrame:
     )
 
 
-def admit_new_docs(incoming: DataFrame, static_docs: DataFrame) -> DataFrame:
+def admit_new_docs(
+    incoming: DataFrame,
+    static_docs: DataFrame,
+    static_index: DataFrame | None = None,
+) -> DataFrame:
     """The screening filter: incoming docs with NO near-dup in the
     static corpus (left-anti against the matches).
 
@@ -140,7 +168,7 @@ def admit_new_docs(incoming: DataFrame, static_docs: DataFrame) -> DataFrame:
     micro-batch inside ``foreachBatch`` — the standard Structured
     Streaming shape for per-batch batch-semantics filtering.
     """
-    matches = near_dup_matches(incoming, static_docs)
+    matches = near_dup_matches(incoming, static_docs, static_index)
     return incoming.join(matches.select("doc_id"), "doc_id", "left_anti")
 
 
@@ -158,10 +186,15 @@ def start_admission_stream(
     delivery; the parquet append is idempotent-enough for a dedup sink
     because re-admitted duplicates are, by construction, docs the
     static index does not consider near-dups.
+
+    The static band index is built and persisted ONCE here — without
+    it, every micro-batch would re-hash the whole static corpus when
+    the stream-static join re-executes the static side's plan.
     """
+    index = build_static_index(static_docs)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = admit_new_docs(batch_df, static_docs)
+        admitted = admit_new_docs(batch_df, static_docs, index)
         admitted.write.mode("append").parquet(out_dir)
 
     return (
