@@ -631,3 +631,38 @@ def test_admission_stream_matches_batch_filter(spark, tmp_path):
     admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert admitted == expected
     assert len(admitted) < docs.count()  # the near-dups were rejected
+
+
+def test_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding (2h window, 1h slide) event counts from the stream must
+    equal a batch recomputation: every event lands in exactly TWO
+    windows (the two hourly-aligned 2h spans covering its hour)."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.streaming.windows import sliding_activity
+    import datetime
+
+    stream = stream_events(spark, SF)
+    q = (
+        sliding_activity(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    ev = load_table(spark, SF, "events").collect()
+    want: dict = {}
+    for r in ev:
+        ts = r.ts
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        for start in (hour - datetime.timedelta(hours=1), hour):
+            want[start] = want.get(start, 0) + 1
+    assert got == want
+    # overlap sanity: total window-event memberships = 2 × events
+    assert sum(got.values()) == 2 * len(ev)
