@@ -666,3 +666,42 @@ def test_sliding_window_matches_batch(spark, tmp_path):
     assert got == want
     # overlap sanity: total window-event memberships = 2 × events
     assert sum(got.values()) == 2 * len(ev)
+
+
+def test_admission_stream_restart_no_duplicates(spark, tmp_path):
+    """Restarting the admission stream from its checkpoint must not
+    re-admit (duplicate) docs from already-committed micro-batches."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.streaming.enrich import (
+        admit_new_docs,
+        start_admission_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    expected = {r.doc_id for r in admit_new_docs(docs, docs).collect()}
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    stream_def = lambda: (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    q = start_admission_stream(stream_def(), docs, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    other.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    q = start_admission_stream(stream_def(), docs, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert len(admitted) == len(set(admitted)), "duplicate admissions after restart"
+    assert set(admitted) == expected
