@@ -144,3 +144,66 @@ def running_counts(events: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_tracker(events: DataFrame) -> DataFrame:
+    """Streaming funnel: per-user stage machine across micro-batches.
+
+    Emits one row per stage TRANSITION — (user_id, stage, ts) with
+    stage 1..3 — the moment a user first completes view, then click
+    strictly after that view, then purchase strictly after that click.
+    Converges to exactly the batch ``funnel_conversion`` semantics
+    (operators/behavior.py) when each user's events arrive in
+    event-time order — the guarantee a key-partitioned CDC/Kafka
+    topic provides (per-key producer order). Out-of-order delivery
+    ACROSS micro-batches can under-count (a late-arriving earlier
+    event cannot retroactively re-run the machine: the state keeps
+    only (stage, last_transition_ts), deliberately O(1) per user —
+    the price of bounded state at 100 TB-of-stream; an event-time-
+    robust variant would need per-user event buffering under a
+    watermark).
+
+    State per user: stage int + one µs timestamp — tiny, RocksDB-ready.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, t_last_us = state.get if state.exists else (0, 0)
+        out_users, out_stages, out_ts = [], [], []
+        batch = [
+            pdf[["ts", "event_type"]]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not batch:
+            return
+        rows = pd.concat(batch).sort_values("ts")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            if stage >= len(FUNNEL_STAGES):
+                break
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if et == FUNNEL_STAGES[stage] and (stage == 0 or ts_us > t_last_us):
+                stage += 1
+                t_last_us = ts_us
+                out_users.append(key[0])
+                out_stages.append(stage)
+                out_ts.append(ts)
+        if out_users:
+            state.update((stage, t_last_us))
+            yield pd.DataFrame(
+                {"user_id": out_users, "stage": out_stages, "ts": out_ts}
+            )
+        elif state.exists or stage:
+            state.update((stage, t_last_us))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, stage int, ts timestamp",
+        stateStructType="stage int, t_last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -118,3 +118,49 @@ def test_first_seen_filter_tws_dedups_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT user_id, event_id FROM first_seen_tws").collect()
     }
     assert got_rows == want_first
+
+
+def test_funnel_tracker_converges_to_batch_funnel(spark, tmp_path):
+    """The streaming stage machine over in-order micro-batches must
+    reach exactly the batch funnel's per-stage user sets, with one
+    transition row per (user, stage) and ts-ordered monotone stages."""
+    from cdc_cascade_spark.operators.behavior import funnel_conversion
+    from cdc_cascade_spark.streaming.stateful import funnel_tracker
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_type")
+    # per-key in-order delivery: split by event-time, earlier file first
+    cut = "2024-01-15 00:00:00"
+    src = tmp_path / "src"
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(str(src / "b1"))
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        funnel_tracker(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM funnel_stream").collect()
+    seen = {}
+    for r in rows:
+        assert (r.user_id, r.stage) not in seen, "duplicate transition"
+        seen[(r.user_id, r.stage)] = r.ts
+    # stage timestamps strictly increase per user
+    for (u, s), ts in seen.items():
+        if s > 1:
+            assert seen[(u, s - 1)] < ts
+    got_counts = {}
+    for (u, s) in seen:
+        got_counts[s] = got_counts.get(s, 0) + 1
+    want = {int(r.stage[0]): r.n_users
+            for r in funnel_conversion(spark, SF).collect()}
+    assert got_counts == want
