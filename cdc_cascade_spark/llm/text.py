@@ -379,10 +379,95 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# Unit separator for the token-stream encoding of the merge step —
+# cannot collide with any BPE pre-token (pre-tokens are printable).
+_BPE_SEP = "\x1f"
+
+
+def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration: pick the top merge pair, apply
+    it corpus-wide, and return the NEXT round's top pair counts.
+
+    The greedy left-to-right non-overlapping merge every BPE trainer
+    uses is expressed as a literal string ``replace`` over the
+    separator-joined pre-token stream ("a␟b" → "ab") — both engines'
+    ``replace`` scans left-to-right non-overlapping, which IS the BPE
+    merge rule (e.g. "a a a" merges to ["aa", "a"], never ["a", "aa"]).
+    The winning pair comes from a bounded 1-row collect (deterministic
+    tie-break), mirrored in the oracle as scalar subqueries.
+
+    Scale shape: two passes of the bpe_merge_pairs plan plus one
+    map-only replace between them — the exact shape a distributed BPE
+    trainer loops; per-round cost is explode + partial-agg + top-K,
+    never corpus² anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    top = bpe_merge_pairs(spark, sf_dir).limit(1).collect()[0]
+    a, b = top.pair.split(" ", 1)
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    stream = F.concat_ws(_BPE_SEP, pre)
+    merged_stream = F.replace(
+        stream, F.lit(a + _BPE_SEP + b), F.lit(a + b)
+    )
+    merged = F.split(merged_stream, _BPE_SEP)
+    n = F.size(merged)
+    pairs = F.zip_with(
+        F.slice(merged, 1, n - 1),
+        F.slice(merged, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .filter(F.col("pair") != "")  # 1-token docs produce no pairs
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE_BPE_APPLY = f"""
+WITH pre AS (
+  SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}') AS p
+  FROM documents
+), pairs0 AS (
+  SELECT unnest(list_transform(range(1, len(p)),
+                               i -> p[i] || ' ' || p[i+1])) AS pair
+  FROM pre
+), top AS (
+  SELECT pair, COUNT(*) AS n
+  FROM pairs0 GROUP BY pair
+  ORDER BY n DESC, pair ASC LIMIT 1
+), ab AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM top
+), merged AS (
+  SELECT doc_id,
+         string_split(
+           replace(array_to_string(p, chr(31)),
+                   (SELECT a FROM ab) || chr(31) || (SELECT b FROM ab),
+                   (SELECT a FROM ab) || (SELECT b FROM ab)),
+           chr(31)) AS m
+  FROM pre
+), pairs1 AS (
+  SELECT unnest(list_transform(range(1, len(m)),
+                               i -> m[i] || ' ' || m[i+1])) AS pair
+  FROM merged
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs1
+WHERE pair <> ''
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "doc_repetition": (doc_repetition, ORACLE_REPETITION),
     "bpe_merge_pairs": (bpe_merge_pairs, ORACLE_BPE_PAIRS),
+    "bpe_apply_top_merge": (bpe_apply_top_merge, ORACLE_BPE_APPLY),
     "text_salient_terms": (text_salient_terms, ORACLE_SALIENT),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),

@@ -71,6 +71,7 @@ CHECK_FIRST: list[str] = [
     "bpe_merge_pairs",
     "label_quality_profile",
     "dq_constraint_report",
+    "bpe_apply_top_merge",
     # operators/sketches.py changed (setops added) — its sibling re-verifies
     "sketch_kmv_distinct",
     # modules changed this round (llm/dedup.py: weighted simhash +

@@ -633,3 +633,39 @@ def test_bpe_pairs_counts_match_manual(spark):
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
     rows = bpe_merge_pairs(spark, SF).collect()
     assert [(r.pair, r.n_occurrences) for r in rows] == expected
+
+
+def test_bpe_merge_round_consumes_top_pair(spark):
+    """After applying the top merge, the merged token must appear in
+    the round-2 pair vocabulary, the merged pair itself must be gone,
+    and counts must match a driver-side greedy replay."""
+    import re
+    from collections import Counter
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.text import (
+        BPE_PATTERN,
+        BPE_TOP_PAIRS,
+        bpe_apply_top_merge,
+        bpe_merge_pairs,
+    )
+
+    top = bpe_merge_pairs(spark, SF).limit(1).collect()[0].pair
+    a, b = top.split(" ", 1)
+    counts: Counter = Counter()
+    for r in load_table(spark, SF, "documents").collect():
+        pre = re.findall(BPE_PATTERN, r.text)
+        merged, i = [], 0
+        while i < len(pre):
+            if i + 1 < len(pre) and pre[i] == a and pre[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(pre[i])
+                i += 1
+        counts.update(f"{x} {y}" for x, y in zip(merged, merged[1:]))
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    rows = bpe_apply_top_merge(spark, SF).collect()
+    got = [(r.pair, r.n_occurrences) for r in rows]
+    assert got == expected
+    assert all(p != top for p, _ in got), "top pair must be consumed"
