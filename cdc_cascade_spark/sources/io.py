@@ -68,3 +68,76 @@ def write_delta(df: DataFrame, path: str, **_options) -> None:
             "not available in this environment"
         ) from e
     df.write.format("delta").save(path)  # pragma: no cover
+
+
+# Target output-file size for compaction. 128 MB is the classic
+# HDFS/S3-friendly object size (one task, one row-group-aligned file).
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    schema: T.StructType | str | None = None,
+) -> dict:
+    """Rewrite a table directory into ~``target_bytes``-sized files.
+
+    The small-files problem is the standing operational tax of every
+    streaming/append pipeline (each micro-batch appends a few small
+    files; a year later the table is millions of kilobyte objects and
+    every scan pays per-file open/list cost). This is the maintenance
+    pass a lakehouse runs as OPTIMIZE / rewriteDataFiles — expressed
+    with plain Spark:
+
+    - size the output from the table's actual on-disk bytes (driver
+      listing via Hadoop FS — metadata only, no data read);
+    - rewrite with ``coalesce(n)`` — a narrow dependency: output tasks
+      read whole input files without a shuffle (``repartition`` would
+      shuffle every row; pointless for a layout-only rewrite);
+    - write to a temp dir, then atomically swap, so a failed compaction
+      never destroys the source (the swap is two renames — at 100 TB
+      run per-partition swaps so the window is per-partition).
+
+    Returns {files_before, files_after, bytes}.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+
+    def _data_files(p):
+        out = []
+        for status in fs.listStatus(p):
+            f = status.getPath()
+            if status.isDirectory():
+                out += _data_files(f)
+            elif not f.getName().startswith(("_", ".")):
+                out.append(status)
+        return out
+
+    before = _data_files(src)
+    total_bytes = sum(s.getLen() for s in before)
+    n_out = max(1, (total_bytes + target_bytes - 1) // target_bytes)
+
+    df = read_table(spark, path, fmt=fmt, schema=schema)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(int(n_out)).write.format(fmt).mode("overwrite").save(tmp)
+
+    bak = path.rstrip("/") + "._compact_bak"
+    bak_path = jvm.org.apache.hadoop.fs.Path(bak)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(bak_path):
+        fs.delete(bak_path, True)
+    fs.rename(src, bak_path)
+    fs.rename(tmp_path, src)
+    fs.delete(bak_path, True)
+
+    after = _data_files(src)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": int(total_bytes),
+    }

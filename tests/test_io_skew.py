@@ -80,3 +80,30 @@ def test_approx_aggregates_near_exact(spark):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.05
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Many small appended files must compact to few target-sized files
+    with byte-identical row content, and the source must survive via
+    the temp-swap (no partial state on success)."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.sources.io import compact_table
+
+    path = str(tmp_path / "t")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # simulate 10 micro-batch appends -> >= 10 small files
+    for i in range(10):
+        ev.filter(F.col("event_id") % 10 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = compact_table(spark, path)
+    assert stats["files_before"] >= 10
+    assert stats["files_after"] == 1  # tiny table -> one target-size file
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    import pathlib
+    assert not (tmp_path / "t._compact_tmp").exists()
+    assert not (tmp_path / "t._compact_bak").exists()
