@@ -207,3 +207,85 @@ def funnel_tracker(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_tracker_event_time(events: DataFrame, watermark: str = "5 days") -> DataFrame:
+    """Out-of-order-robust streaming funnel (event-time finalization).
+
+    The watermark-buffered variant of ``funnel_tracker``: events are
+    BUFFERED in keyed state and the stage machine only consumes them
+    once the event-time watermark has passed them — so any reordering
+    within the allowed lateness cannot corrupt stage order, at the
+    price of state that holds up to (per-user rate × watermark delay)
+    buffered events. That buffer-vs-correctness trade IS the
+    event-time-processing contract; events later than the watermark
+    are processed best-effort in arrival order (the same contract
+    Spark's own stateful operators give late data).
+
+    Emission timing: transitions are emitted when the watermark passes
+    the triggering event, not when it arrives — downstream sees a
+    finalized, replay-stable stream.
+
+    State per user: (stage, t_last_us, buffered ts[], buffered et[]).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stage, t_last_us, buf_ts, buf_et = state.get
+            buf_ts, buf_et = list(buf_ts), list(buf_et)
+        else:
+            stage, t_last_us, buf_ts, buf_et = 0, 0, [], []
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                buf_ts.append(int(pd.Timestamp(ts).value // 1000))
+                buf_et.append(et)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(
+            (t, e) for t, e in zip(buf_ts, buf_et) if t <= wm_us
+        )
+        pending = [(t, e) for t, e in zip(buf_ts, buf_et) if t > wm_us]
+        out_users, out_stages, out_ts = [], [], []
+        for t, e in ready:
+            if stage >= len(FUNNEL_STAGES):
+                break
+            if e == FUNNEL_STAGES[stage] and (stage == 0 or t > t_last_us):
+                stage += 1
+                t_last_us = t
+                out_users.append(key[0])
+                out_stages.append(stage)
+                out_ts.append(pd.Timestamp(t * 1000))
+        state.update(
+            (
+                stage,
+                t_last_us,
+                [t for t, _ in pending],
+                [e for _, e in pending],
+            )
+        )
+        if out_users:
+            yield pd.DataFrame(
+                {"user_id": out_users, "stage": out_stages, "ts": out_ts}
+            )
+
+    from pyspark.sql import functions as F
+
+    # withWatermark requires TimestampType; the catalog normalizes the
+    # events ts to TIMESTAMP_NTZ. The session is pinned to UTC, so the
+    # cast is a type-tag change, not a wall-clock shift.
+    with_ts = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, stage int, ts timestamp",
+            stateStructType=(
+                "stage int, t_last_us long, buf_ts array<bigint>, "
+                "buf_et array<string>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

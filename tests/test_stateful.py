@@ -164,3 +164,54 @@ def test_funnel_tracker_converges_to_batch_funnel(spark, tmp_path):
     want = {int(r.stage[0]): r.n_users
             for r in funnel_conversion(spark, SF).collect()}
     assert got_counts == want
+
+
+def test_event_time_funnel_survives_out_of_order_batches(spark, tmp_path):
+    """Deliver the SECOND half of the month before the first; the
+    watermark-buffered funnel must still converge to the exact batch
+    funnel (the O(1)-state tracker cannot — that is the trade)."""
+    import datetime
+
+    from cdc_cascade_spark.operators.behavior import funnel_conversion
+    from cdc_cascade_spark.streaming.stateful import funnel_tracker_event_time
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_type")
+    cut = "2024-01-15 00:00:00"
+    src = tmp_path / "src"
+    # reversed order: later events first
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(str(src / "b1"))
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(str(src / "b2"))
+    # flush sentinel: advances the watermark past every real event
+    flush = spark.createDataFrame(
+        [(-1, datetime.datetime(2024, 6, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    flush.coalesce(1).write.parquet(str(src / "b3"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        funnel_tracker_event_time(stream, watermark="16 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_et")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [r for r in spark.sql("SELECT * FROM funnel_et").collect()
+            if r.user_id != -1]
+    seen = {}
+    for r in rows:
+        assert (r.user_id, r.stage) not in seen, "duplicate transition"
+        seen[(r.user_id, r.stage)] = r.ts
+    got_counts = {}
+    for (_, s) in seen:
+        got_counts[s] = got_counts.get(s, 0) + 1
+    want = {int(r.stage[0]): r.n_users
+            for r in funnel_conversion(spark, SF).collect()}
+    assert got_counts == want
