@@ -18,23 +18,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _events_ts_is_int64(sf_dir: str) -> bool:
+    """True when events.ts is stored as TIMESTAMP(NANOS) (which Spark can
+    only read as a raw int64 under ``nanosAsLong``).
+
+    A streaming source needs its schema fixed up front, so the batch
+    path's read-then-inspect (catalog.load_table) is not available; this
+    sniffs the parquet footer once at plan-build time — a bounded
+    metadata read, like the IVF centroid collect.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+        return getattr(t, "unit", None) == "ns" or str(t) == "int64"
+    except Exception:  # footer unreadable — assume the modern us layout
+        return False
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Streaming read of the events table (file source standing in for
-    Kafka; the transformations are source-agnostic)."""
+    Kafka; the transformations are source-agnostic).
+
+    Handles both testdata layouts for ``ts`` — TIMESTAMP(MICROS), which
+    Spark reads natively, and TIMESTAMP(NANOS), which it reads as int64
+    nanoseconds — normalizing to the same microsecond timestamps as
+    ``catalog.load_table`` so stream and batch results compare equal.
+    """
+    ns = _events_ts_is_int64(sf_dir)
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
+            "event_id long, ts {} , user_id long, event_type string, "
+            "value double, props string".format("long" if ns else "timestamp")
         )
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         # the file source wants a directory; glob-filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ns→us conversion as catalog.load_table, then LTZ for watermarks
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ns:
+        # same ns→us conversion as catalog.load_table, LTZ for watermarks
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_counts(
