@@ -484,7 +484,7 @@ WITH joined AS (
         FROM lc)
   WHERE rn = 1
 )
-SELECT p.label, p.n_docs, p.sum_tokens,
+SELECT p.label, p.n_docs, CAST(p.sum_tokens AS BIGINT) AS sum_tokens,
        p.sum_distinct::DOUBLE / p.sum_tokens::DOUBLE AS corpus_ttr,
        p.sum_tokens::DOUBLE / p.n_docs::DOUBLE AS avg_tokens,
        dom.dominant_lang

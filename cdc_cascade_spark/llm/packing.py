@@ -87,9 +87,10 @@ WITH d AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM d
 )
-SELECT doc_id, shard, n_tokens, start_offset,
-       start_offset // {PACK_BUDGET} AS first_chunk,
-       (start_offset + n_tokens - 1) // {PACK_BUDGET} AS last_chunk
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS first_chunk,
+       CAST((start_offset + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS last_chunk
 FROM o
 """
 

@@ -117,32 +117,35 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DQ = f"""
 SELECT 'orders_pk_unique' AS check_name,
-       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
 FROM orders
 UNION ALL
 SELECT 'lineitem_fk_orders',
-       (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l ANTI JOIN orders o
         ON l.l_orderkey = o.o_orderkey)
 UNION ALL
 SELECT 'orders_without_lineitem',
-       (SELECT COUNT(*) FROM orders o ANTI JOIN lineitem l
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o ANTI JOIN lineitem l
         ON o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'lineitem_required_columns_not_null',
-       (SELECT COALESCE(SUM(CASE WHEN l_quantity IS NULL
+       (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL
                                    OR l_extendedprice IS NULL
                                    OR l_discount IS NULL THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
         FROM lineitem)
 UNION ALL
 SELECT 'lineitem_quantity_in_range',
-       (SELECT COALESCE(SUM(CASE WHEN l_quantity < {LINEITEM_QTY_MIN}
+       (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity < {LINEITEM_QTY_MIN}
                                    OR l_quantity > {LINEITEM_QTY_MAX}
                                  THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
         FROM lineitem)
 UNION ALL
 SELECT 'documents_n_chars_consistent',
-       (SELECT COALESCE(SUM(CASE WHEN n_chars <> length(text)
+       (SELECT CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text)
                                  THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
         FROM documents)
 """
 

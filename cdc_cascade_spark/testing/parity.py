@@ -75,6 +75,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
         res.ok = False
         res.issues.append(f"columns differ: spark={s_cols} oracle={o_cols}")
         return res
+    # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT sum
+    # surfaces as float64 and hashes differently from Spark's int64 even
+    # when every value is equal (r4 verdict, 3 such failures). Flag any
+    # integer-vs-float drift here so local parity catches it first.
+    for c in s_cols:
+        si = pd.api.types.is_integer_dtype(spark_pdf[c])
+        oi = pd.api.types.is_integer_dtype(oracle_pdf[c])
+        sf_ = pd.api.types.is_float_dtype(spark_pdf[c])
+        of = pd.api.types.is_float_dtype(oracle_pdf[c])
+        if (si and of) or (sf_ and oi):
+            res.ok = False
+            res.issues.append(
+                f"dtype drift col '{c}': spark={spark_pdf[c].dtype} vs "
+                f"oracle={oracle_pdf[c].dtype} (driver hash would differ — "
+                f"cast the oracle aggregate, e.g. ::BIGINT)"
+            )
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]

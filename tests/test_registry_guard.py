@@ -21,10 +21,14 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from cdc_cascade_spark.registry import (
     CHECK_FIRST,
     CHECK_WINDOW,
+    StaleOutOfWindowError,
     all_queries,
+    build_manifest,
     query_fingerprints,
 )
 
@@ -63,3 +67,28 @@ def test_manifest_covers_every_registered_query():
         f"no manifest entry for {missing} — regen the manifest after "
         f"pinning them in CHECK_FIRST"
     )
+
+
+# --- regen safety (r4 verdict #2): regen must never bless a changed
+# query the driver will not re-verify this round -------------------------
+
+
+def test_regen_refuses_out_of_window_change():
+    committed = {"a": "fp_a", "b": "fp_b"}
+    current = {"a": "fp_a", "b": "fp_b_CHANGED"}
+    with pytest.raises(StaleOutOfWindowError, match="b"):
+        build_manifest(committed, current, window={"a"})
+
+
+def test_regen_refuses_new_query_outside_window():
+    with pytest.raises(StaleOutOfWindowError, match="brand_new"):
+        build_manifest({"a": "fp_a"}, {"a": "fp_a", "brand_new": "x"}, window={"a"})
+
+
+def test_regen_refreshes_window_and_carries_rest_forward():
+    committed = {"a": "old_a", "b": "fp_b", "gone": "fp_gone"}
+    current = {"a": "new_a", "b": "fp_b", "c": "fp_c"}
+    out = build_manifest(committed, current, window={"a", "c"})
+    # in-window: refreshed (a) / added (c); out-of-window: carried (b);
+    # deregistered queries drop out (gone)
+    assert out == {"a": "new_a", "b": "fp_b", "c": "fp_c"}
