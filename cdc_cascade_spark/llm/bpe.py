@@ -1,0 +1,151 @@
+"""Multi-round BPE training: learn the first K merges corpus-wide.
+
+Beyond-reference LLM-pipeline surface (SURVEY.md §2 extension; r4
+verdict #8). ``text.bpe_apply_top_merge`` does ONE training iteration;
+this module loops it: each round finds the most frequent adjacent
+pre-token pair over the CURRENT (already-merged) token stream, applies
+the merge corpus-wide, and continues — exactly the greedy BPE training
+loop, distributed.
+
+Scale shape (100 TB):
+
+- Per round: split the separator-joined stream → zip-with adjacent
+  pairs → explode → map-side partial count → one shuffle on the pair
+  key → top-1 via TakeOrderedAndProject (a bounded 1-row collect, the
+  merge decision every trainer must centralize). The merge apply is a
+  map-only string ``replace``. Nothing in a round is corpus² and the
+  only driver data is K winner rows.
+- The stream frame is ``localCheckpoint``-ed each round (same
+  lineage-truncation pattern as ``dedup.connected_components``):
+  without it, round k's aggregation re-derives all k−1 prior replaces,
+  making the loop O(K²) in map work and the analyzed plan grow
+  superlinearly. On a real cluster swap in reliable ``checkpoint()``.
+- Determinism: counts are exact integers and ties break on the pair
+  string, so the learned merge table is bit-identical in both engines
+  and across partitionings (pinned by a property test).
+
+The greedy left-to-right non-overlapping merge is expressed as literal
+string ``replace`` over the ``\\x1f``-joined stream ("a␟b" → "ab") —
+see ``text.bpe_apply_top_merge`` for why ``replace`` scanning IS the
+BPE merge rule. Pre-tokens (``text.BPE_PATTERN``) can contain neither
+a space nor the separator, so the "a b" pair encoding is unambiguous
+even for already-merged super-tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.text import _BPE_SEP, BPE_PATTERN
+
+# Six rounds keeps the oracle's staged SQL readable while exercising
+# the loop shape (merged super-tokens re-merging). Production: 30k+
+# rounds with periodic reliable checkpoints.
+BPE_K = 6
+
+
+def _adjacent_pairs(stream_col) -> "F.Column":
+    toks = F.split(stream_col, _BPE_SEP)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def bpe_train_k_merges(
+    spark: SparkSession, sf_dir: str, k: int = BPE_K
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; output the merge table
+    ``(merge_rank, pair, n_occurrences)`` — rank 1 is the first merge
+    learned, ``n_occurrences`` its frequency at the time it was chosen
+    (over the stream with all prior merges applied).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    stream = docs.select(F.concat_ws(_BPE_SEP, pre).alias("stream")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, k + 1):
+        top = (
+            stream.select(F.explode(_adjacent_pairs(F.col("stream"))).alias("pair"))
+            .filter(F.col("pair") != "")
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted (every doc a single token)
+            break
+        row = top[0]
+        a, b = row.pair.split(" ", 1)
+        merges.append((rank, row.pair, row.n_occurrences))
+        stream = stream.select(
+            F.replace(
+                F.col("stream"), F.lit(a + _BPE_SEP + b), F.lit(a + b)
+            ).alias("stream")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, n_occurrences bigint"
+    )
+
+
+def _oracle_train_sql(k: int = BPE_K) -> str:
+    """Staged SQL mirror: K unrolled (pairs_i → top_i → stream_{i+1})
+    stages — the loop is a compile-time constant, so unrolling keeps
+    the oracle a single ANSI statement DuckDB can run."""
+    parts = [
+        f"""
+WITH pre AS (
+  SELECT regexp_extract_all(text, '{BPE_PATTERN}') AS p FROM documents
+), s1 AS (
+  SELECT array_to_string(p, chr(31)) AS stream FROM pre
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+, pairs{i} AS (
+  SELECT unnest(list_transform(range(1, len(m)), j -> m[j] || ' ' || m[j+1])) AS pair
+  FROM (SELECT string_split(stream, chr(31)) AS m FROM s{i})
+), top{i} AS (
+  SELECT {i} AS merge_rank, pair, COUNT(*) AS n
+  FROM pairs{i} WHERE pair <> ''
+  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""
+, s{i + 1} AS (
+  SELECT replace(stream,
+                 replace((SELECT pair FROM top{i}), ' ', chr(31)),
+                 replace((SELECT pair FROM top{i}), ' ', '')) AS stream
+  FROM s{i}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, pair, n FROM top{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM ({union})
+ORDER BY merge_rank
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_BPE_TRAIN = _oracle_train_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "bpe_train_k_merges": (bpe_train_k_merges, ORACLE_BPE_TRAIN),
+}

@@ -81,6 +81,16 @@ CHECK_FIRST: list[str] = [
     "stratified_sample_exact",
     "pii_redaction",
     "quality_floor_filter",
+    # new this round
+    "bpe_train_k_merges",
+    # llm/similarity.py changed this round (generalized multi-probe
+    # order + probes parameter) — every query it defines re-verifies
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_top_pairs",
     # llm/dedup.py changed this round (cluster-reps local-branch overhead
     # trim, r4 verdict #7) — every query it defines re-verifies
     "dedup_cluster_representatives",
@@ -110,6 +120,7 @@ CHECK_FIRST: list[str] = [
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from cdc_cascade_spark.cdc import queries as cdc_queries
     from cdc_cascade_spark.llm import (
+        bpe,
         curation,
         dedup,
         multimodal,
@@ -141,6 +152,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         multimodal,
         curation,
         packing,
+        bpe,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

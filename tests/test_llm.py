@@ -669,3 +669,64 @@ def test_bpe_merge_round_consumes_top_pair(spark):
     got = [(r.pair, r.n_occurrences) for r in rows]
     assert got == expected
     assert all(p != top for p, _ in got), "top pair must be consumed"
+
+
+def test_lsh_recall_dial_monotone_and_pinned(spark):
+    """The multi-probe width is THE recall dial (r4 verdict #6): probing
+    the Hamming-<=H ball must recall monotonically more of the exact
+    top-10 as H grows, and multi-probe must dominate single-probe.
+
+    The testdata embeddings are weakly clustered (true top-10 cosines
+    ~0.28-0.37), so single-bucket recall is legitimately ~0 at 8 planes
+    x 500 vectors (~2 candidates/bucket); the dial is what makes the
+    operator usable. Probe counts 1/9/37 cover Hamming <= 0/1/2; the
+    floors pin this fixed dataset's measured recalls (0.0/0.2/0.5) —
+    everything is deterministic, so these are exact, not flaky.
+    """
+    from cdc_cascade_spark.llm.similarity import ann_lsh_multiprobe_topk
+
+    sf = "/root/testdata/sf0.01"
+    truth = {r.vec_id for r in ann_cosine_topk(spark, sf).collect()}
+    recall = {}
+    for probes in (1, 3, 9, 37):
+        got = {r.vec_id for r in ann_lsh_multiprobe_topk(spark, sf, probes=probes).collect()}
+        recall[probes] = len(got & truth) / len(truth)
+    # probes=1 is exactly single-probe LSH (own bucket only)
+    single = {r.vec_id for r in ann_lsh_topk(spark, sf).collect()}
+    one = {r.vec_id for r in ann_lsh_multiprobe_topk(spark, sf, probes=1).collect()}
+    assert one == single
+    # monotone in probe width; multi-probe >= single-probe
+    assert recall[1] <= recall[3] <= recall[9] <= recall[37]
+    # pinned measured values on this fixed dataset
+    assert recall[9] >= 0.2
+    assert recall[37] >= 0.5
+
+
+def test_bpe_train_merge_ranks_stable_across_partitionings(spark):
+    """The learned merge table must be invariant to physical layout:
+    counts are exact integers and ties break on the pair string, so
+    any repartitioning of the corpus yields the same merges in the
+    same order (the distributed-trainer determinism claim)."""
+    from unittest import mock
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bpe
+
+    base = bpe.bpe_train_k_merges(spark, SF, k=4).collect()
+    assert len(base) == 4
+
+    real_load = load_table
+
+    def skewed_load(s, d, name):
+        df = real_load(s, d, name)
+        return df.repartition(7) if name == "documents" else df
+
+    with mock.patch.object(bpe, "load_table", side_effect=skewed_load):
+        skewed = bpe.bpe_train_k_merges(spark, SF, k=4).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in skewed]
+    # ranks are 1..k and a merged super-token re-merges downstream only
+    # with all prior merges applied — pair strings never contain the
+    # separator and counts are positive
+    for r in base:
+        assert r.n_occurrences > 0 and " " in r.pair and "\x1f" not in r.pair
+    assert [r.merge_rank for r in base] == [1, 2, 3, 4]
