@@ -83,6 +83,11 @@ CHECK_FIRST: list[str] = [
     "quality_floor_filter",
     # new this round
     "bpe_train_k_merges",
+    "embedding_quantize",
+    "knn_join_topk",
+    "token_budget_selection",
+    "shingle_containment",
+    "bigram_lift",
     # llm/similarity.py changed this round (generalized multi-probe
     # order + probes parameter) — every query it defines re-verifies
     "ann_cosine_topk",
@@ -125,12 +130,15 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup,
         multimodal,
         packing,
+        selection,
         similarity,
         text,
+        vectorops,
     )
     from cdc_cascade_spark.operators import (
         asof,
         behavior,
+        collocations,
         quality,
         ranges,
         relational,
@@ -153,6 +161,9 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         curation,
         packing,
         bpe,
+        vectorops,
+        selection,
+        collocations,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

@@ -730,3 +730,134 @@ def test_bpe_train_merge_ranks_stable_across_partitionings(spark):
     for r in base:
         assert r.n_occurrences > 0 and " " in r.pair and "\x1f" not in r.pair
     assert [r.merge_rank for r in base] == [1, 2, 3, 4]
+
+
+def test_embedding_quantize_roundtrip_error_bounded(spark):
+    """Dequantized values must sit within one quantization level of the
+    original (floor quantization: q*scale <= x < (q+1)*scale for
+    positive scale), and the all-zero guard must emit scale 0."""
+    from cdc_cascade_spark.llm.vectorops import QUANT_LEVELS, embedding_quantize
+    from cdc_cascade_spark.catalog import load_table
+
+    rows = {r.vec_id: r for r in embedding_quantize(spark, SF).collect()}
+    orig = {r.vec_id: r.embedding for r in load_table(spark, SF, "embeddings").collect()}
+    assert rows.keys() == orig.keys()
+    checked = 0
+    for vid, r in rows.items():
+        q = [int(v) for v in r.q_csv.split(",")]
+        x = [float(v) for v in orig[vid]]
+        assert len(q) == len(x)
+        if r.scale == 0.0:
+            assert all(v == 0 for v in q)
+            continue
+        assert max(abs(v) for v in q) == QUANT_LEVELS  # max element saturates
+        for qi, xi in zip(q, x):
+            assert qi * r.scale <= xi + 1e-9
+            assert xi < (qi + 1) * r.scale + 1e-9
+            checked += 1
+    assert checked > 0
+
+
+def test_knn_join_exactly_k_disjoint_neighbors(spark):
+    from cdc_cascade_spark.llm.vectorops import KNN_K, N_QUERIES, knn_join_topk
+
+    rows = knn_join_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, rs in by_q.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, KNN_K + 1))
+        assert all(r.neighbor_id >= N_QUERIES for r in rs)
+        # ranks follow cosine DESC with neighbor_id tiebreak
+        ordered = sorted(rs, key=lambda r: (-r.cosine, r.neighbor_id))
+        assert [r.rnk for r in ordered] == list(range(1, KNN_K + 1))
+
+
+def test_token_budget_selection_greedy_maximal(spark):
+    """Per stratum: admitted prefix fits the budget AND the first
+    rejected document would have crossed it (greedy maximality)."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.prep import tokens
+    from cdc_cascade_spark.llm.selection import (
+        STRATUM_TOKEN_BUDGET,
+        token_budget_selection,
+    )
+    from pyspark.sql import functions as F
+
+    sel = token_budget_selection(spark, SF).collect()
+    by_lang: dict = {}
+    for r in sel:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = (
+        load_table(spark, SF, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            F.expr(
+                "(cast(size(array_distinct(split(text, '\\\\s+'))) as bigint)"
+                " * 1000) div size(split(text, '\\\\s+'))"
+            ).alias("quality"),
+        )
+        .collect()
+    )
+    all_by_lang: dict = {}
+    for r in docs:
+        all_by_lang.setdefault(r.lang, []).append(r)
+    for lang, admitted in by_lang.items():
+        assert max(r.cum_tokens for r in admitted) <= STRATUM_TOKEN_BUDGET
+        ordered = sorted(all_by_lang[lang], key=lambda r: (-r.quality, r.doc_id))
+        kept = {r.doc_id for r in admitted}
+        run = 0
+        for r in ordered:
+            run += r.n_tokens
+            if run <= STRATUM_TOKEN_BUDGET:
+                assert r.doc_id in kept
+            else:
+                assert r.doc_id not in kept
+                break  # first rejection ends the greedy prefix
+
+
+def test_containment_dominates_jaccard_and_catches_asymmetry(spark):
+    """containment >= jaccard on every pair; identical docs hit 1.0
+    both ways."""
+    from cdc_cascade_spark.llm.dedup import dedup_ngram_jaccard
+    from cdc_cascade_spark.llm.selection import shingle_containment
+
+    cont = {(r.doc_a, r.doc_b): r for r in shingle_containment(spark, SF).collect()}
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()}
+    assert cont, "no containment pairs found at sf0.001"
+    for pair, r in cont.items():
+        if pair in jac:
+            assert r.containment_ab >= jac[pair] - 1e-12
+            assert r.containment_ba >= jac[pair] - 1e-12
+    # the operator's raison d'être: pairs fully contained in ONE
+    # direction only (quote/excerpt shape) — symmetric Jaccard would
+    # under-score these
+    one_way = [r for r in cont.values()
+               if max(r.containment_ab, r.containment_ba) == 1.0
+               and min(r.containment_ab, r.containment_ba) < 1.0]
+    assert one_way, "expected at least one asymmetric fully-contained pair"
+
+
+def test_bigram_lift_formula_and_floor(spark):
+    from cdc_cascade_spark.operators.collocations import MIN_COUNT, bigram_lift
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.prep import tokens
+    from pyspark.sql import functions as F
+
+    rows = bigram_lift(spark, SF).collect()
+    assert rows
+    n_total = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r.n_pair >= MIN_COUNT
+        expect = (r.n_pair * n_total) / (r.n_left * r.n_right)
+        assert r.lift == pytest.approx(expect, rel=1e-12)
+        assert r.n_left >= r.n_pair and r.n_right >= r.n_pair
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)

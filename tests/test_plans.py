@@ -135,6 +135,11 @@ def test_plan_lint_all_registered_queries(spark):
         # 1-row quality-threshold frame (TakeOrderedAndProject result)
         # broadcast into the keep-filter
         "quality_floor_filter": {"bnlj"},
+        # N_QUERIES-row (5) query-set broadcast: every candidate scores
+        # against every query map-side — the batch-kNN shape
+        "knn_join_topk": {"bnlj"},
+        # 1-row total-token-count frame broadcast into the lift formula
+        "bigram_lift": {"bnlj"},
         # pairwise sketch join on type_a < type_b: |groups| one-row
         # sketches of K longs each — the build side is kilobytes by
         # construction (that is the point of sketch algebra)
