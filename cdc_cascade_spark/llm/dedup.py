@@ -38,6 +38,7 @@ from cdc_cascade_spark.functions.hashing import (
     LSH_ROWS,
     MINHASH_A,
     MINHASH_B,
+    MINHASH_M,
     MINHASH_P,
     band_key_sql,
     minhash_signature_sql,
@@ -430,6 +431,98 @@ WHERE {jaccard_sql('sa.shingles', 'sb.shingles')} >= {JACCARD_THRESHOLD}
 
 
 ORACLE_MINHASH = _minhash_oracle_sql()
+
+
+# Estimated-vs-exact floor for the estimate audit query: pairs where
+# either measure clears it are reported (so both over- and
+# under-estimates near the dedup threshold are visible).
+MINHASH_EST_MIN = 0.5
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-estimated vs exact Jaccard for
+    every guarded candidate pair where either reaches
+    ``MINHASH_EST_MIN``.
+
+    The estimator is the textbook one — the fraction of the 16
+    signature components on which the two docs agree; E[est] = J and
+    σ = sqrt(J(1−J)/16) ≈ 0.1 at J=0.8. This is the query an operator
+    uses to decide whether signature-only dedup (no exact verify pass)
+    is safe for their corpus: at 100 TB the exact verify join touches
+    every candidate's shingle set, and if |est − exact| is small at the
+    threshold the verify pass can be dropped — halving the largest
+    shuffle in the dedup pipeline. est is k/16 (exact double), exact is
+    one double division; both engines agree bit-for-bit.
+
+    Scale shape: one extra 16-min aggregate over the shared prepared
+    frame (shuffle carries doc_id + 16 longs), then the same candidate
+    join as dedup_minhash_lsh.
+    """
+    prepared = _docs_prepared_cached(spark, sf_dir)
+    sigs = (
+        prepared.select("doc_id", F.explode("hset").alias("h"))
+        .groupBy("doc_id")
+        .agg(*_minhash_sig_aggs())
+    )
+    pairs = guarded_block_candidates(
+        prepared, carry=("hset",), bands=minhash_bands_cached(spark, sf_dir)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(MINHASH_M)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(MINHASH_M)],
+    )
+    matches = sum(
+        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        for i in range(MINHASH_M)
+    )
+    est = matches.cast("double") / MINHASH_M
+    exact = jaccard(F.col("hset_a"), F.col("hset_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+        .filter(
+            F.greatest("est_jaccard", "exact_jaccard") >= MINHASH_EST_MIN
+        )
+    )
+
+
+def _minhash_estimate_oracle_sql() -> str:
+    sig = minhash_signature_sql("shingles")
+    match_terms = " + ".join(
+        f"CASE WHEN sga.sig[{i + 1}] = sgb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(MINHASH_M)
+    )
+    est = f"({match_terms}) / {MINHASH_M}.0"
+    exact = jaccard_sql("sa.shingles", "sb.shingles")
+    return (
+        DOCS_CTE
+        + guarded_candidates_sql()
+        + f"""
+, sigs AS (SELECT doc_id, {sig} AS sig FROM sh)
+SELECT c.doc_a, c.doc_b,
+       {est} AS est_jaccard,
+       {exact} AS exact_jaccard
+FROM cand c
+JOIN sigs sga ON sga.doc_id = c.doc_a
+JOIN sigs sgb ON sgb.doc_id = c.doc_b
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE greatest({est}, {exact}) >= {MINHASH_EST_MIN}
+"""
+    )
+
+
+ORACLE_MINHASH_ESTIMATE = _minhash_estimate_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1118,6 +1211,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_edit_distance": (dedup_edit_distance, ORACLE_EDIT_DISTANCE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
+    "minhash_jaccard_estimate": (minhash_jaccard_estimate, ORACLE_MINHASH_ESTIMATE),
     "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_simhash_weighted": (dedup_simhash_weighted, ORACLE_SIMHASH_WEIGHTED),

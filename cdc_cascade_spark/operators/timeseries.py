@@ -1,0 +1,115 @@
+"""Time-series gap filling: dense hourly spine + last-observation-
+carried-forward interpolation.
+
+Beyond-reference analytics surface (SURVEY.md §2 extension): the
+TimescaleDB ``time_bucket_gapfill`` + ``locf`` pattern — sparse event
+streams leave holes in rollups (at sf0.01 every event type is missing
+~50 of the 720 span hours), and downstream dashboards/models need a
+dense series with explicit zeros for counts and carried-forward values
+for gauges.
+
+Scale shape (100 TB):
+
+- The hourly rollup is the standard explode-free groupBy (map-side
+  partial agg, one shuffle on (type, hour)).
+- The dense spine is |event types| × span-hours rows — generated from
+  a 1-row global min/max bounds frame (bounded action-free broadcast)
+  crossed with the distinct-type frame, i.e. spine size is independent
+  of event count. The spine-to-rollup join is a left join on
+  (type, hour), broadcastable from the spine side when the span is
+  bounded, shuffle-join otherwise.
+- The locf window partitions by event type and orders by hour — each
+  partition is span-hours rows (the ROLLUP's cardinality, not the
+  event count), so the sort is bounded even at 100 TB of raw events.
+  For multi-year × million-key spines, segment the window by (type,
+  day) and carry the last value across segment boundaries with a
+  per-segment join (the standard two-phase locf) — same semantics,
+  which is what this operator pins.
+
+Determinism: counts are exact ints; the gauge is the decimal-summed
+hourly value (one cast to double); locf copies values verbatim, and
+hours before a type's first observation stay NULL in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (event_type, hour) series over the events table's span.
+
+    Output: (event_type, hour, n_events, filled_value) — n_events is 0
+    on gap hours; filled_value is the hourly decimal-summed value with
+    gaps carrying the previous observed hour's value forward (NULL
+    before a type's first observation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"),
+        F.max(hour).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT t.event_type, gs.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL unnest(generate_series(bounds.h0, bounds.h1,
+                                            INTERVAL 1 HOUR)) gs(hour)
+)
+SELECT s.event_type, s.hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "events_gap_fill": (events_gap_fill, ORACLE_GAP_FILL),
+}

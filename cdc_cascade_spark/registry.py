@@ -88,6 +88,8 @@ CHECK_FIRST: list[str] = [
     "token_budget_selection",
     "shingle_containment",
     "bigram_lift",
+    "minhash_jaccard_estimate",
+    "events_gap_fill",
     # llm/similarity.py changed this round (generalized multi-probe
     # order + probes parameter) — every query it defines re-verifies
     "ann_cosine_topk",
@@ -143,6 +145,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         ranges,
         relational,
         sketches,
+        timeseries,
     )
 
     merged: dict[str, tuple] = {}
@@ -164,6 +167,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         vectorops,
         selection,
         collocations,
+        timeseries,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

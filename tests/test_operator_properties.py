@@ -434,3 +434,55 @@ def test_funnel_matches_replay_model(spark, events):
         "3_purchase": {r.user_id for r in p.collect()},
     }
     assert got == expected
+
+
+def test_gap_fill_dense_spine_and_locf(spark):
+    """Every event type covers the full global hour span; gap hours have
+    n_events=0 and carry the previous observed value forward."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.operators.timeseries import events_gap_fill
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_gap_fill(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    b = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    ).collect()[0]
+    span = int((b.h1 - b.h0).total_seconds() // 3600) + 1
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert all(len(v) == span for v in by_type.values()), {
+        k: len(v) for k, v in by_type.items()
+    }
+    found_gap = False
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        assert series[0].hour == b.h0 and series[-1].hour == b.h1
+        prev = None
+        for r in series:
+            if r.n_events == 0:
+                found_gap = True
+                # locf: gap hours repeat the previous filled value
+                assert r.filled_value == prev or (
+                    r.filled_value is None and prev is None
+                )
+            prev = r.filled_value
+    assert found_gap, "expected at least one gap hour at sf0.001"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """est is always a multiple of 1/16 and stays within 5 sigma of the
+    exact Jaccard on this fixed corpus (sigma = sqrt(J(1-J)/16))."""
+    from cdc_cascade_spark.llm.dedup import minhash_jaccard_estimate
+
+    rows = minhash_jaccard_estimate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_jaccard * 16 - round(r.est_jaccard * 16)) < 1e-12
+        j = r.exact_jaccard
+        sigma = (j * (1 - j) / 16) ** 0.5
+        assert abs(r.est_jaccard - j) <= max(5 * sigma, 1.0 / 16 + 1e-12), (
+            r.doc_a, r.doc_b, r.est_jaccard, j)

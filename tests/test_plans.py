@@ -140,6 +140,9 @@ def test_plan_lint_all_registered_queries(spark):
         "knn_join_topk": {"bnlj"},
         # 1-row total-token-count frame broadcast into the lift formula
         "bigram_lift": {"bnlj"},
+        # 1-row global (min,max) bounds frame broadcast into the dense
+        # spine generator
+        "events_gap_fill": {"bnlj"},
         # pairwise sketch join on type_a < type_b: |groups| one-row
         # sketches of K longs each — the build side is kilobytes by
         # construction (that is the point of sketch algebra)
