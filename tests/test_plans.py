@@ -196,3 +196,27 @@ def test_map_only_doc_queries_prune_to_id_and_text(spark):
         assert schemas, plan[:500]
         for s in schemas:
             assert s == "struct<doc_id:bigint,text:string>", (fn.__name__, s)
+
+
+def test_knn_join_rank_pushdown_and_broadcast(spark):
+    """The batch k-NN join must keep per-query state bounded
+    (WindowGroupLimit on the rnk filter) and ship the query set as a
+    broadcast, never shuffling the candidate side by query_id before
+    the top-k cut."""
+    from cdc_cascade_spark.llm.vectorops import knn_join_topk
+
+    plan = physical_plan(knn_join_topk(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gap_fill_window_partitions_by_type(spark):
+    """The locf window must partition by event_type (bounded span-hours
+    partitions), never collapse to a single partition."""
+    from cdc_cascade_spark.operators.timeseries import events_gap_fill
+
+    plan = physical_plan(events_gap_fill(spark, SF))
+    assert "Window" in plan, plan[:1500]
+    # the formatted explain carries the window spec in a detail line:
+    # partition key must be event_type
+    assert "windowspecdefinition(event_type" in plan, plan[:2500]

@@ -92,3 +92,23 @@ def test_regen_refreshes_window_and_carries_rest_forward():
     # in-window: refreshed (a) / added (c); out-of-window: carried (b);
     # deregistered queries drop out (gone)
     assert out == {"a": "new_a", "b": "fp_b", "c": "fp_c"}
+
+
+def test_every_query_verified_once_or_scheduled():
+    """Rotation-cadence floor (r4 verdict #4): a query must either have
+    appeared in some round's driver correctness report (it was verified
+    at least once — the fingerprint guard then enforces
+    unchanged-since-green) or sit inside the current check window
+    (scheduled for verification this round). Catches a query added to
+    the registry but never queued for the driver's gate."""
+    import glob
+
+    seen: set[str] = set()
+    for path in glob.glob(str(MANIFEST.parent.parent / "CORRECTNESS_r*.json")):
+        seen |= set(json.loads(Path(path).read_text()))
+    window = set(list(all_queries())[:CHECK_WINDOW])
+    orphans = sorted(set(all_queries()) - seen - window)
+    assert not orphans, (
+        f"queries never driver-verified and not scheduled this round: "
+        f"{orphans} — pin them in CHECK_FIRST"
+    )
