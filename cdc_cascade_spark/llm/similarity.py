@@ -220,6 +220,70 @@ def _bucket_sql(col: str, nplanes: int, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
+def write_lsh_bucketed(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Materialize the embedding table PARTITIONED BY its LSH bucket —
+    the physical layout every docstring in this module's ANN family
+    assumes at 100 TB ("the bucket is a partition key").
+
+    One pass: compute norm + bucket, write
+    ``out_path/bucket=<b>/part-*.parquet``. A probe query then reads
+    only its probed buckets' directories (Hive-style partition pruning
+    — ``PartitionFilters`` in the scan, no footer even opened for other
+    buckets). Rewriting the layout is the index build; it is incremental
+    under append (new vectors land in their bucket directory).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket_pd = _bucket_udf(LSH_PLANES)
+    bucketed = _with_norm(emb).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "norm",
+        bucket_pd(F.col("embedding")).alias("bucket"),
+    )
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(out_path)
+
+
+def ann_lsh_topk_bucketed(
+    spark: SparkSession,
+    index_path: str,
+    qvec: "np.ndarray",
+    qid: int,
+    probes: int = 1,
+) -> DataFrame:
+    """ANN over the bucket-partitioned layout: the probe list becomes a
+    partition filter, so the scan touches only ``probes`` of the 2^H
+    bucket directories. Results are identical to the in-memory
+    ``ann_lsh_multiprobe_topk`` with the same probe count (pinned by
+    test); the difference is purely physical — this is the plan that
+    survives 100 TB, because the pruned scan is O(corpus/2^H · probes).
+    """
+    probe_buckets = _query_probe_buckets(
+        np.asarray(qvec, dtype=np.float64), LSH_PLANES, probes
+    )
+    emb = spark.read.parquet(index_path)
+    qrow = emb.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        emb.filter(F.col("bucket").isin(probe_buckets))
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                _dot_pd(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def label_blocked_pairs(emb: DataFrame, cap: int = LABEL_CAP) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs within equal-label blocks, with a
     skew guard on label cardinality.
