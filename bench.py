@@ -107,6 +107,14 @@ def main() -> None:
             store[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(warm.values()), 4)
+
+    # Streaming headline: events/sec through the full invalidation
+    # pipeline (envelope JSON → parse → tombstone/before-null filters →
+    # key projection → keyed DEL effect) — the reference's flagship path
+    # (SURVEY.md §3.1), file source standing in for Kafka. The reference
+    # publishes no throughput numbers (BASELINE.md); this records ours.
+    streaming = _bench_invalidation_stream(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -116,11 +124,52 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 4),
+                "streaming": streaming,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _bench_invalidation_stream(spark, sf_dir: str) -> dict:
+    import shutil
+    import tempfile
+
+    from cdc_cascade_spark.cdc.queries import envelopes_from_events
+    from cdc_cascade_spark.streaming.pipeline import (
+        read_cdc_files,
+        start_invalidation_pipeline,
+    )
+    from cdc_cascade_spark.streaming.sinks import InMemoryKVStore
+    from cdc_cascade_spark.cdc.queries import EVENT_IMAGE_SCHEMA
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        src = f"{tmp}/src"
+        env = envelopes_from_events(spark, sf_dir)
+        n_events = env.count()
+        # 8 text files ≈ 8 micro-batch file groups at the default trigger
+        env.select("value").coalesce(8).write.mode("overwrite").text(src)
+        store = InMemoryKVStore()
+        t0 = time.perf_counter()
+        q = start_invalidation_pipeline(
+            read_cdc_files(spark, src, max_files_per_trigger=4),
+            store,
+            f"{tmp}/ckpt",
+            table_schema=EVENT_IMAGE_SCHEMA,
+            key_field="user_id",
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.perf_counter() - t0
+        return {
+            "invalidation_events": n_events,
+            "wall_sec": round(wall, 4),
+            "events_per_sec": round(n_events / wall, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
