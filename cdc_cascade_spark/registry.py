@@ -90,6 +90,7 @@ CHECK_FIRST: list[str] = [
     "bigram_lift",
     "minhash_jaccard_estimate",
     "events_gap_fill",
+    "corpus_profile",
     # llm/similarity.py changed this round (generalized multi-probe
     # order + probes parameter) — every query it defines re-verifies
     "ann_cosine_topk",
@@ -132,6 +133,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup,
         multimodal,
         packing,
+        profile,
         selection,
         similarity,
         text,
@@ -168,6 +170,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         selection,
         collocations,
         timeseries,
+        profile,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
