@@ -110,6 +110,16 @@ def _with_norm(emb: DataFrame) -> DataFrame:
     return emb.withColumn("norm", _norm_pd(F.col("embedding")))
 
 
+def _empty_ann(spark: SparkSession, cell_col: str, cell_type: str) -> DataFrame:
+    """Typed empty result for ANN queries whose train/query step found
+    an empty corpus — an empty daily partition is a normal pipeline
+    state and must yield an empty frame with the contract schema, not
+    an IndexError from the bounded collect."""
+    return spark.createDataFrame(
+        [], f"vec_id bigint, label int, {cell_col} {cell_type}, cosine double"
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by cosine to the query vector (vec_id = MIN(vec_id)).
 
@@ -526,9 +536,10 @@ def ann_lsh_multiprobe_topk(
     bucketed = _with_norm(emb).select(
         "vec_id", "label", "embedding", "norm", bucket_pd(F.col("embedding")).alias("bucket")
     )
-    qrow_local = (
-        emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
-    )
+    qrows = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()
+    if not qrows:
+        return _empty_ann(spark, "bucket", "int")
+    qrow_local = qrows[0]
     qid = int(qrow_local.vec_id)
     q = np.asarray(qrow_local.embedding, dtype=np.float32).astype(np.float64)
     probes = _query_probe_buckets(q, LSH_PLANES, probes)
@@ -616,6 +627,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.orderBy("vec_id").limit(IVF_CENTROIDS).select("vec_id", "embedding").collect()
     )
+    if not cent_rows:
+        return _empty_ann(spark, "centroid", "bigint")
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)  # ascending
     C = np.stack([np.asarray(r.embedding) for r in cent_rows]).astype(np.float64)
     normC = np.sqrt(np.add.accumulate(C * C, axis=1)[:, -1])
@@ -757,6 +770,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.orderBy("vec_id").limit(IVF_CENTROIDS).select("vec_id", "embedding").collect()
     )
+    if not cent_rows:
+        return _empty_ann(spark, "centroid", "bigint")
     cids0 = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C0 = np.floor(
         np.stack([np.asarray(r.embedding) for r in cent_rows]).astype(np.float64)

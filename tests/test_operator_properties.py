@@ -486,3 +486,41 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         sigma = (j * (1 - j) / 16) ** 0.5
         assert abs(r.est_jaccard - j) <= max(5 * sigma, 1.0 / 16 + 1e-12), (
             r.doc_a, r.doc_b, r.est_jaccard, j)
+
+
+def test_every_query_survives_empty_corpus(spark, tmp_path):
+    """An empty partition (no events today, empty shard, fresh table) is
+    a normal pipeline state: every registered query must return an
+    EMPTY (or degenerate-aggregate) frame on zero-row inputs, never
+    crash. Known documented exception: bpe_apply_top_merge requires a
+    non-empty corpus (its contract is 'apply THE top merge'; with no
+    pairs there is no merge to apply) — it must fail, not return
+    garbage."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import TABLES, load_table
+    from cdc_cascade_spark.registry import queries
+
+    empty_dir = str(tmp_path / "sf_empty")
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{empty_dir}/{t}.parquet")
+
+    REQUIRES_NONEMPTY = {"bpe_apply_top_merge"}
+    failures = {}
+    for name, fn in sorted(queries().items()):
+        if name in REQUIRES_NONEMPTY:
+            with pytest.raises(IndexError):
+                fn(spark, empty_dir).collect()
+            continue
+        try:
+            rows = fn(spark, empty_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            failures[name] = repr(exc)[:120]
+            continue
+        # aggregates may legitimately emit a single degenerate row
+        # (e.g. global count 0); anything larger is suspicious
+        if len(rows) > 10:
+            failures[name] = f"returned {len(rows)} rows from empty corpus"
+    assert not failures, failures
