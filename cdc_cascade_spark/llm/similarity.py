@@ -254,6 +254,113 @@ def write_lsh_bucketed(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     bucketed.write.partitionBy("bucket").mode("overwrite").parquet(out_path)
 
 
+def ann_lsh_multitable_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Multi-TABLE LSH ANN: L independent hash tables of k planes each;
+    a vector is a candidate if it shares the query's bucket in ANY
+    table. The second classic recall dial, complementary to multi-probe
+    (``ann_lsh_multiprobe_topk``): with per-plane collision probability
+    p, one k-bit table recalls p^k; L tables recall 1 − (1 − p^k)^L at
+    an expected scan fraction ≈ L/2^k. Multi-probe trades the same scan
+    budget within ONE table's Hamming ball — their recall/scan curves
+    are compared head-to-head in tests/test_llm.py.
+
+    Plan shape: per-table bucket ids are L more sign-bit columns from
+    the same Arrow kernel pass (table t uses planes offset by
+    ``t * planes_per_table`` — disjoint hyperplane sets, so tables are
+    independent); candidacy is an OR of L equality filters against the
+    collected query buckets — map-side, partition-prunable per table at
+    100 TB (one bucketed layout per table, the standard L-index
+    deployment). No shuffle anywhere before the top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    total_planes = n_tables * planes_per_table
+    planes = _planes_matrix(total_planes, 64)
+    weights = np.array([1 << p for p in range(planes_per_table)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets_pd(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        m = _stack_f64(a)
+        dots = np.add.accumulate(m[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+        signs = (dots > 0).reshape(len(a), n_tables, planes_per_table)
+        ids = (signs @ weights).astype(np.int32)
+        return pd.Series(list(ids))
+
+    bucketed = _with_norm(emb).select(
+        "vec_id", "label", "embedding", "norm",
+        buckets_pd(F.col("embedding")).alias("buckets"),
+    )
+    qrows = (
+        bucketed.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding", "norm", "buckets")
+        .collect()
+    )
+    if not qrows:
+        return _empty_ann(spark, "n_shared_tables", "int")
+    qrow = qrows[0]
+    qid = int(qrow.vec_id)
+    qbuckets = [int(b) for b in qrow.buckets]
+    shared = sum(
+        F.when(F.col("buckets")[t] == qbuckets[t], 1).otherwise(0)
+        for t in range(n_tables)
+    )
+    qdf = bucketed.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        bucketed.withColumn("n_shared_tables", shared.cast("int"))
+        .filter(F.col("n_shared_tables") >= 1)
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            "label",
+            "n_shared_tables",
+            F.round(
+                _dot_pd(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def append_lsh_bucketed(emb_batch: DataFrame, out_path: str) -> None:
+    """Incrementally add a batch of vectors to the bucketed layout —
+    the daily-ingest path: no index rebuild, each new vector's file
+    lands inside its ``bucket=<b>/`` directory (append-mode Hive
+    partitioning), and subsequent probes see old and new data through
+    the same partition-pruned scan.
+
+    At 100 TB this is the whole point of the layout: ingest cost is
+    O(batch), compaction of small appended files is the existing
+    ``sources.io.compact_table`` pass per bucket directory, and no
+    reader coordination is needed (parquet appends are new files).
+    The batch must carry (vec_id, label, embedding); norm + bucket are
+    (re)computed here with the same kernels as the full build, so an
+    appended vector lands in exactly the bucket a full rebuild would
+    give it (pinned by test).
+    """
+    bucket_pd = _bucket_udf(LSH_PLANES)
+    bucketed = _with_norm(emb_batch).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "norm",
+        bucket_pd(F.col("embedding")).alias("bucket"),
+    )
+    bucketed.write.partitionBy("bucket").mode("append").parquet(out_path)
+
+
 def ann_lsh_topk_bucketed(
     spark: SparkSession,
     index_path: str,
