@@ -84,6 +84,64 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_fill_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase locf — the scale path the plain operator's docstring
+    promises for multi-year × million-key spines, made concrete (and
+    pinned equal to the single-window form by test).
+
+    Phase 1 runs locf within (event_type, day) segments — each window
+    partition is ≤ 24 rows regardless of span, so the sort never grows
+    with history. Phase 2 fixes the rows still NULL (gap hours before
+    their segment's first observation): the per-segment LAST filled
+    value is a |segments|-sized frame; one more locf over THAT tiny
+    frame (ordered by day, per type) yields each segment's carry-in,
+    which a broadcast join maps back onto the unfixed rows. Total cost:
+    two bounded-partition windows + one broadcast join — no partition
+    ever holds more than max(24, |segments-per-type|) rows.
+    """
+    filled = events_gap_fill(spark, sf_dir)
+    day = F.date_trunc("day", F.col("hour"))
+    w_seg = (
+        W.partitionBy("event_type", "seg")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    base = filled.select(
+        "event_type",
+        "hour",
+        "n_events",
+        day.alias("seg"),
+        # recompute the raw per-hour value (NULL on gaps) from the
+        # plain operator's output: a gap hour repeats the previous
+        # filled value, so only observed hours carry their own value
+        F.when(F.col("n_events") > 0, F.col("filled_value")).alias("raw_value"),
+    )
+    phase1 = base.withColumn(
+        "seg_fill", F.last("raw_value", ignorenulls=True).over(w_seg)
+    )
+    seg_last = (
+        phase1.groupBy("event_type", "seg")
+        .agg(F.max_by("seg_fill", "hour").alias("seg_final"))
+    )
+    w_carry = (
+        W.partitionBy("event_type")
+        .orderBy("seg")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = seg_last.withColumn(
+        "carry_in", F.last("seg_final", ignorenulls=True).over(w_carry)
+    ).select("event_type", "seg", "carry_in")
+    return (
+        phase1.join(F.broadcast(carry), ["event_type", "seg"])
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.coalesce("seg_fill", "carry_in").alias("filled_value"),
+        )
+    )
+
+
 ORACLE_GAP_FILL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,

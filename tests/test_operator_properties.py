@@ -524,3 +524,25 @@ def test_every_query_survives_empty_corpus(spark, tmp_path):
         if len(rows) > 10:
             failures[name] = f"returned {len(rows)} rows from empty corpus"
     assert not failures, failures
+
+
+def test_segmented_locf_equals_single_window_gap_fill(spark):
+    """The two-phase (per-day segments + carry-in join) locf must be
+    row-identical to the single-window form — the claim that lets the
+    100 TB deployment swap it in without semantic drift."""
+    from cdc_cascade_spark.operators.timeseries import (
+        events_gap_fill,
+        events_gap_fill_segmented,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r.event_type, r.hour): (r.n_events, r.filled_value)
+         for r in events_gap_fill(spark, sf).collect()}
+    b = {(r.event_type, r.hour): (r.n_events, r.filled_value)
+         for r in events_gap_fill_segmented(spark, sf).collect()}
+    assert a == b
+    # and the segmented plan's locf windows are day-bounded
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(events_gap_fill_segmented(spark, sf))
+    assert "windowspecdefinition(event_type" in plan
