@@ -974,3 +974,50 @@ def test_multitable_lsh_recall_vs_multiprobe(spark):
     recall_mp = len(mp & truth) / len(truth)
     # both dials must land in the same recall regime at this budget
     assert abs(recall_mt - recall_mp) <= 0.4, (recall_mt, recall_mp)
+
+
+def test_index_maintenance_lifecycle_append_compact_probe(spark, tmp_path):
+    """The full index-maintenance story in one test: build → N small
+    appends (the daily-ingest small-files tax) → per-bucket compaction
+    → probe results unchanged and file count reduced."""
+    import glob
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.similarity import (
+        ann_lsh_topk_bucketed,
+        append_lsh_bucketed,
+        write_lsh_bucketed,
+    )
+    from cdc_cascade_spark.sources.io import compact_table
+
+    emb = load_table(spark, SF, "embeddings")
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    idx = str(tmp_path / "idx")
+    base_dir = str(tmp_path / "base_tbl")
+    emb.filter(F.col("vec_id") <= mid).write.parquet(f"{base_dir}/embeddings.parquet")
+    write_lsh_bucketed(spark, base_dir, idx)
+    # four small appends — each lands new files in bucket dirs
+    rest = emb.filter(F.col("vec_id") > mid).withColumn(
+        "g", (F.col("vec_id") % 4)
+    )
+    for g in range(4):
+        append_lsh_bucketed(rest.filter(F.col("g") == g).drop("g"), idx)
+
+    qrow = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    qvec = np.asarray(qrow.embedding, dtype=np.float32).astype(np.float64)
+    before = [(r.vec_id, r.cosine) for r in
+              ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id), probes=9).collect()]
+
+    # per-bucket compaction (the 100 TB shape: each partition dir is an
+    # independent compaction unit with its own atomic swap)
+    n_files_before = len(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    for bdir in sorted(glob.glob(f"{idx}/bucket=*")):
+        compact_table(spark, bdir)
+    n_files_after = len(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    assert n_files_after < n_files_before
+
+    after = [(r.vec_id, r.cosine) for r in
+             ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id), probes=9).collect()]
+    assert before == after
