@@ -57,14 +57,26 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(xd, F.abs))
-    q = F.when(maxabs == 0.0, F.transform(xd, lambda x: F.lit(0))).otherwise(
+    # two-step projection so maxabs (itself a 64-element transform+max)
+    # is evaluated once per row, not re-inlined into every consumer —
+    # higher-order array functions are interpreted (CodegenFallback),
+    # so Catalyst's subexpression elimination does not cover them
+    staged = emb.select(
+        "vec_id",
+        "label",
+        xd.alias("xd"),
+        F.array_max(F.transform(xd, F.abs)).alias("maxabs"),
+    )
+    maxabs = F.col("maxabs")
+    q = F.when(
+        maxabs == 0.0, F.transform(F.col("xd"), lambda x: F.lit(0))
+    ).otherwise(
         F.transform(
-            xd,
+            F.col("xd"),
             lambda x: F.floor((x / maxabs) * QUANT_LEVELS).cast("int"),
         )
     )
-    return emb.select(
+    return staged.select(
         "vec_id",
         "label",
         (maxabs / QUANT_LEVELS).alias("scale"),
