@@ -118,7 +118,9 @@ CHECK_FIRST: list[str] = [
     "asof_prev_click_tolerance",
     "range_join_signup_activity",
     "overlap_join_order_windows",
-    "q13_sessionize_events",
+    # (q13 rotated out again to stay under the pin cap: unchanged code,
+    # fingerprint-protected; quantile_histogram needs its first row)
+    "quantile_histogram",
     "q17_tumbling_hourly",
     "q19_cube_volume",
     "q28_window_suite",
@@ -144,6 +146,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         behavior,
         collocations,
         quality,
+        quantiles,
         ranges,
         relational,
         sketches,
@@ -171,6 +174,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         collocations,
         timeseries,
         profile,
+        quantiles,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

@@ -546,3 +546,33 @@ def test_segmented_locf_equals_single_window_gap_fill(spark):
 
     plan = physical_plan(events_gap_fill_segmented(spark, sf))
     assert "windowspecdefinition(event_type" in plan
+
+
+def test_histogram_quantile_within_one_bucket_of_exact(spark):
+    """The scalable histogram quantile must land within BUCKET_WIDTH of
+    the exact percentile — the accuracy contract that justifies using
+    it where exact percentiles can't scale."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.operators.quantiles import (
+        BUCKET_WIDTH,
+        quantile_histogram,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    est = {r.o_orderstatus: (r.est_p50, r.est_p90)
+           for r in quantile_histogram(spark, sf).collect()}
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in est:
+        assert abs(est[k][0] - exact[k][0]) <= BUCKET_WIDTH, (k, est[k], exact[k])
+        assert abs(est[k][1] - exact[k][1]) <= BUCKET_WIDTH, (k, est[k], exact[k])
