@@ -160,8 +160,13 @@ def _bench_invalidation_stream(spark, sf_dir: str) -> dict:
             table_schema=EVENT_IMAGE_SCHEMA,
             key_field="user_id",
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # always stop before the tmp cleanup — deleting the
+            # checkpoint under a live stream buries the real error
+            # in checkpoint-IO noise
+            q.stop()
         wall = time.perf_counter() - t0
         return {
             "invalidation_events": n_events,

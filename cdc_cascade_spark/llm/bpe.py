@@ -33,8 +33,12 @@ Scale shape (100 TB):
 The greedy left-to-right non-overlapping merge is expressed as literal
 string ``replace`` over the ``\\x1f``-joined stream ("a␟b" → "ab") —
 see ``text.bpe_apply_top_merge`` for why ``replace`` scanning IS the
-BPE merge rule. Pre-tokens (``text.BPE_PATTERN``) can contain neither
-a space nor the separator, so the "a b" pair encoding is unambiguous
+BPE merge rule. Pre-tokens (``text.BPE_PATTERN``) can never contain a
+space; the separator itself IS matchable by the pattern's symbol
+branch, so raw text is sanitized (``\\x1f`` stripped) before
+pre-tokenization — otherwise a document containing the unit-separator
+byte would corrupt the joined stream and the trainer would silently
+learn wrong merges. With that, the "a b" pair encoding is unambiguous
 even for already-merged super-tokens.
 """
 
@@ -76,7 +80,8 @@ def bpe_train_k_merges(
     (over the stream with all prior merges applied).
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
-    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    clean = F.replace(F.col("text"), F.lit(_BPE_SEP), F.lit(""))
+    pre = F.regexp_extract_all(clean, F.lit(BPE_PATTERN), F.lit(0))
     stream = docs.select(F.concat_ws(_BPE_SEP, pre).alias("stream")).localCheckpoint(
         eager=True
     )
@@ -118,7 +123,8 @@ def _oracle_train_sql(k: int = BPE_K) -> str:
     parts = [
         f"""
 WITH pre AS (
-  SELECT regexp_extract_all(text, '{BPE_PATTERN}') AS p FROM documents
+  SELECT regexp_extract_all(replace(text, chr(31), ''), '{BPE_PATTERN}') AS p
+  FROM documents
 ), s1 AS (
   SELECT array_to_string(p, chr(31)) AS stream FROM pre
 )"""

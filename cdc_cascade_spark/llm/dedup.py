@@ -454,16 +454,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle in the dedup pipeline. est is k/16 (exact double), exact is
     one double division; both engines agree bit-for-bit.
 
-    Scale shape: one extra 16-min aggregate over the shared prepared
-    frame (shuffle carries doc_id + 16 longs), then the same candidate
-    join as dedup_minhash_lsh.
+    Scale shape: rides the shared cached signature relation (the band
+    frame derives from the same cache, so the explode + 16-min shuffle
+    runs once per session), then the same candidate join as
+    dedup_minhash_lsh.
     """
     prepared = _docs_prepared_cached(spark, sf_dir)
-    sigs = (
-        prepared.select("doc_id", F.explode("hset").alias("h"))
-        .groupBy("doc_id")
-        .agg(*_minhash_sig_aggs())
-    )
+    sigs = minhash_sigs_cached(spark, sf_dir)
     pairs = guarded_block_candidates(
         prepared, carry=("hset",), bands=minhash_bands_cached(spark, sf_dir)
     )
@@ -618,10 +615,28 @@ def _docs_prepared_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4 band rows × (8-byte id + 32-byte key) per doc of cache.
 _BANDS_CACHE = BoundedDFCache()
 
+# The raw 16-minima signature relation is ALSO shared: the band frame
+# derives from it and minhash_jaccard_estimate consumes it directly —
+# caching it means the explode + signature shuffle runs once per
+# (session, sf_dir), and both consumers pay only a projection.
+# 17 longs per doc of cache.
+_SIGS_CACHE = BoundedDFCache()
 
-def _bands_frame(prepared: DataFrame) -> DataFrame:
+
+def _sigs_frame(prepared: DataFrame) -> DataFrame:
     hashes = prepared.select("doc_id", F.explode("hset").alias("h"))
-    sigs = hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
+    return hashes.groupBy("doc_id").agg(*_minhash_sig_aggs())
+
+
+def minhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _SIGS_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _sigs_frame(_docs_prepared_cached(spark, sf_dir)),
+    )
+
+
+def _bands_frame(sigs: DataFrame) -> DataFrame:
     return sigs.select(
         "doc_id", F.explode(F.array(*_lsh_band_structs())).alias("b")
     ).select("doc_id", "b.band", "b.bkey")
@@ -631,7 +646,7 @@ def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_CACHE.get_or_build(
         spark,
         sf_dir,
-        lambda: _bands_frame(_docs_prepared_cached(spark, sf_dir)),
+        lambda: _bands_frame(minhash_sigs_cached(spark, sf_dir)),
     )
 
 
@@ -858,7 +873,9 @@ def _union_find(edge_rows: list) -> dict:
 
 
 def connected_components(
-    edges: DataFrame, local_max_edges: int = CC_LOCAL_MAX_EDGES
+    edges: DataFrame,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Minimum-label propagation over an undirected edge list
     ``(src, dst)`` → ``(node, comp)`` with comp = min node id in the
@@ -880,6 +897,15 @@ def connected_components(
     driver union-find over one bounded collect (see
     ``CC_LOCAL_MAX_EDGES`` for why that is the production-normal case);
     pass ``local_max_edges=0`` to force the distributed loop (tests do).
+
+    ``with_sizes=True`` appends a ``comp_size`` column. On the local
+    branch this is a Counter over the union-find roots in the SAME
+    driver pass and ONE 3-column createDataFrame (r4 verdict #7: the
+    separate 2-column frame + window shape cost ~1.9 s of fixed
+    overhead on an 834-row driver-local frame); distributed, it is one
+    window count over comp (hash-partitioned, never a single-partition
+    exchange — a groupBy + join-back would shuffle the same rows
+    twice).
 
     Plan-growth control: the label frame is eagerly
     ``localCheckpoint``-ed each round, so Catalyst analyzes a
@@ -909,10 +935,18 @@ def connected_components(
         # list suffices (half the rows the distributed path mirrors).
         roots = _union_find([(r.src, r.dst) for r in e.collect()])
         id_type = edges.schema[0].dataType
-        schema = T.StructType(
-            [T.StructField("node", id_type), T.StructField("comp", id_type)]
+        fields = [T.StructField("node", id_type), T.StructField("comp", id_type)]
+        if with_sizes:
+            from collections import Counter
+
+            sizes = Counter(roots.values())
+            fields.append(T.StructField("comp_size", T.LongType(), False))
+            rows = sorted((n, r, sizes[r]) for n, r in roots.items())
+        else:
+            rows = sorted(roots.items())
+        return edges.sparkSession.createDataFrame(
+            rows, T.StructType(fields)
         )
-        return edges.sparkSession.createDataFrame(sorted(roots.items()), schema)
     # the distributed loop needs both directions (min-label must flow
     # against edge orientation too); a narrow union over the snapshot
     both = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
@@ -952,6 +986,12 @@ def connected_components(
             f"connected_components did not converge in {CC_MAX_ITERS} "
             f"doubling rounds — component diameter beyond ~2^{CC_MAX_ITERS}?"
         )
+    if with_sizes:
+        return labels.select(
+            "node",
+            "comp",
+            F.count(F.lit(1)).over(W.partitionBy("comp")).alias("comp_size"),
+        )
     return labels
 
 
@@ -962,44 +1002,18 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
     This is the piece that makes pairwise near-dup output actionable:
     transitive near-dups (A~B, B~C) collapse into ONE keep-decision
-    even when A~C was never a candidate pair.
-
-    Small-graph fast path (r4 verdict #7): when the edge list fits the
-    ``CC_LOCAL_MAX_EDGES`` collect bound, cluster sizes are a Counter
-    over the union-find roots in the SAME driver pass, and the final
-    3-column frame is created once — the previous shape (2-column
-    createDataFrame, then a window over comp) spent ~1.9 s of fixed
-    job-setup/window overhead on an 834-row driver-local frame.
+    even when A~C was never a candidate pair. Size computation lives
+    inside ``connected_components(with_sizes=True)`` — one
+    implementation for both graph regimes (r4 verdict #7; the local
+    branch counts roots in the union-find driver pass).
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    # snapshot once; both the size probe and either branch reuse it
-    e = pairs.localCheckpoint(eager=True)
-    if 2 * e.count() <= CC_LOCAL_MAX_EDGES:
-        from collections import Counter
-
-        roots = _union_find([(r.src, r.dst) for r in e.collect()])
-        sizes = Counter(roots.values())
-        id_type = pairs.schema[0].dataType
-        schema = T.StructType(
-            [
-                T.StructField("doc_id", id_type),
-                T.StructField("rep_doc_id", id_type),
-                T.StructField("cluster_size", T.LongType(), False),
-            ]
-        )
-        return spark.createDataFrame(
-            sorted((n, r, sizes[r]) for n, r in roots.items()), schema
-        )
-    comps = connected_components(e, local_max_edges=0)
-    # cluster_size via one window over comp (hash-partitioned, never a
-    # single-partition exchange) — a groupBy + join-back would shuffle
-    # the same rows twice for the same answer.
-    return comps.select(
+    return connected_components(pairs, with_sizes=True).select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("rep_doc_id"),
-        F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
+        F.col("comp_size").alias("cluster_size"),
     )
 
 

@@ -44,10 +44,16 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = tokens(F.col("text"))
     td = docs.select(toks.alias("toks"))
+    # snapshot the unigram relation: three consumers (left join, right
+    # join, total) would otherwise each re-run the corpus scan +
+    # explode + count — the aggregate is vocabulary-sized, so the
+    # materialization is tiny and keeps the operator at its documented
+    # two corpus passes
     uni = (
         td.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     total = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
     n = F.size("toks")

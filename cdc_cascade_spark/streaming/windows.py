@@ -32,11 +32,13 @@ def _events_ts_is_int64(sf_dir: str) -> bool:
 
         t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
         return getattr(t, "unit", None) == "ns" or str(t) == "int64"
-    except (ImportError, OSError, KeyError) as exc:
-        # pyarrow absent / unreadable footer / no ts field. Fall back to
-        # the modern micros layout, but say so: if the file is actually
-        # nanos the stream will later fail with an opaque parquet
-        # type-mismatch, and this warning is the diagnosable breadcrumb.
+    except (ImportError, OSError, KeyError, ValueError) as exc:
+        # pyarrow absent / unreadable footer (pyarrow raises
+        # ArrowInvalid, a ValueError subclass, for corrupt footers) /
+        # no ts field. Fall back to the modern micros layout, but say
+        # so: if the file is actually nanos the stream will later fail
+        # with an opaque parquet type-mismatch, and this warning is the
+        # diagnosable breadcrumb.
         import warnings
 
         warnings.warn(

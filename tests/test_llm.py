@@ -896,14 +896,17 @@ def test_bucketed_ann_prunes_partitions_and_matches_inmemory(spark, tmp_path):
 
     plan = physical_plan(got)
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
-    # the pruned scan must read fewer files than the full layout holds
+    # the pruned scan must read strictly fewer data files than the
+    # layout holds: count parquet files inside probed bucket dirs vs
+    # all bucket dirs (the physical quantity PartitionFilters prunes)
     import glob
 
-    all_parts = len(glob.glob(f"{idx}/bucket=*"))
     probed = set(_query_probe_buckets(qvec, LSH_PLANES, probes))
-    # sanity: the layout has more bucket dirs than we probe
-    assert all_parts > len(probed & {int(p.split("=")[1]) for p in
-                                     (x.split("/")[-1] for x in glob.glob(f"{idx}/bucket=*"))})
+    n_total_files = len(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    n_probed_files = sum(
+        len(glob.glob(f"{idx}/bucket={b}/*.parquet")) for b in probed
+    )
+    assert 0 < n_probed_files < n_total_files, (n_probed_files, n_total_files)
 
 
 def test_incremental_index_append_equals_full_rebuild(spark, tmp_path):
