@@ -328,6 +328,29 @@ FROM sh
 
 BPE_TOP_PAIRS = 20
 
+# Unit separator for the token-stream encoding of the merge step.
+# Pre-tokens can never contain a SPACE (the pattern excludes it), but
+# the pattern's symbol branch CAN match the separator byte itself, so
+# every BPE entry point strips \x1f from raw text before
+# pre-tokenization — otherwise a document containing the
+# unit-separator byte (not rare in scraped web text) would corrupt the
+# joined stream and the merge replace could splice across real token
+# boundaries.
+_BPE_SEP = "\x1f"
+
+
+def _bpe_pretokens(text_col: "F.Column") -> "F.Column":
+    """Sanitized BPE pre-token array (separator-free by construction)."""
+    clean = F.replace(text_col, F.lit(_BPE_SEP), F.lit(""))
+    return F.regexp_extract_all(clean, F.lit(BPE_PATTERN), F.lit(0))
+
+
+# DuckDB mirror of _bpe_pretokens
+_BPE_PRETOKENS_SQL = (
+    "regexp_extract_all(replace({x}, chr(31), ''), '" + BPE_PATTERN + "')"
+)
+
+
 
 def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first round of BPE training: the corpus's most frequent
@@ -347,7 +370,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string so K is deterministic in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    pre = _bpe_pretokens(F.col("text"))
     n = F.size(pre)
     pairs = F.zip_with(
         F.slice(pre, 1, n - 1),
@@ -365,7 +388,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_PAIRS = f"""
 WITH pre AS (
-  SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}') AS p
+  SELECT doc_id, {_BPE_PRETOKENS_SQL.format(x='text')} AS p
   FROM documents
 ), pairs AS (
   SELECT unnest(list_transform(range(1, len(p)),
@@ -377,11 +400,6 @@ FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC
 LIMIT {BPE_TOP_PAIRS}
 """
-
-
-# Unit separator for the token-stream encoding of the merge step —
-# cannot collide with any BPE pre-token (pre-tokens are printable).
-_BPE_SEP = "\x1f"
 
 
 def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

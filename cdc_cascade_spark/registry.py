@@ -109,20 +109,24 @@ CHECK_FIRST: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_simhash_weighted",
-    # stale rotation (r4 verdict #4): the r3-green queries past r4's
-    # window, oldest-first; pinned as budget allows
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "asof_latest_order",
-    "asof_prev_click_tolerance",
-    "range_join_signup_activity",
-    "overlap_join_order_windows",
-    # (q13 rotated out again to stay under the pin cap: unchanged code,
-    # fingerprint-protected; quantile_histogram needs its first row)
+    # llm/text.py changed this round (BPE separator sanitization) —
+    # every query it defines re-verifies. This displaced most of the
+    # stale-rotation pins (multimodal/asof/range/q13/q17/q19): those
+    # are unchanged AND fingerprint-protected, so rotating them out is
+    # provably safe; correctness of changed code wins the pin budget.
+    "text_stats",
+    "doc_repetition",
+    "bpe_merge_pairs",
+    "bpe_apply_top_merge",
+    "text_salient_terms",
+    "lang_id",
+    "doc_fingerprint",
+    "text_vocabulary",
+    "text_bigrams",
+    # new this round — needs its first green row
     "quantile_histogram",
-    "q17_tumbling_hourly",
-    "q19_cube_volume",
+    # stale rotation (r4 verdict #4): one slot left after the text.py
+    # repin; q28 covers the widest window-function surface
     "q28_window_suite",
 ]
 

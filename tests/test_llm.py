@@ -1024,3 +1024,44 @@ def test_index_maintenance_lifecycle_append_compact_probe(spark, tmp_path):
     after = [(r.vec_id, r.cosine) for r in
              ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id), probes=9).collect()]
     assert before == after
+
+
+def test_bpe_separator_byte_in_text_cannot_corrupt_stream(spark, tmp_path):
+    """A document containing the \\x1f unit-separator byte must not
+    inject phantom tokens or splice merges: pre-tokenization strips it,
+    so results equal the same corpus with the byte removed."""
+    from cdc_cascade_spark.catalog import TABLES, load_table
+    from cdc_cascade_spark.llm.bpe import bpe_train_k_merges
+    from cdc_cascade_spark.llm.text import _bpe_pretokens, bpe_merge_pairs
+    from pyspark.sql import functions as F
+
+    dirty = str(tmp_path / "dirty")
+    clean = str(tmp_path / "clean")
+    rows = [
+        (1, "aa bb aa bb aa bb"),
+        (2, "aa\x1fbb aa bb \x1f\x1f aa bb"),  # separator bytes injected
+        (3, "cc aa bb cc"),
+    ]
+    for path, fix in ((dirty, False), (clean, True)):
+        data = [
+            (i, t.replace("\x1f", "") if fix else t, "en", "test", len(t))
+            for i, t in rows
+        ]
+        spark.createDataFrame(
+            data, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{path}/documents.parquet")
+
+    # unit level: the pre-token array is separator-free and identical
+    pt = spark.createDataFrame([("x\x1fy z",)], "text string").select(
+        _bpe_pretokens(F.col("text")).alias("p")
+    ).collect()[0].p
+    assert pt == ["xy", "z"]
+
+    d_pairs = [(r.pair, r.n_occurrences) for r in bpe_merge_pairs(spark, dirty).collect()]
+    c_pairs = [(r.pair, r.n_occurrences) for r in bpe_merge_pairs(spark, clean).collect()]
+    assert d_pairs == c_pairs
+    assert not any("\x1f" in p for p, _ in d_pairs)
+
+    d_merges = [tuple(r) for r in bpe_train_k_merges(spark, dirty, k=3).collect()]
+    c_merges = [tuple(r) for r in bpe_train_k_merges(spark, clean, k=3).collect()]
+    assert d_merges == c_merges
