@@ -143,13 +143,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprint = min shingle-hash over the document's distinct 3-token
     shingle set (llm/prep.py) — the representative hash used for fast
     first-pass clustering of near-identical docs.
+
+    Rides the session-shared prepared relation (llm/dedup.py): the
+    shingle hashing is the dominant cost and is computed once per
+    (session, sf_dir) for the whole dedup family; this query is then a
+    projection over the cached ``hset`` column (array_min + size) —
+    same values as hashing in place, by construction.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hash_set(tokens(F.col("text")))
-    return docs.select(
+    from cdc_cascade_spark.llm.dedup import _docs_prepared_cached
+
+    prepared = _docs_prepared_cached(spark, sf_dir)
+    return prepared.select(
         "doc_id",
-        F.array_min(sh).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.array_min("hset").alias("fingerprint"),
+        F.size("hset").alias("n_shingles"),
     )
 
 
