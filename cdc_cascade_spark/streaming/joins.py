@@ -80,6 +80,61 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    events: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`attribution_join`: purchases with NO
+    qualifying click still emit — with null click columns — once the
+    watermark guarantees no matching click can arrive.
+
+    This is a genuinely different Structured Streaming behavior from
+    the inner join: unmatched left rows are held in state until the
+    watermark passes the end of their join interval, THEN emitted with
+    nulls (batch left joins emit immediately; streams cannot know a
+    match won't arrive until event time moves on). The organic-purchase
+    report — "which purchases had no ad click" — needs exactly this.
+    State bound is the same as the inner join's: both sides evict once
+    outside the interval.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "amount",
+        "click_id",
+        "click_ts",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, id_cols: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

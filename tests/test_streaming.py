@@ -705,3 +705,67 @@ def test_admission_stream_restart_no_duplicates(spark, tmp_path):
     admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert len(admitted) == len(set(admitted)), "duplicate admissions after restart"
     assert set(admitted) == expected
+
+
+def test_attribution_outer_join_emits_unmatched_after_watermark(spark):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    inner join; unmatched purchases emit with null click columns once
+    the watermark passes their interval — purchases too close to the
+    end of the (bounded) stream legitimately stay in state."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.streaming.joins import attribution_join_outer
+    from cdc_cascade_spark.streaming.windows import stream_events
+
+    out = attribution_join_outer(stream_events(spark, SF))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM attrib_outer").collect()
+    matched = {(r.click_id, r.purchase_id) for r in rows if r.click_id is not None}
+    null_rows = {r.purchase_id for r in rows if r.click_id is None}
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 2 hours"))
+    )
+    batch_pairs = {(r.click_id, r.purchase_id) for r in c.join(p, cond).collect()}
+    # (a) matched output identical to the inner/batch interval join
+    assert matched == batch_pairs and matched
+
+    batch_matchless = {
+        r.purchase_id
+        for r in p.join(c, cond, "left_anti").collect()
+    }
+    # (b) soundness: every emitted null row is truly matchless
+    assert null_rows <= batch_matchless
+    # (c) completeness behind the watermark: matchless purchases well
+    # behind the final watermark must have flushed with nulls. Margin =
+    # watermark delay (2h) + join interval (2h) + one-batch watermark
+    # propagation lag (the final watermark reflects the second-to-last
+    # batch's max event time) + slack -> 8h total.
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    old_matchless = {
+        r.purchase_id
+        for r in p.join(c, cond, "left_anti")
+        .filter(F.col("pts") < F.lit(max_ts) - F.expr("INTERVAL 8 hours"))
+        .collect()
+    }
+    assert old_matchless, "testdata should contain old matchless purchases"
+    assert old_matchless <= null_rows
