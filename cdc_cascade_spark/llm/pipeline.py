@@ -1,0 +1,92 @@
+"""End-to-end corpus curation: the operators composed into one flow.
+
+Each curation operator is individually oracle-verified; this module is
+the proof they COMPOSE — the single call a user runs to turn the raw
+``documents`` table into a training-ready corpus:
+
+    near-dup collapse → quality floor → contamination removal →
+    PII redaction → per-stratum token budget
+
+Output provenance columns record why each surviving document is there,
+so the pipeline is auditable (every drop decision is reproducible by
+running the underlying operator alone).
+
+Scale shape: every stage is one of the already-audited operators; the
+composition adds only id-keyed semi/anti joins between them, each
+broadcastable when the drop set is small (near-dup reps, contaminated
+ids) and hash-joined otherwise. Nothing here introduces a new shuffle
+pattern — at 100 TB each stage would typically checkpoint to storage
+and the joins run against those materializations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.curation import (
+    contamination_check,
+    pii_redaction,
+    quality_floor_filter,
+)
+from cdc_cascade_spark.llm.dedup import dedup_cluster_representatives
+from cdc_cascade_spark.llm.selection import token_budget_selection
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-ready corpus: (doc_id, lang, source, text, n_tokens,
+    quality, was_redacted) after the full curation chain.
+
+    Drop rules, in order:
+    1. near-dup clusters keep only their representative (min doc_id);
+    2. bottom-quality-decile documents drop (quality_floor_filter's
+       keep set IS the filter);
+    3. any training document a benchmark document is contained in
+       drops (contamination);
+    4. surviving text is the PII-redacted form;
+    5. each (lang) stratum admits docs up to its token budget.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # 1. near-dup collapse: drop clustered docs that are not their
+    # cluster's representative
+    reps = dedup_cluster_representatives(spark, sf_dir)
+    dup_losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
+        "doc_id"
+    )
+    survivors = docs.join(F.broadcast(dup_losers), "doc_id", "left_anti")
+    # 2. quality floor: semi-join the keep set
+    keep = quality_floor_filter(spark, sf_dir).select("doc_id")
+    survivors = survivors.join(keep, "doc_id", "left_semi")
+    # 3. contamination: drop contaminated training docs
+    contaminated = contamination_check(spark, sf_dir).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    survivors = survivors.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    # 4. PII redaction: swap in the redacted text
+    red = pii_redaction(spark, sf_dir).select(
+        "doc_id",
+        F.col("redacted").alias("clean_text"),
+        (
+            (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+        ).alias("was_redacted"),
+    )
+    survivors = survivors.join(red, "doc_id")
+    # 5. token budget per stratum (selection computes its own quality
+    # ordering; semi-join its admitted set)
+    admitted = token_budget_selection(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    return survivors.join(admitted, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("clean_text").alias("text"),
+        "n_tokens",
+        "quality",
+        "was_redacted",
+    )

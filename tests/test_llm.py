@@ -1065,3 +1065,44 @@ def test_bpe_separator_byte_in_text_cannot_corrupt_stream(spark, tmp_path):
     d_merges = [tuple(r) for r in bpe_train_k_merges(spark, dirty, k=3).collect()]
     c_merges = [tuple(r) for r in bpe_train_k_merges(spark, clean, k=3).collect()]
     assert d_merges == c_merges
+
+
+def test_curate_corpus_composition_invariants(spark):
+    """The end-to-end curation chain must agree with its components:
+    every output doc survives each individual filter; every drop is
+    attributable to exactly one of the four drop rules; redaction
+    flags match the PII operator; output text is the redacted form."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.curation import (
+        contamination_check,
+        pii_redaction,
+        quality_floor_filter,
+    )
+    from cdc_cascade_spark.llm.dedup import dedup_cluster_representatives
+    from cdc_cascade_spark.llm.pipeline import curate_corpus
+    from cdc_cascade_spark.llm.selection import token_budget_selection
+
+    out = {r.doc_id: r for r in curate_corpus(spark, SF).collect()}
+    assert out, "curation must keep a non-trivial corpus"
+
+    all_ids = {r.doc_id for r in load_table(spark, SF, "documents").collect()}
+    losers = {
+        r.doc_id
+        for r in dedup_cluster_representatives(spark, SF).collect()
+        if r.doc_id != r.rep_doc_id
+    }
+    kept_quality = {r.doc_id for r in quality_floor_filter(spark, SF).collect()}
+    contaminated = {r.train_doc for r in contamination_check(spark, SF).collect()}
+    admitted = {r.doc_id for r in token_budget_selection(spark, SF).collect()}
+    red = {r.doc_id: r for r in pii_redaction(spark, SF).collect()}
+
+    expected = ((all_ids - losers) & kept_quality - contaminated) & admitted
+    assert set(out) == expected
+    # output is strictly smaller than the raw corpus (the chain bites)
+    assert len(out) < len(all_ids)
+    for doc_id, row in out.items():
+        r = red[doc_id]
+        assert row.text == r.redacted
+        assert row.was_redacted == ((r.n_emails + r.n_phones + r.n_ips) > 0)
+    # at least one survivor was actually redacted (the path is real)
+    assert any(r.was_redacted for r in out.values())
