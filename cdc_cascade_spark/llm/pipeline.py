@@ -31,7 +31,7 @@ from cdc_cascade_spark.llm.curation import (
     quality_floor_filter,
 )
 from cdc_cascade_spark.llm.dedup import dedup_cluster_representatives
-from cdc_cascade_spark.llm.selection import token_budget_selection
+from cdc_cascade_spark.llm.selection import budget_filter
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,12 +51,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text"
     )
     # 1. near-dup collapse: drop clustered docs that are not their
-    # cluster's representative
+    # cluster's representative. No broadcast hint: loser sets are
+    # O(corpus) at web scale (20-50% of documents is normal) — AQE
+    # picks broadcast when the set happens to be small.
     reps = dedup_cluster_representatives(spark, sf_dir)
     dup_losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
         "doc_id"
     )
-    survivors = docs.join(F.broadcast(dup_losers), "doc_id", "left_anti")
+    survivors = docs.join(dup_losers, "doc_id", "left_anti")
     # 2. quality floor: semi-join the keep set
     keep = quality_floor_filter(spark, sf_dir).select("doc_id")
     survivors = survivors.join(keep, "doc_id", "left_semi")
@@ -64,9 +66,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = contamination_check(spark, sf_dir).select(
         F.col("train_doc").alias("doc_id")
     )
-    survivors = survivors.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    )
+    survivors = survivors.join(contaminated, "doc_id", "left_anti")
     # 4. PII redaction: swap in the redacted text
     red = pii_redaction(spark, sf_dir).select(
         "doc_id",
@@ -76,11 +76,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("was_redacted"),
     )
     survivors = survivors.join(red, "doc_id")
-    # 5. token budget per stratum (selection computes its own quality
-    # ordering; semi-join its admitted set)
-    admitted = token_budget_selection(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality"
-    )
+    # 5. token budget per stratum — over the SURVIVORS' redacted text,
+    # so (a) documents already dropped upstream cannot consume stratum
+    # budget (budgeting the raw corpus would under-fill strata whose
+    # best docs were near-dup losers) and (b) token counts reflect the
+    # text that will actually be trained on
+    admitted = budget_filter(
+        survivors.select("doc_id", "lang", F.col("clean_text").alias("text"))
+    ).select("doc_id", "n_tokens", "quality")
     return survivors.join(admitted, "doc_id").select(
         "doc_id",
         "lang",

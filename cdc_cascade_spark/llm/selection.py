@@ -60,8 +60,12 @@ QUALITY_PPM = 1000
 CONTAINMENT_THRESHOLD = 0.9
 
 
-def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy per-language token-budget selection.
+def budget_filter(docs: DataFrame) -> DataFrame:
+    """Greedy per-language token-budget admission over an arbitrary
+    (doc_id, lang, text) frame — the frame-level core, so callers can
+    budget the corpus they actually have (llm/pipeline.curate_corpus
+    budgets the CURATED survivors; budgeting the raw corpus there
+    would let already-dropped documents consume stratum budget).
 
     Output: the admitted documents as (lang, doc_id, quality, n_tokens,
     cum_tokens) — quality = distinct-token ratio in parts-per-1000,
@@ -70,7 +74,6 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-fit prefix: the document that crosses the budget line is
     rejected and admission stops — running total is monotone).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = tokens(F.col("text"))
     d = docs.select(
         "lang",
@@ -95,6 +98,14 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= STRATUM_TOKEN_BUDGET)
         .select("lang", "doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token-budget selection over the documents
+    table (see :func:`budget_filter` for the semantics)."""
+    return budget_filter(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
 
 

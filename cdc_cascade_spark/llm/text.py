@@ -42,6 +42,29 @@ EN_STOPWORDS = LANG_MARKERS["en"]
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol.
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+# Unit separator for the token-stream encoding of the merge step.
+# Pre-tokens can never contain a SPACE (the pattern excludes it), but
+# the pattern's symbol branch CAN match the separator byte itself, so
+# every BPE entry point strips \x1f from raw text before
+# pre-tokenization — otherwise a document containing the
+# unit-separator byte (not rare in scraped web text) would corrupt the
+# joined stream and the merge replace could splice across real token
+# boundaries.
+_BPE_SEP = "\x1f"
+
+
+def _bpe_pretokens(text_col: "F.Column") -> "F.Column":
+    """Sanitized BPE pre-token array (separator-free by construction)."""
+    clean = F.replace(text_col, F.lit(_BPE_SEP), F.lit(""))
+    return F.regexp_extract_all(clean, F.lit(BPE_PATTERN), F.lit(0))
+
+
+# DuckDB mirror of _bpe_pretokens
+_BPE_PRETOKENS_SQL = (
+    "regexp_extract_all(replace({x}, chr(31), ''), '" + BPE_PATTERN + "')"
+)
+
+
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token counts, lengths, ratios."""
@@ -53,7 +76,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
     )
-    bpe_count = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    # sanitized so the stat agrees with what the BPE entry points will
+    # actually tokenize (a \x1f byte is stream syntax, never a token)
+    bpe_count = F.size(_bpe_pretokens(F.col("text")))
     return docs.select(
         "doc_id",
         "lang",
@@ -76,7 +101,7 @@ ORACLE_TEXT_STATS = (
 SELECT doc_id, lang,
        len(toks)::INTEGER AS n_tokens,
        len(list_distinct(toks))::INTEGER AS n_distinct_tokens,
-       len(regexp_extract_all(text, '{BPE_PATTERN}'))::INTEGER AS n_bpe_tokens,
+       len({_BPE_PRETOKENS_SQL.format(x='text')})::INTEGER AS n_bpe_tokens,
        list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS avg_token_len,
        len(list_filter(toks, t -> list_contains({EN_STOPWORDS!r}, t)))::DOUBLE / len(toks) AS stopword_ratio,
        len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
@@ -334,31 +359,6 @@ FROM sh
 
 
 BPE_TOP_PAIRS = 20
-
-# Unit separator for the token-stream encoding of the merge step.
-# Pre-tokens can never contain a SPACE (the pattern excludes it), but
-# the pattern's symbol branch CAN match the separator byte itself, so
-# every BPE entry point strips \x1f from raw text before
-# pre-tokenization — otherwise a document containing the
-# unit-separator byte (not rare in scraped web text) would corrupt the
-# joined stream and the merge replace could splice across real token
-# boundaries.
-_BPE_SEP = "\x1f"
-
-
-def _bpe_pretokens(text_col: "F.Column") -> "F.Column":
-    """Sanitized BPE pre-token array (separator-free by construction)."""
-    clean = F.replace(text_col, F.lit(_BPE_SEP), F.lit(""))
-    return F.regexp_extract_all(clean, F.lit(BPE_PATTERN), F.lit(0))
-
-
-# DuckDB mirror of _bpe_pretokens
-_BPE_PRETOKENS_SQL = (
-    "regexp_extract_all(replace({x}, chr(31), ''), '" + BPE_PATTERN + "')"
-)
-
-
-
 def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first round of BPE training: the corpus's most frequent
     adjacent pre-token pairs (the merge candidates).
@@ -429,7 +429,7 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     top = bpe_merge_pairs(spark, sf_dir).limit(1).collect()[0]
     a, b = top.pair.split(" ", 1)
-    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    pre = _bpe_pretokens(F.col("text"))
     stream = F.concat_ws(_BPE_SEP, pre)
     merged_stream = F.replace(
         stream, F.lit(a + _BPE_SEP + b), F.lit(a + b)
@@ -453,7 +453,7 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_APPLY = f"""
 WITH pre AS (
-  SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}') AS p
+  SELECT doc_id, {_BPE_PRETOKENS_SQL.format(x='text')} AS p
   FROM documents
 ), pairs0 AS (
   SELECT unnest(list_transform(range(1, len(p)),

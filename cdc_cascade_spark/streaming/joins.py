@@ -29,20 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def attribution_join(
-    events: DataFrame,
-    attribution_window: str = "2 hours",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Join each purchase to the same user's clicks in the preceding
-    ``attribution_window`` — a stream-stream self-join with a
-    time-range condition.
-
-    Both sides carry watermarks; with the range predicate
-    ``click_ts < purchase_ts ≤ click_ts + window`` Spark derives how
-    long each side's state can matter and drops older rows. Inner join:
-    unmatched purchases/clicks simply never emit.
-    """
+def _attribution_sides(
+    events: DataFrame, attribution_window: str, watermark: str
+):
+    """Shared (clicks, purchases, condition) for the attribution joins —
+    one definition of the interval predicate and the side projections,
+    so the inner and outer variants cannot drift."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -69,6 +61,26 @@ def attribution_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         )
+    )
+    return clicks, purchases, cond
+
+
+def attribution_join(
+    events: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join each purchase to the same user's clicks in the preceding
+    ``attribution_window`` — a stream-stream self-join with a
+    time-range condition.
+
+    Both sides carry watermarks; with the range predicate
+    ``click_ts < purchase_ts ≤ click_ts + window`` Spark derives how
+    long each side's state can matter and drops older rows. Inner join:
+    unmatched purchases/clicks simply never emit.
+    """
+    clicks, purchases, cond = _attribution_sides(
+        events, attribution_window, watermark
     )
     return clicks.join(purchases, cond, "inner").select(
         F.col("c_user").alias("user_id"),
@@ -98,32 +110,8 @@ def attribution_join_outer(
     State bound is the same as the inner join's: both sides evict once
     outside the interval.
     """
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("amount"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    cond = (
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
-        )
+    clicks, purchases, cond = _attribution_sides(
+        events, attribution_window, watermark
     )
     return purchases.join(clicks, cond, "left_outer").select(
         F.col("p_user").alias("user_id"),
