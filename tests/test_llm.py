@@ -1131,3 +1131,34 @@ def test_curate_corpus_composition_invariants(spark):
         for r in ordered:
             cum += r.n_tokens
             assert cum <= STRATUM_TOKEN_BUDGET
+
+
+def test_budget_filter_operates_on_the_given_pool(spark):
+    """budget_filter must budget the frame it is GIVEN: removing a
+    stratum's top-quality doc frees its tokens for the next docs —
+    the property that makes pipeline-stage budgeting correct (a raw
+    -corpus budget would let dropped docs consume stratum budget)."""
+    from cdc_cascade_spark.llm.selection import (
+        STRATUM_TOKEN_BUDGET,
+        budget_filter,
+    )
+
+    # quality is the distinct-token ratio: doc 1 (all-distinct, huge)
+    # nearly fills the budget; docs 2..9 fit only if doc 1 is absent
+    big = " ".join(f"w{i}" for i in range(STRATUM_TOKEN_BUDGET - 40))
+    small = [" ".join(f"s{j}x{i}" for i in range(200)) for j in range(8)]
+    rows = [(1, "en", big)] + [(10 + j, "en", t) for j, t in enumerate(small)]
+    full = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    adm_full = {r.doc_id for r in budget_filter(full).collect()}
+    assert 1 in adm_full
+    assert len(adm_full & {10 + j for j in range(8)}) <= 1  # budget eaten
+
+    pool = full.filter("doc_id != 1")  # upstream stage dropped doc 1
+    adm_pool = {r.doc_id for r in budget_filter(pool).collect()}
+    # the freed budget admits several small docs that the raw-corpus
+    # budget rejected
+    assert len(adm_pool) > len(adm_full & {10 + j for j in range(8)})
+    assert adm_pool <= {10 + j for j in range(8)}
+    total = sum(r.n_tokens for r in budget_filter(pool).collect())
+    assert total <= STRATUM_TOKEN_BUDGET
