@@ -220,3 +220,17 @@ def test_gap_fill_window_partitions_by_type(spark):
     # the formatted explain carries the window spec in a detail line:
     # partition key must be event_type
     assert "windowspecdefinition(event_type" in plan, plan[:2500]
+
+
+def test_minhash_estimate_reads_cached_signature_frame(spark):
+    """minhash_jaccard_estimate must consume the session-shared
+    signature relation (InMemoryTableScan), not re-derive the explode +
+    16-minima aggregation from raw documents."""
+    from cdc_cascade_spark.llm.dedup import (
+        minhash_jaccard_estimate,
+        minhash_sigs_cached,
+    )
+
+    minhash_sigs_cached(spark, SF).count()  # warm, as the bench does
+    plan = physical_plan(minhash_jaccard_estimate(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:1500]
