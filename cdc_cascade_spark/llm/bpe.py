@@ -30,16 +30,18 @@ Scale shape (100 TB):
   string, so the learned merge table is bit-identical in both engines
   and across partitionings (pinned by a property test).
 
-The greedy left-to-right non-overlapping merge is expressed as literal
-string ``replace`` over the ``\\x1f``-joined stream ("a␟b" → "ab") —
-see ``text.bpe_apply_top_merge`` for why ``replace`` scanning IS the
-BPE merge rule. Pre-tokens (``text.BPE_PATTERN``) can never contain a
-space; the separator itself IS matchable by the pattern's symbol
-branch, so raw text is sanitized (``\\x1f`` stripped) before
-pre-tokenization — otherwise a document containing the unit-separator
-byte would corrupt the joined stream and the trainer would silently
-learn wrong merges. With that, the "a b" pair encoding is unambiguous
-even for already-merged super-tokens.
+The greedy left-to-right non-overlapping merge is expressed as the
+tokenwise-anchored string ``replace`` ``␟a␟␟b␟ → ␟ab␟`` over the
+sentinel/doubled-separator encoded stream — see
+``text._bpe_encode_stream`` for the proof that replace-all over this
+encoding IS the greedy merge rule and can never splice a token's
+suffix onto the next token's prefix (the boundary-bleed defect of the
+unanchored single-separator encoding). Pre-tokens
+(``text.BPE_PATTERN``) can never contain a space; the separator
+itself IS matchable by the pattern's symbol branch, so raw text is
+sanitized (``\\x1f`` stripped) before pre-tokenization. With that, the
+"a b" pair encoding is unambiguous even for already-merged
+super-tokens.
 """
 
 from __future__ import annotations
@@ -48,7 +50,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
-from cdc_cascade_spark.llm.text import _BPE_SEP, BPE_PATTERN
+from cdc_cascade_spark.llm.text import (
+    _BPE_DECODE_SQL,
+    _BPE_ENCODE_SQL,
+    _BPE_MERGE_SQL,
+    _bpe_decode_tokens,
+    _bpe_encode_stream,
+    _bpe_merge_stream,
+    _bpe_pretokens,
+    BPE_PATTERN,
+)
 
 # Six rounds keeps the oracle's staged SQL readable while exercising
 # the loop shape (merged super-tokens re-merging). Production: 30k+
@@ -62,11 +73,13 @@ BPE_CHECKPOINT_EVERY = 8
 
 
 def _adjacent_pairs(stream_col) -> "F.Column":
-    toks = F.split(stream_col, _BPE_SEP)
-    n = F.size(toks)
+    toks = _bpe_decode_tokens(stream_col)
+    # greatest(n-1, 0): a pretoken-less doc decodes to [] and slice
+    # rejects negative lengths
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
         lambda a, b: F.concat_ws(" ", a, b),
     )
 
@@ -80,9 +93,8 @@ def bpe_train_k_merges(
     (over the stream with all prior merges applied).
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
-    clean = F.replace(F.col("text"), F.lit(_BPE_SEP), F.lit(""))
-    pre = F.regexp_extract_all(clean, F.lit(BPE_PATTERN), F.lit(0))
-    stream = docs.select(F.concat_ws(_BPE_SEP, pre).alias("stream")).localCheckpoint(
+    pre = _bpe_pretokens(F.col("text"))
+    stream = docs.select(_bpe_encode_stream(pre).alias("stream")).localCheckpoint(
         eager=True
     )
     merges: list[tuple[int, str, int]] = []
@@ -103,9 +115,7 @@ def bpe_train_k_merges(
         a, b = row.pair.split(" ", 1)
         merges.append((rank, row.pair, row.n_occurrences))
         stream = stream.select(
-            F.replace(
-                F.col("stream"), F.lit(a + _BPE_SEP + b), F.lit(a + b)
-            ).alias("stream")
+            _bpe_merge_stream(F.col("stream"), a, b).alias("stream")
         )
         pending += 1
         if pending >= BPE_CHECKPOINT_EVERY:
@@ -126,7 +136,7 @@ WITH pre AS (
   SELECT regexp_extract_all(replace(text, chr(31), ''), '{BPE_PATTERN}') AS p
   FROM documents
 ), s1 AS (
-  SELECT array_to_string(p, chr(31)) AS stream FROM pre
+  SELECT {_BPE_ENCODE_SQL.format(p='p')} AS stream FROM pre
 )"""
     ]
     for i in range(1, k + 1):
@@ -134,7 +144,7 @@ WITH pre AS (
             f"""
 , pairs{i} AS (
   SELECT unnest(list_transform(range(1, len(m)), j -> m[j] || ' ' || m[j+1])) AS pair
-  FROM (SELECT string_split(stream, chr(31)) AS m FROM s{i})
+  FROM (SELECT {_BPE_DECODE_SQL.format(s='stream')} AS m FROM s{i})
 ), top{i} AS (
   SELECT {i} AS merge_rank, pair, COUNT(*) AS n
   FROM pairs{i} WHERE pair <> ''
@@ -142,12 +152,13 @@ WITH pre AS (
 )"""
         )
         if i < k:
+            merge_expr = _BPE_MERGE_SQL.format(
+                s="stream", pair=f"(SELECT pair FROM top{i})"
+            )
             parts.append(
                 f"""
 , s{i + 1} AS (
-  SELECT replace(stream,
-                 replace((SELECT pair FROM top{i}), ' ', chr(31)),
-                 replace((SELECT pair FROM top{i}), ' ', '')) AS stream
+  SELECT {merge_expr} AS stream
   FROM s{i}
 )"""
             )

@@ -28,6 +28,9 @@ unchanged.
 
 from __future__ import annotations
 
+import heapq
+import itertools
+
 import numpy as np
 import pandas as pd
 
@@ -422,6 +425,26 @@ def label_blocked_pairs(emb: DataFrame, cap: int = LABEL_CAP) -> DataFrame:
         .filter(F.col("ln") > cap)
         .select("label")
     )
+    # Short-circuit (r5 verdict): when NO label exceeds the cap — the
+    # common case outside adversarial skew — planning the big path
+    # anyway costs two extra scans of the embeddings plus an unused
+    # pandas_udf bucket stage. One cheap action on the tiny label
+    # aggregate (column-pruned scan → partial count) decides the shape;
+    # the guarded union only exists when a hot label actually exists.
+    if big_labels.isEmpty():
+        sa = emb.select(
+            "label",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+        )
+        sb = emb.select(
+            "label",
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+        )
+        return sa.join(sb, "label").filter(F.col("vec_a") < F.col("vec_b"))
     small = emb.join(F.broadcast(big_labels), "label", "left_anti")
     sa = small.select(
         "label",
@@ -610,15 +633,29 @@ def _query_probe_buckets(qvec: np.ndarray, nplanes: int, probes: int) -> list[in
     planes = _planes_matrix(nplanes, qvec.shape[0])
     dots = np.add.accumulate(planes * qvec[None, :], axis=1)[:, -1]
     bucket = int(sum((1 << p) for p in range(nplanes) if dots[p] > 0))
-    masks = sorted(
-        range(1, 1 << nplanes),
-        key=lambda m: (
-            bin(m).count("1"),
-            sum(abs(dots[p]) for p in range(nplanes) if m >> p & 1),
-            m,
-        ),
-    )
-    return [bucket] + [bucket ^ m for m in masks[: probes - 1]]
+    # Hamming-shell-by-shell enumeration (r5 advice): emit the
+    # cheapest-Σ|dot| flip masks one popcount level at a time and stop
+    # as soon as probes-1 masks exist. Identical order to sorting all
+    # 2^nplanes-1 masks by (popcount, Σ|dot|, mask) — combinations()
+    # yields ascending plane indices, so the float summation order and
+    # the (cost, mask) tie-break match the old global sort bit-for-bit
+    # — but the cost is O(Σ C(nplanes, h) needed · log probes) instead
+    # of O(2^nplanes log): at the production plane counts the ANN
+    # docstrings advertise (20+), the old global sort materialized
+    # 2^20+ masks per query.
+    masks: list[int] = []
+    need = probes - 1
+    for h in range(1, nplanes + 1):
+        if need <= 0:
+            break
+        shell = (
+            (sum(abs(dots[p]) for p in combo), sum(1 << p for p in combo))
+            for combo in itertools.combinations(range(nplanes), h)
+        )
+        cheapest = heapq.nsmallest(need, shell)
+        masks.extend(m for _cost, m in cheapest)
+        need -= len(cheapest)
+    return [bucket] + [bucket ^ m for m in masks]
 
 
 def ann_lsh_multiprobe_topk(

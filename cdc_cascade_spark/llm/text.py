@@ -51,6 +51,7 @@ BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 # joined stream and the merge replace could splice across real token
 # boundaries.
 _BPE_SEP = "\x1f"
+_BPE_SEP2 = _BPE_SEP * 2
 
 
 def _bpe_pretokens(text_col: "F.Column") -> "F.Column":
@@ -63,6 +64,66 @@ def _bpe_pretokens(text_col: "F.Column") -> "F.Column":
 _BPE_PRETOKENS_SQL = (
     "regexp_extract_all(replace({x}, chr(31), ''), '" + BPE_PATTERN + "')"
 )
+
+
+def _bpe_encode_stream(pretokens_col: "F.Column") -> "F.Column":
+    """Anchored stream encoding: ``␟tok₁␟␟tok₂␟␟…␟␟tokₙ␟`` — sentinel
+    separator at both ends, DOUBLED separator between tokens.
+
+    With this encoding the merge of pair ``(a, b)`` is the literal
+    string replace ``␟a␟␟b␟ → ␟ab␟`` and that replace is EXACTLY the
+    greedy left-to-right non-overlapping BPE merge rule:
+
+    - tokens are separator-free, so the pattern's anchoring ``␟`` on
+      each side forces ``a``/``b`` to match *whole* tokens — a suffix
+      of one token followed by a prefix of the next (``lathe␟␟cats``
+      vs pair ``the cat``) can never match, which was the boundary-bleed
+      defect of the unanchored single-separator encoding;
+    - each match consumes ONE separator of the doubled boundary on each
+      flank, so replace-all's "continue after the replacement" scan
+      still sees a leading ``␟`` for the very next token pair —
+      ``[a,b,a,b]`` with pair ``(a,b)`` merges to ``[ab,ab]``, while
+      runs stay greedy: ``[a,a,a]`` with pair ``(a,a)`` merges to
+      ``[aa,a]``, never ``[a,aa]``;
+    - the replacement ``␟ab␟`` restores the invariant (single ``␟``
+      flanks re-form the doubled boundary with the neighbours' own
+      separators), so merge steps compose across training rounds.
+
+    Both Spark's ``replace`` and DuckDB's ``replace`` are leftmost,
+    non-overlapping, continue-after-replacement scans, so the two
+    engines apply identical merge semantics.
+    """
+    return F.concat(
+        F.lit(_BPE_SEP), F.concat_ws(_BPE_SEP2, pretokens_col), F.lit(_BPE_SEP)
+    )
+
+
+def _bpe_merge_stream(stream_col: "F.Column", a: str, b: str) -> "F.Column":
+    """Apply one learned merge ``(a, b)`` tokenwise (see _bpe_encode_stream)."""
+    return F.replace(
+        stream_col,
+        F.lit(_BPE_SEP + a + _BPE_SEP2 + b + _BPE_SEP),
+        F.lit(_BPE_SEP + a + b + _BPE_SEP),
+    )
+
+
+def _bpe_decode_tokens(stream_col: "F.Column") -> "F.Column":
+    """Token array back out of an encoded stream (tokens are never
+    empty and never contain the separator, so splitting on the single
+    separator and dropping the empties is exact)."""
+    return F.filter(F.split(stream_col, _BPE_SEP), lambda t: t != "")
+
+
+# DuckDB mirrors of the encode/merge/decode trio. ``{p}`` is a list
+# expression, ``{s}`` a stream expression, ``{pair}`` a scalar
+# 'a b' pair expression (tokens are space-free, so the single space is
+# an unambiguous pair separator).
+_BPE_ENCODE_SQL = "chr(31) || array_to_string({p}, chr(31) || chr(31)) || chr(31)"
+_BPE_MERGE_SQL = (
+    "replace({s}, chr(31) || replace({pair}, ' ', chr(31) || chr(31)) || chr(31),"
+    " chr(31) || replace({pair}, ' ', '') || chr(31))"
+)
+_BPE_DECODE_SQL = "list_filter(string_split({s}, chr(31)), t -> t <> '')"
 
 
 
@@ -414,12 +475,13 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     it corpus-wide, and return the NEXT round's top pair counts.
 
     The greedy left-to-right non-overlapping merge every BPE trainer
-    uses is expressed as a literal string ``replace`` over the
-    separator-joined pre-token stream ("a␟b" → "ab") — both engines'
-    ``replace`` scans left-to-right non-overlapping, which IS the BPE
-    merge rule (e.g. "a a a" merges to ["aa", "a"], never ["a", "aa"]).
-    The winning pair comes from a bounded 1-row collect (deterministic
-    tie-break), mirrored in the oracle as scalar subqueries.
+    uses is expressed as a tokenwise-anchored string ``replace`` over
+    the sentinel/doubled-separator encoded pre-token stream
+    (``␟a␟␟b␟`` → ``␟ab␟``; see ``_bpe_encode_stream`` for the proof
+    that replace-all over this encoding IS the greedy merge rule and
+    cannot splice across token boundaries). The winning pair comes
+    from a bounded 1-row collect (deterministic tie-break), mirrored
+    in the oracle as scalar subqueries.
 
     Scale shape: two passes of the bpe_merge_pairs plan plus one
     map-only replace between them — the exact shape a distributed BPE
@@ -430,15 +492,14 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = bpe_merge_pairs(spark, sf_dir).limit(1).collect()[0]
     a, b = top.pair.split(" ", 1)
     pre = _bpe_pretokens(F.col("text"))
-    stream = F.concat_ws(_BPE_SEP, pre)
-    merged_stream = F.replace(
-        stream, F.lit(a + _BPE_SEP + b), F.lit(a + b)
-    )
-    merged = F.split(merged_stream, _BPE_SEP)
-    n = F.size(merged)
+    stream = _bpe_encode_stream(pre)
+    merged = _bpe_decode_tokens(_bpe_merge_stream(stream, a, b))
+    # greatest(n-1, 0): a pretoken-less doc decodes to [] and slice
+    # rejects negative lengths
+    m = F.greatest(F.size(merged) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(merged, 1, n - 1),
-        F.slice(merged, 2, n - 1),
+        F.slice(merged, 1, m),
+        F.slice(merged, 2, m),
         lambda x, y: F.concat_ws(" ", x, y),
     )
     return (
@@ -463,16 +524,14 @@ WITH pre AS (
   SELECT pair, COUNT(*) AS n
   FROM pairs0 GROUP BY pair
   ORDER BY n DESC, pair ASC LIMIT 1
-), ab AS (
-  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
-  FROM top
 ), merged AS (
   SELECT doc_id,
-         string_split(
-           replace(array_to_string(p, chr(31)),
-                   (SELECT a FROM ab) || chr(31) || (SELECT b FROM ab),
-                   (SELECT a FROM ab) || (SELECT b FROM ab)),
-           chr(31)) AS m
+         {_BPE_DECODE_SQL.format(
+             s=_BPE_MERGE_SQL.format(
+                 s=_BPE_ENCODE_SQL.format(p='p'),
+                 pair='(SELECT pair FROM top)',
+             )
+         )} AS m
   FROM pre
 ), pairs1 AS (
   SELECT unnest(list_transform(range(1, len(m)),

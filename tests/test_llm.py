@@ -1075,6 +1075,154 @@ def test_bpe_separator_byte_in_text_cannot_corrupt_stream(spark, tmp_path):
     assert not any("\x1f" in p for p, _ in d_apply)
 
 
+def test_probe_bucket_order_matches_bruteforce_and_scales():
+    """The shell-by-shell probe-mask generator must emit exactly the
+    order of the old global (popcount, Σ|dot|, mask) sort — and stay
+    sub-second at production plane counts where the global sort would
+    materialize 2^nplanes masks."""
+    import time
+
+    import numpy as np
+
+    from cdc_cascade_spark.llm.similarity import (
+        _planes_matrix,
+        _query_probe_buckets,
+    )
+
+    def brute(qvec, nplanes, probes):
+        planes = _planes_matrix(nplanes, qvec.shape[0])
+        dots = np.add.accumulate(planes * qvec[None, :], axis=1)[:, -1]
+        bucket = int(sum((1 << p) for p in range(nplanes) if dots[p] > 0))
+        masks = sorted(
+            range(1, 1 << nplanes),
+            key=lambda m: (
+                bin(m).count("1"),
+                sum(abs(dots[p]) for p in range(nplanes) if m >> p & 1),
+                m,
+            ),
+        )
+        return [bucket] + [bucket ^ m for m in masks[: probes - 1]]
+
+    dim = 16
+    for seed in range(4):
+        q = np.sin(np.arange(dim, dtype=np.float64) * (seed + 1) + 0.7)
+        for probes in (1, 2, 9, 37, 255, 256):
+            assert _query_probe_buckets(q, 8, probes) == brute(q, 8, probes)
+
+    q = np.sin(np.arange(dim, dtype=np.float64) * 3.1)
+    t0 = time.time()
+    out = _query_probe_buckets(q, 24, 50)
+    assert len(out) == 50 and len(set(out)) == 50
+    assert time.time() - t0 < 1.0
+
+
+def _ref_bpe_train(texts: list[str], k: int):
+    """Pure-Python greedy BPE trainer — the ground truth the Spark and
+    DuckDB implementations must both reproduce exactly."""
+    import re
+
+    from cdc_cascade_spark.llm.text import BPE_PATTERN
+
+    streams = [re.findall(BPE_PATTERN, t.replace("\x1f", "")) for t in texts]
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[str, int] = {}
+        for toks in streams:
+            for x, y in zip(toks, toks[1:]):
+                counts[f"{x} {y}"] = counts.get(f"{x} {y}", 0) + 1
+        if not counts:
+            break
+        top_n = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == top_n)
+        merges.append((rank, pair, top_n))
+        a, b = pair.split(" ", 1)
+        new_streams = []
+        for toks in streams:
+            out, i = [], 0
+            while i < len(toks):  # greedy left-to-right, non-overlapping
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_streams.append(out)
+        streams = new_streams
+    return merges, streams
+
+
+def test_bpe_merge_is_tokenwise_no_boundary_bleed(spark, tmp_path):
+    """A learned pair must merge only whole adjacent tokens — never a
+    suffix of one token followed by a prefix of the next. Corpus is
+    built so the round-1 winner is (the, cat) while 'lathe cats' docs
+    offer the exact substring '...the␟cat...' across a token boundary:
+    an unanchored stream replace would splice them into 'lathecats'
+    (the r5 ADVICE defect); the anchored ␟a␟␟b␟ encoding must not.
+    Also covers greedy run semantics ((a,a) over [a,a,a] → [aa,a]) and
+    count/tie parity with a pure-Python reference trainer, for both
+    the Spark implementation and the DuckDB oracle SQL."""
+    import duckdb
+    import pandas as pd
+    from cdc_cascade_spark.llm import bpe
+    from cdc_cascade_spark.llm.text import (
+        ORACLE_BPE_APPLY,
+        bpe_apply_top_merge,
+    )
+    from cdc_cascade_spark.testing.parity import compare
+
+    texts = [
+        "the cat the cat the cat the cat",  # winner: (the, cat) x4
+        "lathe cats lathe cats",            # boundary-bleed bait
+        "a a a",                            # greedy run case
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # ---- full trainer vs the Python reference (k=4 exercises the
+    # merged-supertoken re-merge, the lex tie-break, and the run case)
+    ref_merges, ref_streams = _ref_bpe_train(texts, k=4)
+    got = [tuple(r) for r in bpe.bpe_train_k_merges(spark, sf, k=4).collect()]
+    assert got == ref_merges
+
+    # ---- one-round apply: next-round pair counts vs reference. After
+    # merging (the, cat) the bleed docs' streams must survive intact —
+    # 'lathe'/'cats' stay standalone tokens (a later round may merge
+    # them as WHOLE tokens, which is legitimate; splicing them in the
+    # (the, cat) round is not).
+    ref1, streams1 = _ref_bpe_train(texts, k=1)
+    assert ref1 == [(1, "the cat", 4)]
+    assert streams1[1] == ["lathe", "cats", "lathe", "cats"]
+    counts: dict[str, int] = {}
+    for toks in streams1:
+        for x, y in zip(toks, toks[1:]):
+            counts[f"{x} {y}"] = counts.get(f"{x} {y}", 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got1 = [(r.pair, r.n_occurrences) for r in bpe_apply_top_merge(spark, sf).collect()]
+    assert got1 == expect
+    assert ("lathe cats", 2) in got1  # the bleed would have destroyed this pair
+
+    # ---- the DuckDB oracles replicate the same tokenwise semantics on
+    # the collision corpus (the sf0.01 driver data has no collisions,
+    # so this corpus is what actually pins the oracle's merge rule)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    o_apply = con.execute(ORACLE_BPE_APPLY).df()
+    s_apply = pd.DataFrame(got1, columns=["pair", "n_occurrences"])
+    res = compare("bpe_apply_top_merge", s_apply, o_apply)
+    assert res.ok, str(res)
+    o_train = con.execute(bpe._oracle_train_sql(k=4)).df()
+    s_train = pd.DataFrame(
+        got, columns=["merge_rank", "pair", "n_occurrences"]
+    )
+    res = compare("bpe_train_k_merges", s_train, o_train)
+    assert res.ok, str(res)
+
+
 def test_curate_corpus_composition_invariants(spark):
     """The end-to-end curation chain must honor each component's
     contract: no near-dup loser, no below-floor doc, no contaminated
