@@ -7,16 +7,20 @@ full result without pulling rows to the driver. A warmup query runs
 first so JVM/codegen startup is not attributed to the first benchmark
 entry.
 
-Steady-state policy (r4 verdict #3): single-cold-pass timing made
-round-over-round slot deltas incomparable — r4's +86% on common queries
-was first-run overhead plus machine load, not plan regressions (verified
-by idle re-measurement; the code was byte-identical). Every query now
-runs TWICE: ``queries`` holds the second (warm, steady-state) times and
-is what ``value`` totals — that is the number comparable across rounds
-and the proxy for throughput at scale, where fixed per-query setup
-amortizes to nothing over 100 TB. The first-pass times are recorded
-verbatim under ``queries_cold`` for honesty (they bound worst-case
-interactive latency).
+Steady-state policy (r4 verdict #3, tightened per r5 verdict #2):
+single-cold-pass timing made round-over-round slot deltas incomparable
+— r4's +86% on common queries was first-run overhead plus machine
+load, not plan regressions. One warm pass fixed that confound but not
+run-to-run noise: r5 still burned four of six "regressions" on
+byte-identical code (±40% on single warm runs). Every query now runs
+FOUR times: one cold pass (recorded verbatim under ``queries_cold`` —
+it bounds worst-case interactive latency) and three warm passes;
+``queries`` holds the MEDIAN of the three warm times and is what
+``value`` totals — the median rejects a single GC pause / compaction
+stall outlier, so unchanged queries should sit within ±15% across
+rounds. That is the number comparable round-over-round and the proxy
+for throughput at scale, where fixed per-query setup amortizes to
+nothing over 100 TB.
 
 Shared-frame policy (fairness): several query families ride persisted
 per-(session, sf_dir) feature frames (CDC envelope fixture, shingle-set
@@ -99,12 +103,15 @@ def main() -> None:
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in sorted(queries().items()):
-        for store in (cold, warm):
+        runs: list[float] = []
+        for _pass in range(4):  # 1 cold + 3 warm
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # Materialize every row/column without driver collect.
             df.write.format("noop").mode("overwrite").save()
-            store[name] = round(time.perf_counter() - t0, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        cold[name] = runs[0]
+        warm[name] = sorted(runs[1:])[1]  # median of the 3 warm passes
 
     total = round(sum(warm.values()), 4)
 
@@ -121,6 +128,7 @@ def main() -> None:
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "warm_policy": "warm_med: median of 3 warm passes per query",
                 "queries": warm,
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 4),

@@ -26,12 +26,23 @@ from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.llm.curation import (
+    ORACLE_CONTAMINATION,
+    ORACLE_PII,
+    ORACLE_QUALITY_FLOOR,
     contamination_check,
     pii_redaction,
     quality_floor_filter,
 )
-from cdc_cascade_spark.llm.dedup import dedup_cluster_representatives
-from cdc_cascade_spark.llm.selection import budget_filter
+from cdc_cascade_spark.llm.dedup import (
+    ORACLE_CLUSTER_REPS,
+    dedup_cluster_representatives,
+)
+from cdc_cascade_spark.llm.prep import TOKENS_SQL
+from cdc_cascade_spark.llm.selection import (
+    QUALITY_PPM,
+    STRATUM_TOKEN_BUDGET,
+    budget_filter,
+)
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,3 +104,62 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "was_redacted",
     )
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """Composed-CTE mirror of :func:`curate_corpus` (r5 verdict #5).
+
+    Each stage's already-verified oracle is embedded VERBATIM as a
+    subquery (DuckDB allows WITH — including WITH RECURSIVE — inside a
+    derived table), so this oracle cannot drift from the per-stage
+    oracles: any stage fix propagates here automatically. The
+    composition layer adds only the id-keyed semi/anti joins and the
+    budget window over the survivors' redacted text — exactly the
+    joins curate_corpus itself adds over its stage operators.
+    """
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+WITH reps AS (SELECT * FROM ({ORACLE_CLUSTER_REPS}) t),
+losers AS (SELECT doc_id FROM reps WHERE doc_id <> rep_doc_id),
+keepq AS (SELECT doc_id FROM ({ORACLE_QUALITY_FLOOR}) t),
+contam AS (SELECT DISTINCT train_doc AS doc_id FROM ({ORACLE_CONTAMINATION}) t),
+red AS (
+  SELECT doc_id, redacted,
+         (n_emails + n_phones + n_ips) > 0 AS was_redacted
+  FROM ({ORACLE_PII}) t
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.source, r.redacted AS text, r.was_redacted
+  FROM documents d
+  JOIN red r USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    AND d.doc_id IN (SELECT doc_id FROM keepq)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+bud AS (
+  SELECT lang, doc_id,
+         len({toks}) AS n_tokens,
+         CAST((len(list_distinct({toks})) * {QUALITY_PPM})
+              // len({toks}) AS BIGINT) AS quality
+  FROM survivors
+),
+o AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM bud
+)
+SELECT s.doc_id, s.lang, s.source, s.text,
+       CAST(o.n_tokens AS BIGINT) AS n_tokens, o.quality, s.was_redacted
+FROM survivors s JOIN o USING (doc_id)
+WHERE o.cum_tokens <= {STRATUM_TOKEN_BUDGET}
+"""
+
+
+ORACLE_CURATE_CORPUS = _curate_corpus_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
+}

@@ -24,6 +24,19 @@ The Arrow pandas_udf kernel amortizes that to one vectorized numpy pass
 per batch (~10× on the round-1 bench), while keeping the surrounding
 plan (broadcast 1-row query, TakeOrderedAndProject, LSH bucket pruning)
 unchanged.
+
+Oracle-gate exclusions (r5 advice): the disk-index lifecycle surfaces
+— ``write_lsh_bucketed`` / ``append_lsh_bucketed`` /
+``ann_lsh_topk_bucketed`` — are NOT in the QUERIES registry because
+their semantics are a path-dependent physical layout (bucketed parquet
+on disk, incremental appends, compaction) that a single ANSI statement
+over the raw tables cannot mirror. Their correctness gate is instead
+equivalence-to-in-memory: tests pin that the bucketed/probed/appended
+results equal the registered (oracle-checked)
+``ann_lsh_topk``/``ann_lsh_multiprobe_topk`` answers plus plan
+assertions that the probes actually partition-prune.
+(``ann_lsh_multitable_topk`` IS registered — its L-table candidacy is
+plain SQL, see ``_lsh_multitable_oracle_sql``.)
 """
 
 from __future__ import annotations
@@ -1047,10 +1060,56 @@ LIMIT {TOPK}
 ORACLE_IVF_KMEANS = _ivf_kmeans_oracle_sql()
 
 
+def _lsh_multitable_oracle_sql(n_tables: int = 4, k: int = 4) -> str:
+    """DuckDB mirror of :func:`ann_lsh_multitable_topk` (r5 advice:
+    the multi-TABLE candidacy is plain SQL — table ``t`` hashes with
+    hyperplanes ``t*k .. t*k+k-1`` and weights ``2^j`` within the
+    table, exactly the Arrow kernel's plane layout)."""
+
+    def tbl_bucket(t: int) -> str:
+        terms = []
+        for j in range(k):
+            comps = _hyperplane(t * k + j, 64)
+            arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"{arr}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    bcols = ",\n         ".join(
+        f"({tbl_bucket(t)}) AS b{t}" for t in range(n_tables)
+    )
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    shared = " + ".join(f"(b.b{t} = q.qb{t})::INT" for t in range(n_tables))
+    anyshare = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(n_tables))
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         {bcols}
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, {qcols} FROM b
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT b.vec_id, b.label,
+       CAST({shared} AS INTEGER) AS n_shared_tables,
+       {_cosine_sql('b.embedding', 'qvec')} AS cosine
+FROM b, q
+WHERE ({anyshare}) AND b.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+ORACLE_LSH_MULTITABLE = _lsh_multitable_oracle_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
     "ann_lsh_multiprobe_topk": (ann_lsh_multiprobe_topk, ORACLE_LSH_MULTIPROBE),
+    "ann_lsh_multitable_topk": (ann_lsh_multitable_topk, ORACLE_LSH_MULTITABLE),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_IVF_TOPK),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
     "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),

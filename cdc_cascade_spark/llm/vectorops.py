@@ -157,7 +157,140 @@ WHERE rnk <= {KNN_K}
 """
 
 
+# Quantized-scan + exact-rerank parameters: the int8 pass keeps a
+# candidate pool this large, the float rerank returns the final top-k.
+INT8_RERANK_POOL = 32
+INT8_TOPK = 10
+
+
+def _quantize_arr(xd_col, maxabs_col):
+    """array<double> of int8 quantization levels (the same floor
+    arithmetic as :func:`embedding_quantize`, kept as an array instead
+    of CSV so dot products can consume it)."""
+    return F.when(
+        maxabs_col == 0.0, F.transform(xd_col, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            xd_col,
+            lambda x: F.floor((x / maxabs_col) * QUANT_LEVELS).cast("double"),
+        )
+    )
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan ANN: int8 cosine over the whole table, exact
+    float rerank of the top ``INT8_RERANK_POOL`` candidates.
+
+    This is the production shape for memory/IO-bound ANN: the scan
+    pass reads 4×-smaller int8 vectors (here materialized inline; on
+    disk it is the ``embedding_quantize`` output) and only the small
+    rerank pool ever touches the full-precision floats. Output:
+    (vec_id, label, cosine_int8, cosine) — final order by EXACT
+    cosine, so the int8 pass only chooses candidates, exactly like a
+    PQ/IVF first stage.
+
+    Determinism (what makes this oracle-checkable): quantization
+    levels are integers in [-127, 127]; an int8 dot is a sum of 64
+    products ≤ 127² whose partial sums stay far below 2^53, so BOTH
+    engines' float64 dot of integer-valued arrays is EXACT regardless
+    of summation order — no fold-order convention needed, unlike the
+    float path. The rerank then follows the module's strict-fold
+    float convention, and both stages carry the ROUND(·, 9) guard
+    with vec_id tie-breaks.
+
+    Scale shape: scan → map-side int8 cosine → TakeOrderedAndProject
+    for the pool (no global sort) → 32-row exact rerank. One bounded
+    1-row collect picks the query id (same contract as the LSH/IVF
+    family).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        xd.alias("xd"),
+        F.array_max(F.transform(xd, F.abs)).alias("maxabs"),
+    )
+    qtz = staged.select(
+        "vec_id", "label", "embedding", _quantize_arr(F.col("xd"), F.col("maxabs")).alias("qarr")
+    )
+    qrows = emb.orderBy("vec_id").limit(1).select("vec_id").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id long, label string, cosine_int8 double, cosine double"
+        )
+    qid = int(qrows[0].vec_id)
+    qdf = qtz.filter(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qvec"), F.col("qarr").alias("q_qarr")
+    )
+    cos_i8 = F.round(
+        _dot_pd(F.col("qarr"), F.col("q_qarr"))
+        / (
+            F.sqrt(_dot_pd(F.col("qarr"), F.col("qarr")))
+            * F.sqrt(_dot_pd(F.col("q_qarr"), F.col("q_qarr")))
+        ),
+        9,
+    )
+    pool = (
+        qtz.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id", "label", "embedding", "qvec", cos_i8.alias("cosine_int8")
+        )
+        .orderBy(F.desc("cosine_int8"), F.asc("vec_id"))
+        .limit(INT8_RERANK_POOL)
+    )
+    exact = F.round(
+        _dot_pd(F.col("embedding"), F.col("qvec"))
+        / (
+            F.sqrt(_dot_pd(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(_dot_pd(F.col("qvec"), F.col("qvec")))
+        ),
+        9,
+    )
+    return (
+        pool.select("vec_id", "label", "cosine_int8", exact.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(INT8_TOPK)
+    )
+
+
+ORACLE_INT8_TOPK = f"""
+WITH x AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS xd,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS maxabs
+  FROM embeddings
+), qt AS (
+  SELECT vec_id, label, xd,
+         CASE WHEN maxabs = 0 THEN list_transform(xd, v -> 0.0)
+              ELSE list_transform(
+                     xd, v -> floor((v / maxabs) * {QUANT_LEVELS})) END AS qarr
+  FROM x
+), q AS (
+  SELECT xd AS q_xd, qarr AS q_qarr FROM qt
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), scored AS (
+  SELECT t.vec_id, t.label, t.xd, q.q_xd,
+         round(list_dot_product(t.qarr, q.q_qarr)
+               / (sqrt(list_dot_product(t.qarr, t.qarr))
+                  * sqrt(list_dot_product(q.q_qarr, q.q_qarr))), 9) AS cosine_int8
+  FROM qt t, q
+  WHERE t.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+), pool AS (
+  SELECT * FROM scored
+  ORDER BY cosine_int8 DESC, vec_id ASC LIMIT {INT8_RERANK_POOL}
+)
+SELECT vec_id, label, cosine_int8,
+       {_cosine_sql('xd', 'q_xd')} AS cosine
+FROM pool
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {INT8_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "embedding_quantize": (embedding_quantize, ORACLE_QUANTIZE),
     "knn_join_topk": (knn_join_topk, ORACLE_KNN_JOIN),
+    "ann_int8_topk": (ann_int8_topk, ORACLE_INT8_TOPK),
 }

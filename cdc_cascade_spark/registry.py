@@ -63,57 +63,12 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # r4 hash-fail rows — oracle HUGEINT→BIGINT casts fixed this round
-    # (r4 verdict #1); Spark values were already verified identical.
-    "pack_sequences",
-    "label_quality_profile",
-    "dq_constraint_report",
-    # r4 stale-pass CDC rows (r4 verdict #2): their closure changed in r4
-    # (cdc/queries.py SCD2 add, functions/caching.py lock) while they sat
-    # past the window and the old regen blessed them unverified.
-    "cdc_op_routing",
-    "cdc_invalidation_summary",
-    # siblings of this round's oracle-cast edits (same defining module,
-    # so their fingerprints changed too)
-    "doc_chunks",
-    "contamination_check",
-    "stratified_sample",
-    "stratified_sample_exact",
-    "pii_redaction",
-    "quality_floor_filter",
-    # new this round
-    "bpe_train_k_merges",
-    "embedding_quantize",
-    "knn_join_topk",
-    "token_budget_selection",
-    "shingle_containment",
-    "bigram_lift",
-    "minhash_jaccard_estimate",
-    "events_gap_fill",
-    "corpus_profile",
-    # llm/similarity.py changed this round (generalized multi-probe
-    # order + probes parameter) — every query it defines re-verifies
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_top_pairs",
-    # llm/dedup.py changed this round (cluster-reps local-branch overhead
-    # trim, r4 verdict #7) — every query it defines re-verifies
-    "dedup_cluster_representatives",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_weighted",
-    # llm/text.py changed this round (BPE separator sanitization) —
-    # every query it defines re-verifies. This displaced most of the
-    # stale-rotation pins (multimodal/asof/range/q13/q17/q19): those
-    # are unchanged AND fingerprint-protected, so rotating them out is
-    # provably safe; correctness of changed code wins the pin budget.
+    # --- r6 changed-code pins (every query whose fingerprint differs
+    # from the committed manifest; computed, not guessed) ---
+    # llm/text.py changed (BPE boundary-bleed fix: anchored
+    # doubled-separator stream encoding) — every query it defines
+    # re-verifies, plus its dependents (bpe.py trainer; curation.py
+    # imports text_stats).
     "text_stats",
     "doc_repetition",
     "bpe_merge_pairs",
@@ -123,11 +78,60 @@ CHECK_FIRST: list[str] = [
     "doc_fingerprint",
     "text_vocabulary",
     "text_bigrams",
-    # new this round — needs its first green row
-    "quantile_histogram",
-    # stale rotation (r4 verdict #4): one slot left after the text.py
-    # repin; q28 covers the widest window-function surface
-    "q28_window_suite",
+    "bpe_train_k_merges",
+    # curation.py closure includes text.py (quality_floor_filter calls
+    # text_stats), so the whole module re-verifies
+    "label_quality_profile",
+    "contamination_check",
+    "stratified_sample",
+    "stratified_sample_exact",
+    "pii_redaction",
+    "quality_floor_filter",
+    # llm/similarity.py changed (embedding_top_pairs empty-big-path
+    # short-circuit, r5 verdict #3; shell-by-shell probe masks) —
+    # module + vectorops dependents re-verify
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_top_pairs",
+    "knn_join_topk",
+    "embedding_quantize",
+    # new this round — first green rows: the composed curation
+    # pipeline with a CTE-composed oracle (r5 verdict #5), the
+    # L-table LSH dial (r5 advice: its candidacy is plain SQL), and
+    # the int8 quantized-scan + exact-rerank ANN. 47 pins + 3
+    # insertion-order fillers keeps every pinned query inside the
+    # driver's observed 50-slot window.
+    "curate_corpus",
+    "ann_lsh_multitable_topk",
+    "ann_int8_topk",
+    # --- r6 stale rotation (r5 verdict #1): the r3-green cohort is at
+    # the registry's 2-round staleness bound. 18 of the 25 rotate now
+    # (oldest first, fingerprint-frozen since r3); the 7 expression /
+    # subquery suites q21/q22/q24/q25/q26/q29/q30 — no join-strategy
+    # or aggregation plan risk — defer to r7 to keep the pin list at
+    # 45, comfortably inside the driver's ~50 window (guard:
+    # tests/test_registry_guard.py::test_check_first_fits_window_with_margin).
+    "q13_sessionize_events",
+    "q14_pivot_status",
+    "q15_outer_join_part_activity",
+    "q16_distinct_stats",
+    "q17_tumbling_hourly",
+    "q18_price_percentiles",
+    "q19_cube_volume",
+    "q20_grouping_sets",
+    "q23_timeseries_rollup",
+    "q27_full_outer_join",
+    "q31_unpivot_metrics",
+    "asof_latest_order",
+    "asof_prev_click_tolerance",
+    "range_join_signup_activity",
+    "overlap_join_order_windows",
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 
@@ -139,6 +143,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup,
         multimodal,
         packing,
+        pipeline,
         profile,
         selection,
         similarity,
@@ -173,6 +178,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         curation,
         packing,
         bpe,
+        pipeline,
         vectorops,
         selection,
         collocations,

@@ -65,10 +65,32 @@ def stream_events(
     therefore presumes the UTC session timezone, which is pinned below
     (and again in catalog.load_table) so LTZ wall-clock values coincide
     with the NTZ ones.
+
+    .. warning:: SESSION-WIDE side effect (same contract as
+       ``catalog.load_table``): this sets
+       ``spark.sql.session.timeZone=UTC`` and — when the nanos layout
+       is sniffed — ``spark.sql.legacy.parquet.nanosAsLong=true`` on
+       the SHARED session, so the caller's subsequent batch queries in
+       the same session inherit UTC timestamps and int64 nanos parquet
+       reads. This is deliberate (the whole engine's determinism
+       conventions assume it), but a caller that pinned a DIFFERENT
+       timezone gets a ``warnings.warn`` here rather than a silent
+       overwrite.
     """
     # Mirror catalog.load_table's defensive confs (ADVICE r4): a
     # caller-built session without them would either throw on the nanos
     # layout or silently shift LTZ window boundaries off the UTC oracle.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC"):
+        import warnings
+
+        warnings.warn(
+            f"stream_events overrides spark.sql.session.timeZone "
+            f"({prev_tz!r} -> 'UTC') for the WHOLE session: engine "
+            "determinism conventions require UTC, and this session's "
+            "subsequent batch queries will see it too",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns = _events_ts_is_int64(sf_dir)
     if ns:

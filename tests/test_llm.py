@@ -863,12 +863,21 @@ def test_bigram_lift_formula_and_floor(spark):
     assert lifts == sorted(lifts, reverse=True)
 
 
-def test_bucketed_ann_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+@pytest.mark.parametrize("ann_sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_bucketed_ann_prunes_partitions_and_matches_inmemory(
+    spark, tmp_path, ann_sf_dir
+):
     """The 100 TB ANN layout claim, proven end-to-end: writing the
     embedding table partitioned by LSH bucket and probing it must
     (a) return exactly the in-memory multi-probe result, and
     (b) plan the probe as a partition filter that scans only the probed
-        bucket directories — no full-table read."""
+        bucket directories — no full-table read.
+
+    Parametrized over sf0.001 AND sf0.01 (r5 verdict #7): at sf0.01 the
+    on-disk bucket count exceeds the session's shuffle/task parallelism,
+    pinning that partition pruning is a property of the LAYOUT (probes /
+    buckets-on-disk), not an artifact of a small file count — the
+    probed-file fraction must scale with the probed-bucket fraction."""
     import numpy as np
     from cdc_cascade_spark.catalog import load_table
     from cdc_cascade_spark.llm.similarity import (
@@ -881,15 +890,15 @@ def test_bucketed_ann_prunes_partitions_and_matches_inmemory(spark, tmp_path):
     from cdc_cascade_spark.plans.explain import physical_plan
 
     idx = str(tmp_path / "emb_by_bucket")
-    write_lsh_bucketed(spark, SF, idx)
+    write_lsh_bucketed(spark, ann_sf_dir, idx)
 
-    emb = load_table(spark, SF, "embeddings")
+    emb = load_table(spark, ann_sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
     qvec = np.asarray(qrow.embedding, dtype=np.float32).astype(np.float64)
 
     probes = 9  # Hamming-<=1 ball
     got = ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id), probes=probes)
-    want = ann_lsh_multiprobe_topk(spark, SF, probes=probes)
+    want = ann_lsh_multiprobe_topk(spark, ann_sf_dir, probes=probes)
     g = [(r.vec_id, r.label, r.bucket, r.cosine) for r in got.collect()]
     w = [(r.vec_id, r.label, r.bucket, r.cosine) for r in want.collect()]
     assert g == w
@@ -907,6 +916,23 @@ def test_bucketed_ann_prunes_partitions_and_matches_inmemory(spark, tmp_path):
         len(glob.glob(f"{idx}/bucket={b}/*.parquet")) for b in probed
     )
     assert 0 < n_probed_files < n_total_files, (n_probed_files, n_total_files)
+
+    # scaling pin: the probe never opens more bucket directories than
+    # probes, and the read fraction tracks probes/buckets-on-disk (2×
+    # slack absorbs per-bucket file-count variance)
+    n_dirs_total = len(glob.glob(f"{idx}/bucket=*"))
+    n_dirs_probed = sum(
+        1 for b in probed if glob.glob(f"{idx}/bucket={b}")
+    )
+    assert n_dirs_probed <= probes
+    assert n_probed_files <= max(probes, 2 * n_total_files * probes // n_dirs_total)
+    if ann_sf_dir.endswith("sf0.01"):
+        # the claim under test: pruning holds when buckets outnumber
+        # the session's parallelism (bucket dirs ≫ tasks)
+        assert n_dirs_total > spark.sparkContext.defaultParallelism, (
+            n_dirs_total,
+            spark.sparkContext.defaultParallelism,
+        )
 
 
 def test_incremental_index_append_equals_full_rebuild(spark, tmp_path):
@@ -1221,6 +1247,40 @@ def test_bpe_merge_is_tokenwise_no_boundary_bleed(spark, tmp_path):
     )
     res = compare("bpe_train_k_merges", s_train, o_train)
     assert res.ok, str(res)
+
+
+def test_curate_corpus_invariant_to_partitioning_and_order(spark, tmp_path):
+    """The curated corpus is a pure function of the document SET
+    (r5 verdict #8): rewriting the same rows in a different file order
+    and partition layout — i.e. permuting the duplicate-injection
+    order — must yield the identical output. This holds because the
+    union-find representative choice is min-doc_id (order-free), every
+    filter threshold is an exact rank or integer expression, and the
+    budget prefix is a total (quality, doc_id) order; the test proves
+    the composition keeps it."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.pipeline import curate_corpus
+
+    docs = load_table(spark, SF, "documents")
+    layouts = {
+        "fwd": docs.orderBy("doc_id").coalesce(1),
+        # reversed order, many small partitions: near-dup cluster
+        # members arrive in the opposite order across different files
+        "rev": docs.orderBy(F.desc("doc_id")).repartition(13),
+        # hash-scattered: cluster members land in arbitrary partitions
+        "hash": docs.repartition(7, F.expr("hash(doc_id, 17)")),
+    }
+    results = {}
+    for name, frame in layouts.items():
+        d = str(tmp_path / name)
+        frame.write.parquet(f"{d}/documents.parquet")
+        results[name] = sorted(
+            tuple(r) for r in curate_corpus(spark, d).collect()
+        )
+    assert results["fwd"] == results["rev"] == results["hash"]
+    assert len(results["fwd"]) > 0
 
 
 def test_curate_corpus_composition_invariants(spark):

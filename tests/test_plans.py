@@ -130,6 +130,13 @@ def test_plan_lint_all_registered_queries(spark):
         "ann_ivf_kmeans_topk": {"bnlj"},
         "ann_lsh_topk": {"bnlj"},
         "ann_lsh_multiprobe_topk": {"bnlj"},
+        "ann_lsh_multitable_topk": {"bnlj"},
+        # 1-row query broadcast twice: once for the int8 candidate
+        # scan, once for the POOL-row exact rerank
+        "ann_int8_topk": {"bnlj"},
+        # inherits quality_floor_filter's 1-row threshold broadcast
+        # (the composed pipeline contains that stage verbatim)
+        "curate_corpus": {"bnlj"},
         # 1-row corpus-count frame broadcast into the idf-tier weight
         "dedup_simhash_weighted": {"bnlj"},
         # 1-row quality-threshold frame (TakeOrderedAndProject result)
