@@ -232,14 +232,28 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    pool = (
+    # Pool cut via a rank filter, NOT orderBy().limit(): a non-terminal
+    # sort+limit plans as a rangepartitioning exchange that ships EVERY
+    # scored row — a full-corpus shuffle at 100 TB. The rank filter
+    # plans as WindowGroupLimit(Partial) → each task forwards only its
+    # local top-POOL rows into the single final partition (≤ POOL ×
+    # n_tasks rows shuffled, like TakeOrderedAndProject but staying a
+    # DataFrame for the rerank stage). Plan pinned by
+    # tests/test_plans.py::test_int8_pool_cut_is_window_group_limit.
+    from pyspark.sql import Window as W
+
+    scored = (
         qtz.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(qdf))
         .select(
             "vec_id", "label", "embedding", "qvec", cos_i8.alias("cosine_int8")
         )
-        .orderBy(F.desc("cosine_int8"), F.asc("vec_id"))
-        .limit(INT8_RERANK_POOL)
+    )
+    wpool = W.orderBy(F.desc("cosine_int8"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("prnk", F.row_number().over(wpool))
+        .filter(F.col("prnk") <= INT8_RERANK_POOL)
+        .drop("prnk")
     )
     exact = F.round(
         _dot_pd(F.col("embedding"), F.col("qvec"))

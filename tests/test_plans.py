@@ -111,6 +111,21 @@ def test_q09_windows_see_only_preaggregated_input(spark):
     assert months * 10 < orders, (months, orders)
 
 
+def test_int8_pool_cut_is_window_group_limit(spark):
+    """ann_int8_topk's candidate-pool cut must plan as a bounded
+    top-k (TakeOrderedAndProject / WindowGroupLimit partial pruning) —
+    NOT a rangepartitioning exchange, which would shuffle every scored
+    row to sort it. The rank-filter form is what keeps the quantized
+    scan stage map-bounded at 100 TB."""
+    from cdc_cascade_spark.llm.vectorops import ann_int8_topk
+
+    plan = physical_plan(ann_int8_topk(spark, SF))
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        plan[:2000]
+    )
+
+
 def test_plan_lint_all_registered_queries(spark):
     """Plan lint over the whole registry: no accidental cartesian
     products, no single-partition window shuffles, no nested-loop
