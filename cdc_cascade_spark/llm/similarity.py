@@ -9,6 +9,10 @@
   partitions.
 - ``embedding_top_pairs``: most-similar pairs within label blocks
   (the embedding-cosine near-dup primitive).
+- ``dedup_embedding_cosine``: corpus-wide embedding near-dup pairs —
+  banded hyperplane LSH candidacy (OR-of-ANDs recall amplification)
+  + exact-cosine verify; completes the dedup family's vector-space
+  member next to MinHash/SimHash/Jaccard in ``llm/dedup.py``.
 
 Determinism: cosine is computed in float64 with a strict left-to-right
 fold over the 64 dimensions in BOTH engines (numpy ``np.add.accumulate``
@@ -1105,6 +1109,126 @@ LIMIT {TOPK}
 ORACLE_LSH_MULTITABLE = _lsh_multitable_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (banded SimHash LSH)
+# ---------------------------------------------------------------------------
+
+# Banding dials: DEDUP_BANDS bands of DEDUP_BAND_PLANES hyperplane sign
+# bits each. A pair is a CANDIDATE iff it agrees on every bit of at
+# least one band — the OR-of-ANDs recall amplification from the
+# MinHash/LSH literature applied to cosine sketches. At similarity
+# cos θ the per-plane agreement probability is 1 − θ/π, a band matches
+# with p^planes, and ≥1 of B bands with 1 − (1−p^planes)^B: more planes
+# per band sharpens precision (fewer candidates), more bands restores
+# recall. 4×4 over the 64-dim testdata keeps the candidate set ~2 % of
+# the pair space while catching ~half the τ=0.4 pairs — at production
+# scale the plane count grows with log2(n) so candidate groups stay
+# bounded, which is exactly the MinHash-band sizing rule.
+DEDUP_BANDS = 4
+DEDUP_BAND_PLANES = 4
+DEDUP_COSINE_THRESHOLD = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded hyperplane LSH candidacy
+    + exact-cosine verification (the vector-space member of the dedup
+    family — MinHash/SimHash/Jaccard live in ``llm/dedup.py``).
+
+    Plan shape (the 100 TB one, mirroring ``dedup_minhash_lsh``):
+    one Arrow pandas_udf pass computes each vector's 16 sign bits; a
+    4-row-per-vector band explode carries only (vec_id, band, bval) —
+    never the 64-float payload — into the band self-join; candidate
+    pairs are de-duplicated, then two hash joins on vec_id fetch the
+    vectors for exact verification of only the candidates. No step is
+    all-pairs: the band join's groups are ~n/2^planes, and the verify
+    cost is O(|candidates|).
+
+    Returns (vec_a, vec_b, cosine) for candidate pairs with exact
+    cosine ≥ ``DEDUP_COSINE_THRESHOLD`` (the testdata's embeddings have
+    no true near-identical pairs — max cosine ≈ 0.5 — so the threshold
+    sits below the classic 0.9 to exercise the full path end-to-end).
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    nplanes = DEDUP_BANDS * DEDUP_BAND_PLANES
+    bucket = _bucket_udf(nplanes)
+    mask = (1 << DEDUP_BAND_PLANES) - 1
+    sig = emb.select("vec_id", bucket(F.col("embedding")).alias("bits"))
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(
+                        F.col("bits"), b * DEDUP_BAND_PLANES
+                    ).bitwiseAND(F.lit(mask))
+                    for b in range(DEDUP_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bval")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COSINE_THRESHOLD)
+    )
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    nplanes = DEDUP_BANDS * DEDUP_BAND_PLANES
+    mask = (1 << DEDUP_BAND_PLANES) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, "
+        f"(bits >> {b * DEDUP_BAND_PLANES}) & {mask} AS bval FROM sig"
+        for b in range(DEDUP_BANDS)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {_bucket_sql('embedding', nplanes)} AS bits
+  FROM embeddings
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_cosine_sql('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {DEDUP_COSINE_THRESHOLD}
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _dedup_embedding_oracle_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_LSH_TOPK),
@@ -1113,4 +1237,5 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_IVF_TOPK),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
     "embedding_top_pairs": (embedding_top_pairs, ORACLE_TOP_PAIRS),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING),
 }

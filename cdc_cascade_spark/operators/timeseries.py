@@ -170,4 +170,11 @@ FROM spine s LEFT JOIN hourly h USING (event_type, hour)
 
 QUERIES: dict[str, tuple] = {
     "events_gap_fill": (events_gap_fill, ORACLE_GAP_FILL),
+    # The two-phase segmented locf is REQUIRED to produce the exact
+    # same dense series as the single-window form, so it registers
+    # against the identical oracle (r5 advice: move it from
+    # self-consistency-tested to driver-verified). The driver thereby
+    # cross-checks the bounded-partition scale path — two day-segment
+    # windows + a broadcast carry-in join — against the plain SQL locf.
+    "events_gap_fill_segmented": (events_gap_fill_segmented, ORACLE_GAP_FILL),
 }

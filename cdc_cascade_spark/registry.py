@@ -107,24 +107,33 @@ CHECK_FIRST: list[str] = [
     "curate_corpus",
     "ann_lsh_multitable_topk",
     "ann_int8_topk",
+    # new this round (second batch): the vector-space dedup family
+    # member (banded hyperplane LSH + exact-cosine verify), and the
+    # segmented two-phase locf registered against the SAME oracle as
+    # events_gap_fill (r5 advice low #4) — editing timeseries.py
+    # changes events_gap_fill's fingerprint too, so both pin.
+    "dedup_embedding_cosine",
+    "events_gap_fill",
+    "events_gap_fill_segmented",
     # --- r6 stale rotation (r5 verdict #1): the r3-green cohort is at
-    # the registry's 2-round staleness bound. 18 of the 25 rotate now
-    # (oldest first, fingerprint-frozen since r3); the 7 expression /
-    # subquery suites q21/q22/q24/q25/q26/q29/q30 — no join-strategy
-    # or aggregation plan risk — defer to r7 to keep the pin list at
-    # 45, comfortably inside the driver's ~50 window (guard:
+    # the registry's 2-round staleness bound. 15 of the 25 rotate now
+    # (join-strategy / window / multimodal plan risk first); the r5
+    # verdict sanctioned splitting the cohort across r6/r7 when new
+    # work needs slots, so the 7 expression/subquery suites
+    # q21/q22/q24/q25/q26/q29/q30 PLUS the three single-table reshape
+    # suites q14 (pivot) / q16 (distinct agg) / q31 (unpivot) — none
+    # with join-strategy or partitioning risk, all fingerprint-frozen
+    # since their r3 green rows — defer to r7. That keeps the pin list
+    # at 45, inside the driver's ~50 window (guard:
     # tests/test_registry_guard.py::test_check_first_fits_window_with_margin).
     "q13_sessionize_events",
-    "q14_pivot_status",
     "q15_outer_join_part_activity",
-    "q16_distinct_stats",
     "q17_tumbling_hourly",
     "q18_price_percentiles",
     "q19_cube_volume",
     "q20_grouping_sets",
     "q23_timeseries_rollup",
     "q27_full_outer_join",
-    "q31_unpivot_metrics",
     "asof_latest_order",
     "asof_prev_click_tolerance",
     "range_join_signup_activity",

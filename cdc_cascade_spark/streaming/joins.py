@@ -21,6 +21,19 @@ no batch query can express:
 
 The reference itself relies on effect idempotence (Redis DEL) instead
 of dedup — both strategies are implemented here; sinks choose.
+
+Oracle-gate exclusion (r5 advice low): nothing in this module is in
+the QUERIES registry, because every operator here is a *streaming*
+computation whose observable semantics are watermark- and
+trigger-dependent — which rows have been emitted at any point depends
+on watermark advancement (outer-join NULL emission fires only when the
+watermark passes the interval bound; dedup state evicts on watermark),
+so no single ANSI statement over the static tables mirrors the
+operator. The correctness gate is instead the streaming test suite:
+``test_streaming.py``/``test_late_data.py`` drive the joins through
+multi-batch feeds (including the watermark-forced LEFT OUTER null
+emission and replayed-duplicate suppression) and pin the final emitted
+set against the batch-join model computed on the same data.
 """
 
 from __future__ import annotations

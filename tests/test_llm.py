@@ -1370,3 +1370,78 @@ def test_budget_filter_operates_on_the_given_pool(spark):
     assert adm_pool <= {10 + j for j in range(8)}
     total = sum(r.n_tokens for r in budget_filter(pool).collect())
     assert total <= STRATUM_TOKEN_BUDGET
+
+
+def test_dedup_embedding_cosine_matches_numpy_banded_model(spark):
+    """Full semantic model-check of dedup_embedding_cosine against a
+    pure-numpy reference: the result must be EXACTLY the pairs that
+    (a) agree on every sign bit of at least one band and (b) have
+    exact cosine >= the threshold — and the banded candidate space
+    must be a strict subset of the all-pairs space (it's LSH, not a
+    quadratic scan)."""
+    import numpy as np
+
+    from cdc_cascade_spark.llm.similarity import (
+        DEDUP_BANDS,
+        DEDUP_BAND_PLANES,
+        DEDUP_COSINE_THRESHOLD,
+        _planes_matrix,
+        dedup_embedding_cosine,
+    )
+
+    rows = sorted(
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = len(ids)
+
+    planes = _planes_matrix(DEDUP_BANDS * DEDUP_BAND_PLANES)
+    # strict left-to-right fold, same as the Arrow kernel
+    dots = np.add.accumulate(M[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+    bits = dots > 0
+    w = 2 ** np.arange(DEDUP_BAND_PLANES)
+    band_vals = np.stack(
+        [
+            bits[:, b * DEDUP_BAND_PLANES : (b + 1) * DEDUP_BAND_PLANES] @ w
+            for b in range(DEDUP_BANDS)
+        ],
+        axis=1,
+    )  # (n, B)
+
+    # pairwise exact cosines via the same sequential fold (chunked)
+    norms = np.sqrt(np.add.accumulate(M * M, axis=1)[:, -1])
+    cos = np.empty((n, n))
+    for lo in range(0, n, 64):
+        hi = min(lo + 64, n)
+        prod = M[lo:hi, None, :] * M[None, :, :]
+        cos[lo:hi] = np.add.accumulate(prod, axis=2)[:, :, -1] / (
+            norms[lo:hi, None] * norms[None, :]
+        )
+
+    shares_band = (band_vals[:, None, :] == band_vals[None, :, :]).any(axis=2)
+    iu = np.triu_indices(n, k=1)
+    n_candidates = int(shares_band[iu].sum())
+    assert 0 < n_candidates < len(iu[0]), "banding must prune the pair space"
+
+    # no pair near the threshold boundary, so round-mode differences
+    # between the engines' ROUND and numpy cannot flip membership
+    near = np.abs(cos[iu] - DEDUP_COSINE_THRESHOLD) < 1e-6
+    assert not near.any()
+
+    expected = {
+        (ids[i], ids[j]): cos[i, j]
+        for i, j in zip(*iu)
+        if shares_band[i, j] and cos[i, j] >= DEDUP_COSINE_THRESHOLD
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine(spark, SF).collect()
+    }
+    assert got.keys() == expected.keys()
+    assert expected, "threshold should catch injected-similarity pairs"
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1e-9, k

@@ -165,6 +165,9 @@ def test_plan_lint_all_registered_queries(spark):
         # 1-row global (min,max) bounds frame broadcast into the dense
         # spine generator
         "events_gap_fill": {"bnlj"},
+        # contains events_gap_fill's spine generator verbatim (the
+        # segmented locf re-fills the same dense series)
+        "events_gap_fill_segmented": {"bnlj"},
         # pairwise sketch join on type_a < type_b: |groups| one-row
         # sketches of K longs each — the build side is kilobytes by
         # construction (that is the point of sketch algebra)
