@@ -146,7 +146,9 @@ def start_invalidation_pipeline(
     read it through :func:`read_quarantine`, which returns an empty
     frame for a never-written path instead of raising.
     ``dead_letters`` is the in-process collector variant for small test
-    batches.
+    batches ONLY — it collects every malformed value through the driver
+    each batch, which is exactly the bounded-state rule production
+    pipelines must not break; deployments use ``quarantine_dir``.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -1445,3 +1445,89 @@ def test_dedup_embedding_cosine_matches_numpy_banded_model(spark):
     assert expected, "threshold should catch injected-similarity pairs"
     for k, v in got.items():
         assert abs(v - expected[k]) < 1e-9, k
+
+
+def test_minhash_index_probe_equals_batch_cross_pairs(spark, tmp_path):
+    """Build the persistent MinHash index from a corpus split, probe it
+    with the held-out batch, and require EXACTLY the cross-split subset
+    of the registered (oracle-checked) dedup_minhash_lsh answer on the
+    full table — same candidates, same verified Jaccard values."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.dedup import dedup_minhash_lsh
+    from cdc_cascade_spark.llm.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_against_index(batch, spark, idx).collect()
+    }
+
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {}
+    for r in dedup_minhash_lsh(spark, SF).collect():
+        in_a, in_b = r.doc_a in batch_ids, r.doc_b in batch_ids
+        if in_a != in_b:  # exactly one side is new
+            corpus_id, batch_id = (r.doc_b, r.doc_a) if in_a else (r.doc_a, r.doc_b)
+            expected[(corpus_id, batch_id)] = r.jaccard
+    assert expected, "testdata must contain cross-split near-dup pairs"
+    assert got == expected
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """Daily-ingest invariant: append a second corpus slice to an
+    existing index, and a probe must return byte-identical results to
+    an index rebuilt from scratch over the union."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.dedup_index import (
+        append_minhash_index,
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    day1 = docs.filter("doc_id % 5 IN (1, 2)")
+    day2 = docs.filter("doc_id % 5 IN (3, 4)")
+    batch = docs.filter("doc_id % 5 = 0")
+
+    inc = str(tmp_path / "incremental")
+    write_minhash_index(day1, inc)
+    append_minhash_index(day2, inc)
+
+    full = str(tmp_path / "rebuilt")
+    write_minhash_index(day1.unionByName(day2), full)
+
+    probe = lambda p: {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_against_index(batch, spark, p).collect()
+    }
+    got_inc, got_full = probe(inc), probe(full)
+    assert got_inc == got_full
+    assert got_inc, "expected cross near-dup pairs in the probe"
+
+
+def test_minhash_index_probe_never_shuffles_the_corpus(spark, tmp_path):
+    """The probe's promise at 100 TB is that the corpus-side relations
+    (index bands, index features) are only SCANNED and probed map-side:
+    the batch broadcasts into both joins, so the plan must contain no
+    sort-merge join and no shuffle of either index scan."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.dedup_index import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "planidx")
+    write_minhash_index(docs.filter("doc_id % 5 != 0"), idx)
+    result = dedup_against_index(docs.filter("doc_id % 5 = 0"), spark, idx)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
