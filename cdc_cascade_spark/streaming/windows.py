@@ -155,6 +155,44 @@ def sliding_activity(
     )
 
 
+def hot_keys(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    min_count: int = 20,
+) -> DataFrame:
+    """Windowed heavy-hitter / hot-key detector — the live skew monitor
+    a large-scale pipeline runs next to its keyed joins and dedup
+    blocks: any key whose per-window event count reaches ``min_count``
+    is exactly the key that will make a downstream shuffle partition
+    hot, and belongs in the salting / skew-hint list
+    (``operators/skew.py::salted_join``) before it melts an executor.
+
+    Plan: one watermarked streaming aggregation on (window, key) —
+    map-side partial counts, state is one counter per live
+    (window, key) and is evicted once the watermark passes the window
+    end, so state size tracks the key cardinality of ONE window, not
+    the stream's history. The hot filter sits above the agg and
+    removes nothing from state; emission is append-mode on window
+    close. Thresholding on an absolute count keeps the operator a
+    single streaming agg — a fraction-of-total variant needs a second
+    agg over the first (unsupported shape in append mode) or a
+    foreachBatch join, which callers can build from this output.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= min_count)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "key",
+            "n_events",
+        )
+    )
+
+
 def start_continuous_rollup(
     events: DataFrame,
     store,

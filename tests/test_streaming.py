@@ -22,6 +22,7 @@ from cdc_cascade_spark.streaming.pipeline import (
 )
 from cdc_cascade_spark.streaming.sinks import InMemoryKVStore
 from cdc_cascade_spark.streaming.windows import (
+    hot_keys,
     session_counts,
     stream_events,
     tumbling_counts,
@@ -769,3 +770,42 @@ def test_attribution_outer_join_emits_unmatched_after_watermark(spark):
     }
     assert old_matchless, "testdata should contain old matchless purchases"
     assert old_matchless <= null_rows
+
+
+def test_hot_keys_matches_batch_and_actually_filters(spark, tmp_path):
+    """The streaming hot-key monitor must converge to exactly the batch
+    (window, key) counts at-or-above the threshold — and the threshold
+    must be doing real work (some keys hot, most keys not)."""
+    min_count = 6
+    stream = stream_events(spark, SF)
+    q = (
+        hot_keys(stream, window="1 day", min_count=min_count)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hot_keys_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.key): r.n_events
+        for r in spark.sql("SELECT * FROM hot_keys_out").collect()
+    }
+
+    from cdc_cascade_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    all_counts = {
+        (r.day, r.key): r.n_events
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            F.col("user_id").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    want = {k: v for k, v in all_counts.items() if v >= min_count}
+    assert got == want
+    assert got, "expected at least one hot key in the testdata"
+    assert len(got) < len(all_counts) / 2, "threshold must prune most keys"
