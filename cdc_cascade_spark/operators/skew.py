@@ -43,3 +43,73 @@ def salted_join(
         how=how,
     )
     return joined.drop(replicated_small[key]).drop("__salt")
+
+
+def salted_join_targeted(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot: DataFrame,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Partial salting: split ONLY the keys in ``hot`` across
+    ``n_salts`` reducers; cold keys keep salt 0 and the small side is
+    replicated only for hot keys.
+
+    ``hot`` is a one-column frame of hot key values — in production,
+    the output of the streaming skew monitor
+    (``streaming/windows.py::hot_keys``) for the current period. This
+    is the shape that matters at 100 TB: blanket salting
+    (:func:`salted_join`) multiplies the ENTIRE small side n×, which
+    for a skew profile of a handful of hot keys wastes (n−1)·|small|
+    rows of shuffle and state; targeted salting's replication cost is
+    (n−1)·|hot ∩ small| rows — proportional to the skew, not the
+    table. The hot list broadcasts (it is small by definition — a key
+    list a monitor emitted), so marking costs no shuffle on either
+    side.
+
+    Salt is a stable column hash (never ``rand()``): deterministic
+    under retries, and output equals the plain join for ANY hot list
+    (property-tested) — the list only moves rows between reducers.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # right/full would surface unmatched SMALL-side hot rows once
+        # per salt replica — replication is only transparent when the
+        # small side's unmatched rows never reach the output
+        raise ValueError(f"salted_join_targeted does not support how={how!r}")
+    hot_keys_df = F.broadcast(
+        hot.select(F.col(hot.columns[0]).alias(key)).distinct()
+    )
+    hot_marked = hot_keys_df.withColumn("__hot", F.lit(1))
+    salted_large = (
+        large.join(hot_marked, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    replicated_small = (
+        small.join(hot_marked, key, "left")
+        .withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .drop("__hot")
+        .withColumn("__salt", F.explode("__salts"))
+        .drop("__salts")
+    )
+    joined = salted_large.join(
+        replicated_small,
+        on=[salted_large[key] == replicated_small[key],
+            salted_large["__salt"] == replicated_small["__salt"]],
+        how=how,
+    )
+    return joined.drop(replicated_small[key]).drop("__salt")

@@ -107,3 +107,92 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     import pathlib
     assert not (tmp_path / "t._compact_tmp").exists()
     assert not (tmp_path / "t._compact_bak").exists()
+
+
+def test_targeted_salted_join_equivalence_and_bounded_replication(spark):
+    """salted_join_targeted: (a) output equals the plain join for a
+    monitor-provided hot list; (b) hot keys' large-side rows really
+    spread across multiple salts while cold keys stay on salt 0; (c)
+    the small side is replicated ONLY for hot keys — the property that
+    makes targeted salting cheaper than blanket salting at scale."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.operators.skew import salted_join_targeted
+
+    orders = load_table(spark, SF, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    # "monitor output": the 5 highest-frequency customer keys
+    hot = (
+        orders.groupBy("c_custkey").count()
+        .orderBy(F.desc("count"), F.asc("c_custkey")).limit(5)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    n_salts = 8
+
+    plain = orders.join(cust, "c_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join_targeted(orders, cust, "c_custkey", hot, n_salts=n_salts)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain.collect()} == {
+        (r.c_mktsegment, r["count"]) for r in salted.collect()
+    }
+
+    # replication bound: |small| + (n_salts - 1) * |hot ∩ small|
+    hot_keys = {r.key for r in hot.collect()}
+    hotb = F.broadcast(hot.select(F.col("key").alias("c_custkey")).distinct())
+    replicated = (
+        cust.join(hotb.withColumn("__hot", F.lit(1)), "c_custkey", "left")
+        .withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .select(F.explode("__salts"))
+    )
+    n_small = cust.count()
+    n_hot_in_small = cust.filter(F.col("c_custkey").isin(hot_keys)).count()
+    assert replicated.count() == n_small + (n_salts - 1) * n_hot_in_small
+    assert n_hot_in_small > 0
+
+    # salt spread: hot keys use >1 salt, cold keys only salt 0
+    marked = orders.join(
+        F.broadcast(hot.withColumnRenamed("key", "c_custkey")).withColumn(
+            "__hot", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).withColumn(
+        "__salt",
+        F.when(
+            F.col("__hot").isNotNull(),
+            F.pmod(F.xxhash64(*orders.columns), F.lit(n_salts)),
+        ).otherwise(F.lit(0)),
+    )
+    spread = {
+        r.c_custkey: r.n
+        for r in marked.groupBy("c_custkey")
+        .agg(F.countDistinct("__salt").alias("n"))
+        .collect()
+    }
+    assert all(spread[k] > 1 for k in hot_keys)
+    assert all(n == 1 for k, n in spread.items() if k not in hot_keys)
+
+
+def test_targeted_salted_join_rejects_right_joins(spark):
+    import pytest as _pytest
+
+    from cdc_cascade_spark.operators.skew import salted_join_targeted
+
+    orders = load_table(spark, SF, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    hot = cust.select(F.col("c_custkey").alias("key")).limit(1)
+    with _pytest.raises(ValueError):
+        salted_join_targeted(orders, cust, "c_custkey", hot, how="full")
