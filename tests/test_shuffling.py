@@ -1,0 +1,85 @@
+"""Deterministic corpus shuffle / shard / mix: the ordering surfaces
+the oracle gate cannot see (the driver's compare is order-insensitive
+by design), pinned by reproducibility and layout tests instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.shuffling import (
+    mix_corpora,
+    shuffle_corpus,
+    write_training_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shuffle_is_deterministic_and_seed_sensitive(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+
+    order1 = [r.doc_id for r in shuffle_corpus(docs, seed=7).collect()]
+    order2 = [r.doc_id for r in shuffle_corpus(docs.repartition(13), seed=7).collect()]
+    assert order1 == order2, "same seed must give the same global order"
+
+    other = [r.doc_id for r in shuffle_corpus(docs, seed=8).collect()]
+    assert sorted(other) == sorted(order1)  # a permutation ...
+    assert other != order1  # ... but a different one
+
+    # genuinely shuffled: not the natural id order
+    assert order1 != sorted(order1)
+
+
+def test_training_shards_balanced_ordered_reproducible(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    n_shards = 8
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards, seed=7)
+    write_training_shards(docs, p2, n_shards, seed=7)
+
+    back = spark.read.parquet(p1)
+    n = docs.count()
+    assert back.count() == n
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == n_shards
+    # statistically balanced: no shard more than 2x the fair share
+    assert max(sizes.values()) < 2 * (n / n_shards)
+
+    # same seed -> identical assignment
+    a1 = {(r.doc_id, r.shard) for r in back.collect()}
+    a2 = {(r.doc_id, r.shard) for r in spark.read.parquet(p2).collect()}
+    assert a1 == a2
+
+    # within-shard file order is the seeded hash order (the layout a
+    # sequential shard reader streams)
+    for shard in range(n_shards):
+        rows = spark.read.parquet(f"{p1}/shard={shard}").collect()
+        keys = [r.shuffle_key for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_mix_corpora_rates_and_reproducibility(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    mixed = mix_corpora([("a", a, 1.0), ("b", b, 0.25)], seed=3)
+    rows = mixed.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source_name, []).append(r.doc_id)
+    assert sorted(by_src["a"]) == sorted(r.doc_id for r in a.collect()), (
+        "rate 1.0 must admit everything"
+    )
+    n_b, total_b = len(by_src.get("b", [])), b.count()
+    assert 0.10 <= n_b / total_b <= 0.45, f"rate 0.25 admitted {n_b}/{total_b}"
+
+    again = mix_corpora([("a", a, 1.0), ("b", b, 0.25)], seed=3).collect()
+    assert [(r.source_name, r.doc_id) for r in again] == [
+        (r.source_name, r.doc_id) for r in rows
+    ], "same seed must reproduce the interleaved order exactly"
+
+    reseeded = {r.doc_id for r in mix_corpora([("b", b, 0.25)], seed=4).collect()}
+    assert reseeded != set(by_src.get("b", [])), "new seed draws a new sample"
