@@ -93,6 +93,41 @@ def write_training_shards(
     )
 
 
+def prepare_training_run(
+    spark,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> dict:
+    """The full data path, raw table → trainer input: run the curation
+    pipeline (``llm/pipeline.py::curate_corpus`` — near-dup collapse,
+    quality floor, decontamination, PII redaction, token budget; every
+    stage oracle-verified) and write the surviving corpus as
+    deterministic, size-balanced training shards.
+
+    Returns a small provenance manifest (counts per shard + the seed),
+    because a training run's data must be auditable: re-running with
+    the same (tables, seed, n_shards) reproduces the byte-identical
+    layout.
+    """
+    from cdc_cascade_spark.llm.pipeline import curate_corpus
+
+    curated = curate_corpus(spark, sf_dir)
+    write_training_shards(curated, out_path, n_shards, seed)
+    shards = spark.read.parquet(out_path)
+    sizes = {
+        int(r.shard): int(r.n)
+        for r in shards.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "seed": seed,
+        "n_shards": n_shards,
+        "rows": sum(sizes.values()),
+        "shard_rows": sizes,
+    }
+
+
 def mix_corpora(
     sources: list[tuple[str, DataFrame, float]],
     seed: int,

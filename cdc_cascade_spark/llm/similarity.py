@@ -1120,10 +1120,14 @@ ORACLE_LSH_MULTITABLE = _lsh_multitable_oracle_sql()
 # cos θ the per-plane agreement probability is 1 − θ/π, a band matches
 # with p^planes, and ≥1 of B bands with 1 − (1−p^planes)^B: more planes
 # per band sharpens precision (fewer candidates), more bands restores
-# recall. 4×4 over the 64-dim testdata keeps the candidate set ~2 % of
-# the pair space while catching ~half the τ=0.4 pairs — at production
-# scale the plane count grows with log2(n) so candidate groups stay
-# bounded, which is exactly the MinHash-band sizing rule.
+# recall. Measured on the testdata (4 bands × 4 planes, 64-dim):
+# candidates ≈ 23 % of the pair space with recall 0.53/0.68 of the
+# τ=0.4 pairs at sf0.001/sf0.01 — the weakly-clustered testdata sits
+# far below the near-identical regime (max cosine ≈ 0.5) where
+# per-plane agreement → 1 and recall → 1; production dedup at τ≈0.9
+# gets high recall from the same banding. At production scale the
+# plane count grows with log2(n) so candidate groups stay bounded,
+# which is exactly the MinHash-band sizing rule.
 DEDUP_BANDS = 4
 DEDUP_BAND_PLANES = 4
 DEDUP_COSINE_THRESHOLD = 0.4

@@ -81,5 +81,37 @@ def test_mix_corpora_rates_and_reproducibility(spark):
         (r.source_name, r.doc_id) for r in rows
     ], "same seed must reproduce the interleaved order exactly"
 
+    # per-source independence: b's admitted set is the same whether or
+    # not a participates in the mix (admission hashes are salted by
+    # source name, never by mix composition)
+    only_b = {r.doc_id for r in mix_corpora([("b", b, 0.25)], seed=3).collect()}
+    assert only_b == set(by_src.get("b", []))
+
     reseeded = {r.doc_id for r in mix_corpora([("b", b, 0.25)], seed=4).collect()}
     assert reseeded != set(by_src.get("b", [])), "new seed draws a new sample"
+
+
+def test_prepare_training_run_end_to_end(spark, tmp_path):
+    """Raw table → curated corpus → deterministic shards, with the
+    manifest's accounting matching both the files and the curation
+    operator run alone."""
+    from cdc_cascade_spark.llm.pipeline import curate_corpus
+    from cdc_cascade_spark.llm.shuffling import prepare_training_run
+
+    out = str(tmp_path / "run")
+    manifest = prepare_training_run(spark, SF, out, n_shards=4, seed=11)
+
+    n_curated = curate_corpus(spark, SF).count()
+    assert manifest["rows"] == n_curated > 0
+    assert sorted(manifest["shard_rows"]) == [0, 1, 2, 3]
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_curated
+    # curation provenance columns survive into the shards
+    for col in ("doc_id", "lang", "text", "n_tokens", "quality", "was_redacted"):
+        assert col in back.columns
+
+    # reproducible layout
+    out2 = str(tmp_path / "run2")
+    manifest2 = prepare_training_run(spark, SF, out2, n_shards=4, seed=11)
+    assert manifest2 == manifest
