@@ -100,7 +100,10 @@ def append_minhash_index(docs_batch: DataFrame, out_path: str) -> None:
     Parquet append only — existing files are untouched, so the append
     cost is O(batch). Caller owns doc_id uniqueness vs the corpus (the
     same contract as ``append_lsh_bucketed``)."""
-    feats = _batch_features(docs_batch)
+    # eager localCheckpoint: the feature frame feeds two write actions
+    # (features, bands); snapshotting it runs the shingle featurization
+    # once instead of once per action
+    feats = _batch_features(docs_batch).localCheckpoint(eager=True)
     feats.write.mode("append").parquet(f"{out_path}/features")
     _batch_bands(feats).write.mode("append").partitionBy("band").parquet(
         f"{out_path}/bands"
@@ -117,7 +120,11 @@ def dedup_against_index(
     features), so the corpus never shuffles; only candidates are
     verified. Returns (doc_a=corpus id, doc_b=batch id, jaccard).
     """
-    feats = _batch_features(docs_batch)
+    # lazy localCheckpoint: the batch feature subtree appears on BOTH
+    # sides of the plan (band candidacy + verification); truncating its
+    # lineage materializes the featurization once on first action and
+    # reuses it, instead of re-shingling the batch per consumer
+    feats = _batch_features(docs_batch).localCheckpoint(eager=False)
     bands = _batch_bands(feats)
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     cand = (

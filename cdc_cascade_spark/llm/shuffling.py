@@ -140,7 +140,10 @@ def mix_corpora(
     Bernoulli over ``hash(seed, name, id)``, so admission is exact,
     reproducible, and independent across sources). Output rows carry
     ``source_name`` and the global ``shuffle_key`` that interleaves the
-    sources; common columns are unioned by name.
+    sources; schemas are unioned by name, and a column missing from
+    some source is null-filled in that source's rows (heterogeneous
+    corpora — a ``repo`` column only the code corpus has — are the
+    normal case for a mix).
     """
     mixed = None
     for name, frame, rate in sources:
@@ -158,7 +161,11 @@ def mix_corpora(
                 "shuffle_key", _order_hash(seed, F.lit(name), F.col(id_col))
             )
         )
-        mixed = part if mixed is None else mixed.unionByName(part)
+        mixed = (
+            part
+            if mixed is None
+            else mixed.unionByName(part, allowMissingColumns=True)
+        )
     if mixed is None:
         raise ValueError("mix_corpora needs at least one source")
     return mixed.orderBy("shuffle_key", "source_name", id_col)

@@ -439,10 +439,12 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pre = _bpe_pretokens(F.col("text"))
-    n = F.size(pre)
+    # greatest(n-1, 0): a pretoken-less doc (empty/whitespace text)
+    # yields an empty array and slice rejects negative lengths
+    n = F.greatest(F.size(pre) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(pre, 1, n - 1),
-        F.slice(pre, 2, n - 1),
+        F.slice(pre, 1, n),
+        F.slice(pre, 2, n),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
@@ -489,8 +491,14 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus² anything.
     """
     docs = load_table(spark, sf_dir, "documents")
-    top = bpe_merge_pairs(spark, sf_dir).limit(1).collect()[0]
-    a, b = top.pair.split(" ", 1)
+    top = bpe_merge_pairs(spark, sf_dir).limit(1).collect()
+    if not top:
+        # exhausted corpus (empty, or every doc a single pre-token):
+        # no merge exists, and the next round's pair table is empty —
+        # a normal pipeline state, not an error (mirrors the trainer's
+        # `if not top: break` and the oracle's empty result)
+        return spark.createDataFrame([], "pair string, n_occurrences bigint")
+    a, b = top[0].pair.split(" ", 1)
     pre = _bpe_pretokens(F.col("text"))
     stream = _bpe_encode_stream(pre)
     merged = _bpe_decode_tokens(_bpe_merge_stream(stream, a, b))

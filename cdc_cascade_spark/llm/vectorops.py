@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
-from cdc_cascade_spark.llm.similarity import _cosine_sql, _dot_pd, _with_norm
+from cdc_cascade_spark.llm.similarity import (
+    _cosine_sql,
+    _dot_pd,
+    _empty_ann,
+    _with_norm,
+)
 
 # int8 symmetric quantization range: values land in [-QUANT_LEVELS,
 # QUANT_LEVELS]; floor() (not round()) because its float64 semantics
@@ -217,9 +222,10 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qrows = emb.orderBy("vec_id").limit(1).select("vec_id").collect()
     if not qrows:
-        return spark.createDataFrame(
-            [], "vec_id long, label string, cosine_int8 double, cosine double"
-        )
+        # _empty_ann carries the contract schema (label is INT in the
+        # embeddings table) so the empty branch cannot diverge from the
+        # non-empty path's types
+        return _empty_ann(spark, "cosine_int8", "double")
     qid = int(qrows[0].vec_id)
     qdf = qtz.filter(F.col("vec_id") == qid).select(
         F.col("embedding").alias("qvec"), F.col("qarr").alias("q_qarr")

@@ -31,6 +31,11 @@ def salted_join(
     Columns of both inputs are preserved (the duplicate key column from
     the small side is dropped).
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # right/full would surface unmatched SMALL-side rows once per
+        # salt replica — replication is only transparent when the small
+        # side's unmatched rows never reach the output
+        raise ValueError(f"salted_join does not support how={how!r}")
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
     )

@@ -101,9 +101,10 @@ CHECK_FIRST: list[str] = [
     # new this round — first green rows: the composed curation
     # pipeline with a CTE-composed oracle (r5 verdict #5), the
     # L-table LSH dial (r5 advice: its candidacy is plain SQL), and
-    # the int8 quantized-scan + exact-rerank ANN. 47 pins + 3
-    # insertion-order fillers keeps every pinned query inside the
-    # driver's observed 50-slot window.
+    # the int8 quantized-scan + exact-rerank ANN. Total pin budget
+    # this round: 45 pins + 5 insertion-order fillers (q01–q05) =
+    # the driver's observed 50-slot window, with the guard margin at
+    # exactly 45 (test_check_first_fits_window_with_margin).
     "curate_corpus",
     "ann_lsh_multitable_topk",
     "ann_int8_topk",

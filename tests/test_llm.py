@@ -1531,3 +1531,48 @@ def test_minhash_index_probe_never_shuffles_the_corpus(spark, tmp_path):
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bpe_queries_survive_pretoken_less_documents(spark, tmp_path):
+    """A document whose text yields ZERO pre-tokens (empty, whitespace,
+    or only separator bytes) is a normal corpus state: the pair-zip
+    slice must not crash on a negative length (regression: unguarded
+    slice(pre, 1, n-1)), and results must equal the corpus without the
+    degenerate docs (they contribute no pairs)."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.catalog import TABLES, load_table
+    from cdc_cascade_spark.llm.text import bpe_apply_top_merge, bpe_merge_pairs
+    from cdc_cascade_spark.llm.bpe import bpe_train_k_merges
+
+    base = load_table(spark, SF, "documents")
+    # build a temp sf_dir: documents = real docs + 3 pretoken-less docs
+    deg_rows = [(100001, ""), (100002, "   "), (100003, "\x1f\x1f")]
+    extra = spark.createDataFrame(deg_rows, "doc_id long, text string")
+    docs_aug = base.unionByName(
+        extra.select(
+            "doc_id",
+            *[
+                F.lit(None).cast(dict(base.dtypes)[c]).alias(c)
+                for c in base.columns
+                if c not in ("doc_id", "text")
+            ],
+            "text",
+        ).select(*base.columns)
+    )
+    aug_dir = str(tmp_path / "sf_aug")
+    for t in TABLES:
+        src = docs_aug if t == "documents" else load_table(spark, SF, t)
+        src.write.mode("overwrite").parquet(f"{aug_dir}/{t}.parquet")
+
+    want_pairs = [tuple(r) for r in bpe_merge_pairs(spark, SF).collect()]
+    got_pairs = [tuple(r) for r in bpe_merge_pairs(spark, aug_dir).collect()]
+    assert got_pairs == want_pairs
+
+    want_next = [tuple(r) for r in bpe_apply_top_merge(spark, SF).collect()]
+    got_next = [tuple(r) for r in bpe_apply_top_merge(spark, aug_dir).collect()]
+    assert got_next == want_next
+
+    want_merges = [tuple(r) for r in bpe_train_k_merges(spark, SF).collect()]
+    got_merges = [tuple(r) for r in bpe_train_k_merges(spark, aug_dir).collect()]
+    assert got_merges == want_merges

@@ -492,12 +492,10 @@ def test_every_query_survives_empty_corpus(spark, tmp_path):
     """An empty partition (no events today, empty shard, fresh table) is
     a normal pipeline state: every registered query must return an
     EMPTY (or degenerate-aggregate) frame on zero-row inputs, never
-    crash. Known documented exception: bpe_apply_top_merge requires a
-    non-empty corpus (its contract is 'apply THE top merge'; with no
-    pairs there is no merge to apply) — it must fail, not return
-    garbage."""
-    import pytest
-
+    crash. (bpe_apply_top_merge formerly raised here by documented
+    exception; it now returns the empty pair table — which is what its
+    DuckDB oracle produces on an empty corpus, so the empty behavior
+    is oracle-consistent too.)"""
     from cdc_cascade_spark.catalog import TABLES, load_table
     from cdc_cascade_spark.registry import queries
 
@@ -507,13 +505,8 @@ def test_every_query_survives_empty_corpus(spark, tmp_path):
             "overwrite"
         ).parquet(f"{empty_dir}/{t}.parquet")
 
-    REQUIRES_NONEMPTY = {"bpe_apply_top_merge"}
     failures = {}
     for name, fn in sorted(queries().items()):
-        if name in REQUIRES_NONEMPTY:
-            with pytest.raises(IndexError):
-                fn(spark, empty_dir).collect()
-            continue
         try:
             rows = fn(spark, empty_dir).collect()
         except Exception as exc:  # noqa: BLE001 — collecting a report
