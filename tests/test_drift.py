@@ -98,3 +98,53 @@ def test_drift_deterministic_across_partitionings(spark):
         # allow ulp-scale drift while still catching any real
         # partitioning dependence
         assert abs(r1[k] - r2[k]) < 1e-9, k
+
+
+def test_streaming_drift_monitor_flags_flooded_batch(spark, tmp_path):
+    """Drive a clean micro-batch and a boilerplate-flooded micro-batch
+    through the streaming monitor: the per-batch reports must match the
+    batch operator on the same slices, and only the flooded batch's
+    metrics move off the clean baseline."""
+    from cdc_cascade_spark.streaming.monitor import start_drift_monitor
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    clean = docs.filter("doc_id % 2 = 0")
+    flood = docs.filter("doc_id % 2 = 1").unionByName(
+        spark.range(5000, 6500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.lit("click here to subscribe to our newsletter now").alias("text"),
+        )
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    clean.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    flood.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(clean.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "reports")
+    q = start_drift_monitor(stream, docs, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    reports = {}
+    for r in spark.read.parquet(out).collect():
+        reports.setdefault(r.batch_id, {})[r.metric] = r.value
+    assert len(reports) == 2
+    # identify which batch was which by row provenance: the flooded
+    # batch has the much larger ttr/vocab movement
+    vals = sorted(reports.values(), key=lambda m: m["vocab_js_divergence"])
+    base, flagged = vals
+    assert flagged["vocab_js_divergence"] > 5 * max(base["vocab_js_divergence"], 1e-6)
+    assert flagged["ttr_shift"] > 5 * max(base["ttr_shift"], 1e-6)
+
+    # per-batch streaming report == the batch operator on the same slice
+    want = {r.metric: r.value for r in corpus_drift(docs, flood).collect()}
+    assert set(flagged) == set(want)
+    for k in want:
+        assert abs(flagged[k] - want[k]) < 1e-9, k
