@@ -48,10 +48,16 @@ from cdc_cascade_spark.llm.prep import tokens
 
 DRIFT_TOP_N = 2000
 
+# reserved bucket / sentinel names (NUL-prefixed so no real token or
+# lang label collides)
+_OOV = "\x00OOV"
+_NULL_LANG = "\x00nolang"
+
 
 def _unigram_counts(docs: DataFrame) -> DataFrame:
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")  # whitespace-split artifact
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -69,15 +75,36 @@ def _doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ratio(num, den) -> "F.Column":
+    """0-guarded division: an empty side contributes zero probability
+    mass instead of NULLing the whole aggregate (see the empty-slice
+    semantics note in corpus_drift's docstring)."""
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
 def corpus_drift(
     ref: DataFrame, cur: DataFrame, top_n: int = DRIFT_TOP_N
 ) -> DataFrame:
     """Drift report between two (doc_id, lang, text) slices — four
     ``(metric, value)`` rows; see module docstring for the metrics and
-    their bounds."""
+    their bounds.
+
+    NULL ``lang`` values are folded into one reserved bucket (two
+    slices with the same null-lang share are identical, not maximally
+    distant — full joins never match NULL keys, so the fold happens
+    before grouping). Empty-slice semantics: against a non-empty slice
+    an empty side contributes zero probability mass everywhere, giving
+    JS = 0.5 and lang L1 = 1.0 (both far above any same-distribution
+    baseline, so threshold tripwires fire) and 0.0 for the guarded
+    mean/ttr ratios; two empty slices report all zeros.
+    """
     # --- vocabulary JS divergence over top-N ∪ top-N (+ OOV fold) ---
-    ref_counts = _unigram_counts(ref)
-    cur_counts = _unigram_counts(cur)
+    # The count frames are vocab-sized (already reduced); lazy
+    # localCheckpoint snapshots them so the corpus explode+count runs
+    # once per side even though each frame feeds two subtrees (its
+    # top-N cut and the folded join).
+    ref_counts = _unigram_counts(ref).localCheckpoint(eager=False)
+    cur_counts = _unigram_counts(cur).localCheckpoint(eager=False)
     vocab = (
         ref_counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
         .select("token")
@@ -87,67 +114,83 @@ def corpus_drift(
         )
         .distinct()
     )
-    joint = (
-        ref_counts.withColumnRenamed("n", "n_ref")
-        .join(cur_counts.withColumnRenamed("n", "n_cur"), "token", "full")
-        .na.fill(0, ["n_ref", "n_cur"])
-        .join(vocab.withColumn("__in", F.lit(1)), "token", "left")
-        .select(
-            F.when(F.col("__in").isNotNull(), F.col("token"))
-            .otherwise(F.lit("\x00OOV"))
-            .alias("token"),
-            "n_ref",
-            "n_cur",
+
+    def fold(counts: DataFrame, out: str) -> DataFrame:
+        """Fold a side's tail into its OOV bucket BEFORE any join, so
+        every downstream frame is bounded by 2·top_n + 1 rows — the
+        join itself must never be vocab-of-the-corpus sized."""
+        return (
+            counts.join(
+                F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+            )
+            .select(
+                F.when(F.col("__in").isNotNull(), F.col("token"))
+                .otherwise(F.lit(_OOV))
+                .alias("token"),
+                "n",
+            )
+            .groupBy("token")
+            .agg(F.sum("n").alias(out))
         )
-        .groupBy("token")
-        .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
+
+    joint = (
+        fold(ref_counts, "n_ref")
+        .join(fold(cur_counts, "n_cur"), "token", "full")
+        .na.fill(0, ["n_ref", "n_cur"])
     )
     tot = joint.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
     pq = joint.crossJoin(F.broadcast(tot)).select(
-        (F.col("n_ref") / F.col("t_ref")).alias("p"),
-        (F.col("n_cur") / F.col("t_cur")).alias("q"),
+        _ratio(F.col("n_ref"), F.col("t_ref")).alias("p"),
+        _ratio(F.col("n_cur"), F.col("t_cur")).alias("q"),
     )
     m = (F.col("p") + F.col("q")) / 2
     kl_term = lambda x: F.when(  # noqa: E731 — local expression builder
         x > 0, x * F.log2(x / m)
     ).otherwise(F.lit(0.0))
     js = pq.agg(
-        ((F.sum(kl_term(F.col("p"))) + F.sum(kl_term(F.col("q")))) / 2).alias(
-            "js"
-        )
+        F.coalesce(
+            (F.sum(kl_term(F.col("p"))) + F.sum(kl_term(F.col("q")))) / 2,
+            F.lit(0.0),  # both sides empty -> empty pq frame -> NULL sum
+        ).alias("js")
     )
 
-    # --- language mix L1 ---
+    # --- language mix L1 (NULL lang folded pre-group) ---
     def lang_shares(d: DataFrame, col: str) -> DataFrame:
-        c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        c = (
+            d.select(F.coalesce(F.col("lang"), F.lit(_NULL_LANG)).alias("lang"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
         t = c.agg(F.sum("n").alias("t"))
         return c.crossJoin(F.broadcast(t)).select(
-            "lang", (F.col("n") / F.col("t")).alias(col)
+            "lang", _ratio(F.col("n"), F.col("t")).alias(col)
         )
 
     l1 = (
         lang_shares(ref, "s_ref")
         .join(lang_shares(cur, "s_cur"), "lang", "full")
         .na.fill(0.0, ["s_ref", "s_cur"])
-        .agg(F.sum(F.abs(F.col("s_ref") - F.col("s_cur"))).alias("l1"))
+        .agg(
+            F.coalesce(
+                F.sum(F.abs(F.col("s_ref") - F.col("s_cur"))), F.lit(0.0)
+            ).alias("l1")
+        )
     )
 
-    # --- length + diversity shifts ---
+    # --- length + diversity shifts (0-guarded ratios) ---
     stats = (
         _doc_stats(ref)
         .crossJoin(F.broadcast(_doc_stats(cur)).toDF("n2", "st2", "sd2"))
     )
+    mean_ref = _ratio(F.col("sum_toks"), F.col("n_docs"))
+    mean_cur = _ratio(F.col("st2"), F.col("n2"))
     shifts = stats.select(
-        (
-            F.abs(
-                F.col("st2") / F.col("n2") - F.col("sum_toks") / F.col("n_docs")
-            )
-            / (F.col("sum_toks") / F.col("n_docs"))
-        ).alias("len_shift"),
+        _ratio(F.abs(mean_cur - mean_ref), mean_ref).alias("len_shift"),
         F.abs(
-            F.col("sd2") / F.col("st2") - F.col("sum_dist") / F.col("sum_toks")
+            _ratio(F.col("sd2"), F.col("st2"))
+            - _ratio(F.col("sum_dist"), F.col("sum_toks"))
         ).alias("ttr_shift"),
     )
 

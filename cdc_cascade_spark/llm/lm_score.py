@@ -56,23 +56,37 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
         F.slice(toks, 2, n),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return docs.select("doc_id", F.explode(pairs).alias("bg")).select(
-        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        # whitespace-split artifact: empty-string "tokens" from leading/
+        # trailing whitespace are formatting, not vocabulary — scoring
+        # them would penalize whitespace layout rather than content
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
 
 
 def train_bigram_lm(ref: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     """(unigram_counts, bigram_counts, vocab_size) from the reference
-    slice. Counts are exact longs; the frames ARE the model."""
+    slice. Counts are exact longs; the frames ARE the model — and they
+    are lineage-snapshotted here (eager localCheckpoint), because every
+    consumer reads them at least twice (scoring joins + the threshold
+    aggregate) and the snapshot stops each action from re-tokenizing
+    the reference corpus."""
     uni = (
         ref.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=True)
     )
     bi = (
         _doc_bigrams(ref)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_bg"))
+        .localCheckpoint(eager=True)
     )
     vocab_size = uni.count()
     return uni, bi, vocab_size
@@ -123,14 +137,29 @@ def lm_quality_filter(
     """Documents of ``docs`` whose LM score sits at or below the
     ``keep_quantile`` threshold of the scored population (lower score =
     more reference-like). The threshold is a 1-row aggregate joined
-    back — the distributed-threshold pattern, no driver-side cut."""
+    back — the distributed-threshold pattern, no driver-side cut.
+
+    Documents with ≤1 token have no transitions and therefore no
+    score: the LM has no evidence against them, so they are KEPT and
+    returned with ``n_transitions = 0`` and NULL ``lm_score`` (a
+    perplexity filter must never silently drop data it could not
+    judge; length-based policies belong to ``quality_floor_filter``).
+    """
     uni, bi, vocab = train_bigram_lm(ref)
     scores = score_documents(docs, uni, bi, vocab)
     thr = scores.agg(
         F.expr(f"percentile(lm_score, {keep_quantile})").alias("thr")
     )
-    return (
-        scores.crossJoin(F.broadcast(thr))
-        .filter(F.col("lm_score") <= F.col("thr"))
-        .select("doc_id", "n_transitions", "lm_score")
+    all_docs = docs.select("doc_id")
+    joined = all_docs.join(scores, "doc_id", "left").crossJoin(
+        F.broadcast(thr)
+    )
+    return joined.filter(
+        F.col("lm_score").isNull() | (F.col("lm_score") <= F.col("thr"))
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_transitions"), F.lit(0)).cast("bigint").alias(
+            "n_transitions"
+        ),
+        "lm_score",
     )

@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_join_type(how: str, op: str) -> None:
+    """Reject join types whose unmatched SMALL-side rows would reach
+    the output once per salt replica (right/full family); accept every
+    Spark alias of the safe types (inner/left/semi/anti), since
+    ``DataFrame.join`` itself treats e.g. ``leftsemi`` and
+    ``left_semi`` as the same join."""
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                    "leftanti", "anti"):
+        raise ValueError(f"{op} does not support how={how!r}")
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -31,11 +43,7 @@ def salted_join(
     Columns of both inputs are preserved (the duplicate key column from
     the small side is dropped).
     """
-    if how not in ("inner", "left", "left_semi", "left_anti"):
-        # right/full would surface unmatched SMALL-side rows once per
-        # salt replica — replication is only transparent when the small
-        # side's unmatched rows never reach the output
-        raise ValueError(f"salted_join does not support how={how!r}")
+    _check_join_type(how, "salted_join")
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
     )
@@ -78,11 +86,7 @@ def salted_join_targeted(
     under retries, and output equals the plain join for ANY hot list
     (property-tested) — the list only moves rows between reducers.
     """
-    if how not in ("inner", "left", "left_semi", "left_anti"):
-        # right/full would surface unmatched SMALL-side hot rows once
-        # per salt replica — replication is only transparent when the
-        # small side's unmatched rows never reach the output
-        raise ValueError(f"salted_join_targeted does not support how={how!r}")
+    _check_join_type(how, "salted_join_targeted")
     hot_keys_df = F.broadcast(
         hot.select(F.col(hot.columns[0]).alias(key)).distinct()
     )

@@ -27,7 +27,6 @@ the flooded batch trips the report.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from cdc_cascade_spark.llm.drift import corpus_drift
 
@@ -38,8 +37,16 @@ def start_drift_monitor(
     out_dir: str,
     checkpoint_dir: str,
 ):
-    """Append one (batch_id, metric, value) row per drift metric per
-    micro-batch to ``out_dir``. Returns the StreamingQuery."""
+    """Write one (batch_id, metric, value) row per drift metric per
+    micro-batch to ``out_dir/batch_id=N``. Returns the StreamingQuery.
+
+    foreachBatch is at-least-once, so the write must be replay-
+    idempotent: each batch OVERWRITES its own ``batch_id=N`` partition
+    (the same idiom as the dead-letter quarantine in
+    ``streaming/pipeline.py``) — a batch replayed after a crash between
+    write and checkpoint commit replaces its rows instead of
+    duplicating them, and consumers aggregating the monitoring table
+    never double-count."""
     ref = ref_docs.localCheckpoint(eager=True)
 
     def _report(batch_df: DataFrame, batch_id: int) -> None:
@@ -47,9 +54,8 @@ def start_drift_monitor(
             return
         (
             corpus_drift(ref, batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     return (

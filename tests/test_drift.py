@@ -148,3 +148,35 @@ def test_streaming_drift_monitor_flags_flooded_batch(spark, tmp_path):
     assert set(flagged) == set(want)
     for k in want:
         assert abs(flagged[k] - want[k]) < 1e-9, k
+
+
+def test_drift_identity_holds_with_null_lang(spark):
+    """NULL lang labels fold into one bucket: a slice compared against
+    itself must still report zero everywhere (full joins never match
+    NULL keys — the fold must happen before grouping)."""
+    docs = spark.createDataFrame(
+        [(1, None, "alpha beta gamma"), (2, "en", "beta gamma delta")],
+        "doc_id long, lang string, text string",
+    )
+    rep = _report(corpus_drift(docs, docs))
+    for metric, value in rep.items():
+        assert abs(value) < 1e-12, (metric, value)
+
+
+def test_drift_empty_reference_trips_not_nulls(spark):
+    """'Source went dark' must trip the report, not NULL it out: an
+    empty side contributes zero mass, giving JS = 0.5 and lang L1 = 1.0
+    — finite, far above same-distribution baselines — and 0.0 for the
+    guarded ratios. Two empty slices report zeros."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    empty = docs.filter("doc_id < 0")
+
+    rep = _report(corpus_drift(empty, docs))
+    assert abs(rep["vocab_js_divergence"] - 0.5) < 1e-9
+    assert abs(rep["lang_mix_l1"] - 1.0) < 1e-12
+    for m, v in rep.items():
+        assert v is not None and not math.isnan(v), (m, v)
+
+    rep0 = _report(corpus_drift(empty, empty))
+    for m, v in rep0.items():
+        assert v == 0.0, (m, v)

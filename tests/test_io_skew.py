@@ -196,3 +196,18 @@ def test_targeted_salted_join_rejects_right_joins(spark):
     hot = cust.select(F.col("c_custkey").alias("key")).limit(1)
     with _pytest.raises(ValueError):
         salted_join_targeted(orders, cust, "c_custkey", hot, how="full")
+
+
+def test_salted_joins_accept_spark_aliases(spark):
+    """Spark treats 'leftsemi'/'left_semi'/'semi' as the same join —
+    the guard must accept every safe alias and reject the right/full
+    family in any spelling."""
+    from cdc_cascade_spark.operators.skew import _check_join_type
+
+    for ok in ("inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        _check_join_type(ok, "salted_join")  # must not raise
+    for bad in ("right", "rightouter", "right_outer", "full",
+                "fullouter", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError):
+            _check_join_type(bad, "salted_join")

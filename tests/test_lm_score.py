@@ -123,3 +123,44 @@ def test_single_token_docs_score_null_not_fake(spark):
     rows = score_documents(one, uni, bi, vocab).collect()
     # no transitions -> the doc contributes no rows at all (absent, not fake)
     assert rows == []
+
+
+def test_filter_keeps_unscoreable_docs(spark):
+    """Docs the LM cannot judge (≤1 token → no transitions) must pass
+    through the filter with NULL score, not be silently dropped."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "word"), (3, "")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id: (r.n_transitions, r.lm_score)
+            for r in lm_quality_filter(docs, ref, keep_quantile=1.0).collect()}
+    assert set(kept) == {1, 2, 3}
+    assert kept[2] == (0, None)
+    assert kept[3] == (0, None)
+    assert kept[1][0] == 2 and kept[1][1] is not None
+
+
+def test_whitespace_formatting_does_not_change_scores(spark):
+    """Leading/trailing whitespace is formatting, not content: it must
+    not alter the trained vocabulary or any document's score."""
+    ref_clean = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    ref_padded = spark.createDataFrame(
+        [(1, "  the cat sat "), (2, " the cat ran  ")], "doc_id long, text string"
+    )
+    u1, b1, v1 = train_bigram_lm(ref_clean)
+    u2, b2, v2 = train_bigram_lm(ref_padded)
+    assert v1 == v2
+    assert {tuple(r) for r in u1.collect()} == {tuple(r) for r in u2.collect()}
+
+    probe = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "   the cat sat  ")], "doc_id long, text string"
+    )
+    s = {r.doc_id: (r.n_transitions, r.lm_score)
+         for r in score_documents(probe, u1, b1, v1).collect()}
+    assert s[10] == s[11]
