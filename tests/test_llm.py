@@ -1576,3 +1576,48 @@ def test_bpe_queries_survive_pretoken_less_documents(spark, tmp_path):
     want_merges = [tuple(r) for r in bpe_train_k_merges(spark, SF).collect()]
     got_merges = [tuple(r) for r in bpe_train_k_merges(spark, aug_dir).collect()]
     assert got_merges == want_merges
+
+
+def test_embedding_dedup_banding_dial_monotone():
+    """The OR-of-ANDs banding law on the real embeddings: for a fixed
+    16 sign bits, splitting into more (shorter) bands must monotonically
+    raise BOTH candidate-set size and recall of the τ-similar pairs —
+    the dial a deployment turns to trade scan for recall. Pure numpy
+    over the same hyperplanes the operator uses."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cdc_cascade_spark.llm.similarity import (
+        DEDUP_COSINE_THRESHOLD,
+        _planes_matrix,
+    )
+
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    M = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    n = len(M)
+    planes = _planes_matrix(16)
+    bits = (M @ planes.T) > 0
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    iu = np.triu_indices(n, k=1)
+    above = cos[iu] >= DEDUP_COSINE_THRESHOLD
+    assert above.sum() > 0
+
+    results = []
+    for n_bands, band_planes in ((2, 8), (4, 4), (8, 2)):
+        w = 2 ** np.arange(band_planes)
+        bv = np.stack(
+            [
+                bits[:, b * band_planes : (b + 1) * band_planes] @ w
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        shares = (bv[:, None, :] == bv[None, :, :]).any(axis=2)[iu]
+        results.append(
+            (int(shares.sum()), float((shares & above).sum() / above.sum()))
+        )
+    (c2, r2), (c4, r4), (c8, r8) = results
+    assert c2 < c4 < c8, results
+    assert r2 <= r4 <= r8, results
+    assert r8 > r4, results  # the top of the dial must actually move
