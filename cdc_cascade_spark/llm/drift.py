@@ -32,11 +32,20 @@ two distribution frames then full-outer join on token — a
 top_n-bounded frame — and every scalar metric is a single-row
 aggregate. Nothing is ever corpus × corpus.
 
-Oracle-gate exclusion: drift takes TWO arbitrary caller-supplied
-frames, not the fixed catalog tables the driver's single-statement
-oracle contract covers; correctness is pinned by identity
-(drift(X, X) = 0), disjointness (maximal divergence on disjoint
-slices), and determinism tests instead.
+Oracle-gate exclusion (``corpus_drift`` itself): drift takes TWO
+arbitrary caller-supplied frames, not the fixed catalog tables the
+driver's single-statement oracle contract covers, and JS divergence
+needs ``log2`` — a libm call with no cross-engine bit-determinism
+guarantee. Correctness is pinned by identity (drift(X, X) = 0),
+disjointness (maximal divergence on disjoint slices), and determinism
+tests instead.
+
+``corpus_drift_report`` IS oracle-registered: it fixes the two slices
+deterministically on the catalog ``documents`` table (even/odd
+``doc_id``) and replaces JS with L1 vocabulary distance so every
+metric is an exact-integer numerator over an exact-integer denominator
+with ONE final IEEE division — bit-identical in both engines (the
+``bigram_lift`` log-free convention).
 """
 
 from __future__ import annotations
@@ -212,3 +221,300 @@ def corpus_drift(
         )
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# Oracle-registered fixed-slice drift report
+# ---------------------------------------------------------------------------
+
+# Small top-N for the registered report so the OOV fold path is
+# actually exercised at every SF (the synthetic vocabulary is ~50
+# types; 2000 would leave the OOV bucket empty).
+REPORT_TOP_N = 20
+
+# The report's slices are fixed on the catalog table: even doc_id is
+# the reference slice, odd the current one.
+_REF_PRED = "doc_id % 2 = 0"
+_CUR_PRED = "doc_id % 2 = 1"
+
+
+def _l1_value(num, t_ref, t_cur):
+    """|Σ num| / (t_ref·t_cur) with one IEEE division; 0.0 when either
+    side is empty. ``num`` must already be an exact (decimal) sum."""
+    return F.when(
+        (t_ref > 0) & (t_cur > 0),
+        num.cast("double") / (t_ref.cast("double") * t_cur.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+
+def corpus_drift_report(spark, sf_dir: str):
+    """Fixed-slice drift report over ``documents`` (even vs odd
+    ``doc_id``): four ``(metric, value)`` rows —
+
+    - ``vocab_l1_distance``: L1 distance between the two unigram
+      distributions over top-``REPORT_TOP_N`` ∪ OOV-fold, in [0, 2].
+    - ``lang_mix_l1``: L1 distance between language share vectors.
+    - ``mean_tokens_rel_shift``: |mean_cur − mean_ref| / mean_ref of
+      per-document token counts.
+    - ``ttr_shift``: |TTR_cur − TTR_ref| (corpus-level type-token
+      ratios).
+
+    Every metric is Σ|a·d − c·b| — an exact integer (decimal(38,0))
+    numerator — divided ONCE by an exact-product denominator, so both
+    engines agree bit-for-bit (no log, no float accumulation; the
+    ``bigram_lift`` convention). Scale shape is corpus_drift's: two
+    explode→partial-count passes, top-N as TakeOrderedAndProject,
+    every join bounded by 2·top_n+1 (vocab) or lang-cardinality rows.
+    """
+    from cdc_cascade_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ref = docs.filter(F.expr(_REF_PRED))
+    cur = docs.filter(F.expr(_CUR_PRED))
+
+    dec = "decimal(38,0)"
+
+    # --- vocab L1 over top-N ∪ top-N (+ OOV fold) ---
+    ref_counts = _unigram_counts(ref).localCheckpoint(eager=False)
+    cur_counts = _unigram_counts(cur).localCheckpoint(eager=False)
+    vocab = (
+        ref_counts.orderBy(F.desc("n"), F.asc("token")).limit(REPORT_TOP_N)
+        .select("token")
+        .unionByName(
+            cur_counts.orderBy(F.desc("n"), F.asc("token")).limit(REPORT_TOP_N)
+            .select("token")
+        )
+        .distinct()
+    )
+
+    def fold(counts, out: str):
+        return (
+            counts.join(
+                F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+            )
+            .select(
+                F.when(F.col("__in").isNotNull(), F.col("token"))
+                .otherwise(F.lit(_OOV))
+                .alias("token"),
+                "n",
+            )
+            .groupBy("token")
+            .agg(F.sum("n").alias(out))
+        )
+
+    joint = (
+        fold(ref_counts, "n_ref")
+        .join(fold(cur_counts, "n_cur"), "token", "full")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    tot = joint.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    vterm = F.abs(
+        F.col("n_ref").cast(dec) * F.col("t_cur")
+        - F.col("n_cur").cast(dec) * F.col("t_ref")
+    )
+    vrow = joint.crossJoin(F.broadcast(tot)).agg(
+        F.sum(vterm).alias("num"),
+        F.max("t_ref").alias("t_ref"),
+        F.max("t_cur").alias("t_cur"),
+    )
+    vocab_l1 = vrow.select(
+        _l1_value(F.col("num"), F.col("t_ref"), F.col("t_cur")).alias("value")
+    )
+
+    # --- language-mix L1 (NULL lang folded pre-group) ---
+    def lang_counts(d, out: str):
+        return (
+            d.select(F.coalesce(F.col("lang"), F.lit(_NULL_LANG)).alias("lang"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ljoint = (
+        lang_counts(ref, "n_ref")
+        .join(lang_counts(cur, "n_cur"), "lang", "full")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    ltot = ljoint.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    lterm = F.abs(
+        F.col("n_ref").cast(dec) * F.col("t_cur")
+        - F.col("n_cur").cast(dec) * F.col("t_ref")
+    )
+    lrow = ljoint.crossJoin(F.broadcast(ltot)).agg(
+        F.sum(lterm).alias("num"),
+        F.max("t_ref").alias("t_ref"),
+        F.max("t_cur").alias("t_cur"),
+    )
+    lang_l1 = lrow.select(
+        _l1_value(F.col("num"), F.col("t_ref"), F.col("t_cur")).alias("value")
+    )
+
+    # --- length + diversity shifts ---
+    stats = (
+        _doc_stats(ref)
+        .crossJoin(F.broadcast(_doc_stats(cur)).toDF("n2", "st2", "sd2"))
+    )
+    mean_num = F.abs(
+        F.col("st2").cast(dec) * F.col("n_docs")
+        - F.col("sum_toks").cast(dec) * F.col("n2")
+    )
+    mean_shift = F.when(
+        (F.col("n2") > 0) & (F.col("sum_toks") > 0),
+        mean_num.cast("double")
+        / (F.col("n2").cast("double") * F.col("sum_toks").cast("double")),
+    ).otherwise(F.lit(0.0))
+    ttr_num = F.abs(
+        F.col("sd2").cast(dec) * F.col("sum_toks")
+        - F.col("sum_dist").cast(dec) * F.col("st2")
+    )
+    ttr_shift = F.when(
+        (F.col("sum_toks") > 0) & (F.col("st2") > 0),
+        ttr_num.cast("double")
+        / (F.col("sum_toks").cast("double") * F.col("st2").cast("double")),
+    ).otherwise(F.lit(0.0))
+    shifts = stats.select(
+        mean_shift.alias("len_shift"), ttr_shift.alias("ttr_shift")
+    )
+
+    return (
+        vocab_l1.select(
+            F.lit("vocab_l1_distance").alias("metric"), F.col("value")
+        )
+        .unionByName(
+            lang_l1.select(F.lit("lang_mix_l1").alias("metric"), F.col("value"))
+        )
+        .unionByName(
+            shifts.select(
+                F.lit("mean_tokens_rel_shift").alias("metric"),
+                F.col("len_shift").alias("value"),
+            )
+        )
+        .unionByName(
+            shifts.select(
+                F.lit("ttr_shift").alias("metric"),
+                F.col("ttr_shift").alias("value"),
+            )
+        )
+    )
+
+
+def _drift_report_oracle_sql() -> str:
+    from cdc_cascade_spark.llm.prep import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(x="text")
+    # Sentinels only need to be collision-free WITHIN each engine (the
+    # report's output is scalar metrics; bucket labels never leave the
+    # statement), so the SQL side uses chr(1)-prefixed names instead of
+    # embedding NUL bytes in the statement text.
+    oov = "chr(1) || 'OOV'"
+    nolang = "chr(1) || 'nolang'"
+    top_n = REPORT_TOP_N
+    return f"""
+WITH ref AS (SELECT doc_id, lang, text FROM documents WHERE {_REF_PRED}),
+cur AS (SELECT doc_id, lang, text FROM documents WHERE {_CUR_PRED}),
+ref_counts AS (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest({toks}) AS t FROM ref) WHERE t <> '' GROUP BY t
+),
+cur_counts AS (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest({toks}) AS t FROM cur) WHERE t <> '' GROUP BY t
+),
+vocab AS (
+  SELECT DISTINCT token FROM (
+    (SELECT token FROM ref_counts ORDER BY n DESC, token LIMIT {top_n})
+    UNION ALL
+    (SELECT token FROM cur_counts ORDER BY n DESC, token LIMIT {top_n})
+  )
+),
+fold_ref AS (
+  SELECT CASE WHEN v.token IS NOT NULL THEN c.token ELSE {oov} END AS token,
+         SUM(n) AS n_ref
+  FROM ref_counts c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1
+),
+fold_cur AS (
+  SELECT CASE WHEN v.token IS NOT NULL THEN c.token ELSE {oov} END AS token,
+         SUM(n) AS n_cur
+  FROM cur_counts c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1
+),
+joint AS (
+  SELECT COALESCE(r.n_ref, 0) AS n_ref, COALESCE(u.n_cur, 0) AS n_cur
+  FROM fold_ref r FULL JOIN fold_cur u ON r.token = u.token
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM joint),
+vrow AS (
+  SELECT SUM(ABS(n_ref * t_cur - n_cur * t_ref)) AS num,
+         MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+  FROM joint, tot
+),
+lref AS (
+  SELECT COALESCE(lang, {nolang}) AS lang, COUNT(*) AS n_ref
+  FROM ref GROUP BY 1
+),
+lcur AS (
+  SELECT COALESCE(lang, {nolang}) AS lang, COUNT(*) AS n_cur
+  FROM cur GROUP BY 1
+),
+ljoint AS (
+  SELECT COALESCE(r.n_ref, 0) AS n_ref, COALESCE(u.n_cur, 0) AS n_cur
+  FROM lref r FULL JOIN lcur u ON r.lang = u.lang
+),
+ltot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM ljoint),
+lrow AS (
+  SELECT SUM(ABS(n_ref * t_cur - n_cur * t_ref)) AS num,
+         MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+  FROM ljoint, ltot
+),
+sref AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_toks) AS sum_toks, SUM(n_dist) AS sum_dist
+  FROM (SELECT CAST(len({toks}) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct({toks})) AS BIGINT) AS n_dist
+        FROM ref)
+),
+scur AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_toks) AS sum_toks, SUM(n_dist) AS sum_dist
+  FROM (SELECT CAST(len({toks}) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct({toks})) AS BIGINT) AS n_dist
+        FROM cur)
+)
+SELECT 'vocab_l1_distance' AS metric,
+       CASE WHEN t_ref > 0 AND t_cur > 0
+            THEN CAST(num AS DOUBLE)
+                 / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE))
+            ELSE 0.0 END AS value
+FROM vrow
+UNION ALL
+SELECT 'lang_mix_l1',
+       CASE WHEN t_ref > 0 AND t_cur > 0
+            THEN CAST(num AS DOUBLE)
+                 / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE))
+            ELSE 0.0 END
+FROM lrow
+UNION ALL
+SELECT 'mean_tokens_rel_shift',
+       CASE WHEN c.n_docs > 0 AND r.sum_toks > 0
+            THEN CAST(ABS(c.sum_toks * r.n_docs - r.sum_toks * c.n_docs)
+                      AS DOUBLE)
+                 / (CAST(c.n_docs AS DOUBLE) * CAST(r.sum_toks AS DOUBLE))
+            ELSE 0.0 END
+FROM sref r, scur c
+UNION ALL
+SELECT 'ttr_shift',
+       CASE WHEN r.sum_toks > 0 AND c.sum_toks > 0
+            THEN CAST(ABS(c.sum_dist * r.sum_toks - r.sum_dist * c.sum_toks)
+                      AS DOUBLE)
+                 / (CAST(r.sum_toks AS DOUBLE) * CAST(c.sum_toks AS DOUBLE))
+            ELSE 0.0 END
+FROM sref r, scur c
+"""
+
+
+ORACLE_DRIFT_REPORT = _drift_report_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_drift_report": (corpus_drift_report, ORACLE_DRIFT_REPORT),
+}

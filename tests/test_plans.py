@@ -162,6 +162,9 @@ def test_plan_lint_all_registered_queries(spark):
         "knn_join_topk": {"bnlj"},
         # 1-row total-token-count frame broadcast into the lift formula
         "bigram_lift": {"bnlj"},
+        # 1-row totals / per-side stats frames broadcast into each
+        # metric's single division (the bigram_lift shape, x3)
+        "corpus_drift_report": {"bnlj"},
         # 1-row global (min,max) bounds frame broadcast into the dense
         # spine generator
         "events_gap_fill": {"bnlj"},
