@@ -323,17 +323,38 @@ def corpus_drift_report(spark, sf_dir: str):
         _l1_value(F.col("num"), F.col("t_ref"), F.col("t_cur")).alias("value")
     )
 
-    # --- language-mix L1 (NULL lang folded pre-group) ---
-    def lang_counts(d, out: str):
+    # --- per-side (lang, n, sum_toks, sum_dist) in ONE corpus pass:
+    # the lang-mix metric reads the counts, the length/TTR metrics
+    # re-reduce the same tiny frame (integer sums are associative, so
+    # regrouping cannot change any metric value vs the oracle's
+    # separate global aggregates). Lazy localCheckpoint snapshots the
+    # lang-cardinality frame so both consumers share the scan.
+    def side_stats(d):
+        toks = tokens(F.col("text"))
         return (
-            d.select(F.coalesce(F.col("lang"), F.lit(_NULL_LANG)).alias("lang"))
+            d.select(
+                F.coalesce(F.col("lang"), F.lit(_NULL_LANG)).alias("lang"),
+                F.size(toks).cast("bigint").alias("n_toks"),
+                F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
+            )
             .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias(out))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_toks").alias("st"),
+                F.sum("n_dist").alias("sd"),
+            )
+            .localCheckpoint(eager=False)
         )
 
+    ref_stats = side_stats(ref)
+    cur_stats = side_stats(cur)
+
+    def lang_counts(s, out: str):
+        return s.select("lang", F.col("n").alias(out))
+
     ljoint = (
-        lang_counts(ref, "n_ref")
-        .join(lang_counts(cur, "n_cur"), "lang", "full")
+        lang_counts(ref_stats, "n_ref")
+        .join(lang_counts(cur_stats, "n_cur"), "lang", "full")
         .na.fill(0, ["n_ref", "n_cur"])
     )
     ltot = ljoint.agg(
@@ -352,10 +373,17 @@ def corpus_drift_report(spark, sf_dir: str):
         _l1_value(F.col("num"), F.col("t_ref"), F.col("t_cur")).alias("value")
     )
 
-    # --- length + diversity shifts ---
+    # --- length + diversity shifts (re-reduced from the side frames) ---
+    def global_stats(s):
+        return s.agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("st").alias("sum_toks"),
+            F.sum("sd").alias("sum_dist"),
+        )
+
     stats = (
-        _doc_stats(ref)
-        .crossJoin(F.broadcast(_doc_stats(cur)).toDF("n2", "st2", "sd2"))
+        global_stats(ref_stats)
+        .crossJoin(F.broadcast(global_stats(cur_stats)).toDF("n2", "st2", "sd2"))
     )
     mean_num = F.abs(
         F.col("st2").cast(dec) * F.col("n_docs")

@@ -45,11 +45,11 @@ STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
 MIN_STOPWORDS = 2
 
 
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document rule flags + composite keep: (doc_id, n_words,
-    sum_word_len, rule_word_count, rule_mean_word_len,
-    rule_symbol_ratio, rule_alpha_words, rule_stopwords, keep)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def quality_rule_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level rule evaluation over any (doc_id, text) frame —
+    the registered query below and the streaming admission gate
+    (streaming/enrich.py) both call this, so the two surfaces cannot
+    drift. Returns (doc_id, n_words, sum_word_len, rule_*, keep)."""
     toks = F.filter(tokens(F.col("text")), lambda t: t != "")
     d = docs.select(
         "doc_id",
@@ -96,6 +96,15 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rule_stopwords")
         ).alias("keep"),
     )
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rule flags + composite keep over the catalog
+    ``documents`` table: (doc_id, n_words, sum_word_len,
+    rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+    rule_alpha_words, rule_stopwords, keep)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_rule_flags(docs)
 
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"

@@ -202,3 +202,49 @@ def start_admission_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def curate_batch(
+    incoming: DataFrame,
+    static_docs: DataFrame,
+    static_index: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-semantics curation screen: quality rule gate THEN near-dup
+    screen — the streaming face of ``curate_corpus``'s first two
+    stages, built from the SAME rule evaluator
+    (llm/quality_rules.py::quality_rule_flags) and the same band index
+    as the batch pipeline, so stream and batch admission can never
+    drift.
+
+    Rule gate first: it is a map-only projection, so every document it
+    drops never reaches the (comparatively expensive) near-dup band
+    join — the cheap-filter-first ordering curate_corpus uses.
+    """
+    from cdc_cascade_spark.llm.quality_rules import quality_rule_flags
+
+    kept_ids = quality_rule_flags(incoming).filter(F.col("keep")).select("doc_id")
+    passed = incoming.join(kept_ids, "doc_id", "left_semi")
+    return admit_new_docs(passed, static_docs, static_index)
+
+
+def start_curation_admission_stream(
+    stream_docs: DataFrame,
+    static_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Quality-gated near-dup admission for a document stream: each
+    micro-batch is rule-gated and screened against the static corpus
+    index, admitted docs append to parquet. Same foreachBatch /
+    persisted-index shape as ``start_admission_stream``."""
+    index = build_static_index(static_docs)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = curate_batch(batch_df, static_docs, index)
+        admitted.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

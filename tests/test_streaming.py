@@ -809,3 +809,40 @@ def test_hot_keys_matches_batch_and_actually_filters(spark, tmp_path):
     assert got == want
     assert got, "expected at least one hot key in the testdata"
     assert len(got) < len(all_counts) / 2, "threshold must prune most keys"
+
+
+def test_curation_admission_stream_gates_quality_then_near_dups(spark, tmp_path):
+    """Quality-gated admission must equal the batch composition
+    (rule gate → near-dup screen) across micro-batches, and each gate
+    must actually reject something in the fixture."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.quality_rules import quality_rule_flags
+    from cdc_cascade_spark.streaming.enrich import (
+        curate_batch,
+        start_curation_admission_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    static = docs  # self-screen: corpus near-dups rejected
+    expected = {r.doc_id for r in curate_batch(docs, static).collect()}
+    n_rule_pass = quality_rule_flags(docs).filter("keep").count()
+    assert 0 < n_rule_pass < docs.count()  # quality gate is live
+    assert 0 < len(expected) < n_rule_pass  # near-dup gate is live too
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    other.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "admitted")
+    q = start_curation_admission_stream(stream, static, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == expected
