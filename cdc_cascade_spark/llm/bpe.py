@@ -84,19 +84,32 @@ def _adjacent_pairs(stream_col) -> "F.Column":
     )
 
 
-def bpe_train_k_merges(
-    spark: SparkSession, sf_dir: str, k: int = BPE_K
-) -> DataFrame:
-    """Learn the first ``k`` BPE merges; output the merge table
-    ``(merge_rank, pair, n_occurrences)`` — rank 1 is the first merge
-    learned, ``n_occurrences`` its frequency at the time it was chosen
-    (over the stream with all prior merges applied).
-    """
-    docs = load_table(spark, sf_dir, "documents").select("text")
+# Trained state shared per (applicationId, sf_dir, k): the merge table
+# AND the fully-merged per-doc stream frame, so the trainer query and
+# the corpus-encode query pay the K-round loop once per session (the
+# doc_fingerprint/shingle-relation sharing pattern). Bounded like
+# BoundedDFCache; evicted streams are localCheckpoint RDDs the JVM
+# GC reclaims once unreferenced.
+_TRAIN_CACHE: dict[tuple, tuple[list, DataFrame]] = {}
+_TRAIN_CACHE_MAX = 4
+
+
+def _trained(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Run (or fetch) the K-round training loop; returns the merge list
+    and the final (doc_id, n_pretokens, stream) frame with every merge
+    applied, checkpointed."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pre = _bpe_pretokens(F.col("text"))
-    stream = docs.select(_bpe_encode_stream(pre).alias("stream")).localCheckpoint(
-        eager=True
-    )
+    stream = docs.select(
+        "doc_id",
+        F.size(pre).cast("bigint").alias("n_pretokens"),
+        _bpe_encode_stream(pre).alias("stream"),
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, int]] = []
     pending = 0
     for rank in range(1, k + 1):
@@ -115,14 +128,60 @@ def bpe_train_k_merges(
         a, b = row.pair.split(" ", 1)
         merges.append((rank, row.pair, row.n_occurrences))
         stream = stream.select(
-            _bpe_merge_stream(F.col("stream"), a, b).alias("stream")
+            "doc_id",
+            "n_pretokens",
+            _bpe_merge_stream(F.col("stream"), a, b).alias("stream"),
         )
         pending += 1
         if pending >= BPE_CHECKPOINT_EVERY:
             stream = stream.localCheckpoint(eager=True)
             pending = 0
+    if pending:
+        stream = stream.localCheckpoint(eager=True)
+    while len(_TRAIN_CACHE) >= _TRAIN_CACHE_MAX:
+        _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))
+    _TRAIN_CACHE[key] = (merges, stream)
+    return merges, stream
+
+
+def bpe_train_k_merges(
+    spark: SparkSession, sf_dir: str, k: int = BPE_K
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; output the merge table
+    ``(merge_rank, pair, n_occurrences)`` — rank 1 is the first merge
+    learned, ``n_occurrences`` its frequency at the time it was chosen
+    (over the stream with all prior merges applied).
+    """
+    merges, _stream = _trained(spark, sf_dir, k)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, n_occurrences bigint"
+    )
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str, k: int = BPE_K) -> DataFrame:
+    """Tokenize the corpus with the trained merges — the apply face of
+    the trainer, and the operator a 100 TB pipeline actually runs per
+    ingest once the vocabulary is frozen: (doc_id, n_pretokens,
+    n_tokens, encoded_prefix), where ``n_tokens`` counts the stream
+    after all K merges and ``encoded_prefix`` pins the first 8 tokens'
+    actual content.
+
+    Rides the session-cached trained state (one training loop per
+    (session, sf_dir, k) feeds BOTH this and ``bpe_train_k_merges``);
+    the apply itself is map-only chained ``replace`` — no shuffle.
+
+    Registration note: built in r7 after the driver window was
+    committed; oracle ships now, registry entry lands in r8 (the
+    segdedup/sources pattern). tests/test_llm_bpe_encode.py carries
+    the claim meanwhile.
+    """
+    _merges, stream = _trained(spark, sf_dir, k)
+    toks = _bpe_decode_tokens(F.col("stream"))
+    return stream.select(
+        "doc_id",
+        "n_pretokens",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("encoded_prefix"),
     )
 
 
@@ -135,14 +194,14 @@ def _oracle_train_sql(k: int = BPE_K) -> str:
 WITH pre AS (
   SELECT regexp_extract_all(replace(text, chr(31), ''), '{BPE_PATTERN}') AS p
   FROM documents
-), s1 AS (
+), s1 AS MATERIALIZED (
   SELECT {_BPE_ENCODE_SQL.format(p='p')} AS stream FROM pre
 )"""
     ]
     for i in range(1, k + 1):
         parts.append(
             f"""
-, pairs{i} AS (
+, pairs{i} AS MATERIALIZED (
   SELECT unnest(list_transform(range(1, len(m)), j -> m[j] || ' ' || m[j+1])) AS pair
   FROM (SELECT {_BPE_DECODE_SQL.format(s='stream')} AS m FROM s{i})
 ), top{i} AS (
@@ -157,7 +216,7 @@ WITH pre AS (
             )
             parts.append(
                 f"""
-, s{i + 1} AS (
+, s{i + 1} AS MATERIALIZED (
   SELECT {merge_expr} AS stream
   FROM s{i}
 )"""
@@ -179,6 +238,64 @@ ORDER BY merge_rank
 ORACLE_BPE_TRAIN = _oracle_train_sql()
 
 
+def _oracle_encode_sql(k: int = BPE_K) -> str:
+    """Encode oracle: the train oracle's staged unroll, carrying
+    (doc_id, n_pretokens) through every stage and applying ALL K
+    merges. Each merge is guarded on its top-pair existing so an
+    exhausted corpus (fewer than K learnable merges) degrades exactly
+    like the Spark loop's early break instead of NULLing the stream."""
+    parts = [
+        f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_extract_all(replace(text, chr(31), ''), '{BPE_PATTERN}') AS p
+  FROM documents
+), s1 AS MATERIALIZED (
+  SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pretokens,
+         {_BPE_ENCODE_SQL.format(p='p')} AS stream
+  FROM pre
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+, pairs{i} AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(m)), j -> m[j] || ' ' || m[j+1])) AS pair
+  FROM (SELECT {_BPE_DECODE_SQL.format(s='stream')} AS m FROM s{i})
+), top{i} AS (
+  SELECT pair FROM pairs{i} WHERE pair <> ''
+  GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+)"""
+        )
+        merge_expr = _BPE_MERGE_SQL.format(
+            s="stream", pair=f"(SELECT pair FROM top{i})"
+        )
+        parts.append(
+            f"""
+, s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, n_pretokens,
+         CASE WHEN (SELECT COUNT(*) FROM top{i}) = 0
+              THEN stream ELSE {merge_expr} END AS stream
+  FROM s{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, n_pretokens,
+       CAST(len(m) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(m, 1, 8), ' ') AS encoded_prefix
+FROM (SELECT doc_id, n_pretokens, {_BPE_DECODE_SQL.format(s='stream')} AS m
+      FROM s{k + 1})
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_BPE_ENCODE = _oracle_encode_sql()
+
+
+# bpe_encode_corpus enters this dict (and the driver window) in r8 —
+# see its docstring's registration note.
 QUERIES: dict[str, tuple] = {
     "bpe_train_k_merges": (bpe_train_k_merges, ORACLE_BPE_TRAIN),
 }
