@@ -1,0 +1,156 @@
+"""Count-min sketch: bounded-memory frequency estimation + verified
+heavy hitters.
+
+Sketch-family extension (SURVEY.md §2; joins KMV in
+``operators/sketches.py``): the count-min sketch (Cormode &
+Muthukrishnan 2005) estimates any item's frequency with a fixed
+``d × w`` counter grid — ``est(x) = min_i grid[i][h_i(x) % w]`` —
+overestimating only (collisions add, never subtract). It is the
+standard bounded-state frequency monitor for streams and for
+map-side pre-aggregation when the true key cardinality is unbounded.
+
+The registered query builds the grid over the document token stream,
+reports every candidate token whose CMS estimate clears a support
+threshold, and joins the exact count next to it — the
+estimate-vs-exact audit shape of ``minhash_jaccard_estimate``:
+CMS guarantees est ≥ exact, so candidates are a superset of the true
+heavy hitters and the join exposes the overestimate of each.
+
+Determinism contract: the row hashes are the md5-based ``token_hash``
+with fixed odd multipliers (exact int64 arithmetic, products bounded
+by reducing mod P first — the MinHash discipline), counts are exact
+integers, and the candidate cut is an integer threshold — bit-equal
+in both engines.
+
+Scale shape (100 TB): one explode over tokens → ONE shuffle on
+(row, bucket) — a key space of exactly ``d · w`` cells regardless of
+corpus size, partial-aggregated map-side, so reducer state is the
+fixed grid, not the vocabulary. The candidate probe then joins the
+(vocabulary-sized, Zipf-concentrated) distinct-token relation against
+the broadcast d·w-cell grid. Nothing is ever corpus-sized past the
+first partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.hashing import (
+    MINHASH_P,
+    token_hash,
+    token_hash_sql,
+)
+from cdc_cascade_spark.llm.prep import TOKENS_SQL, tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# Fixed odd multipliers per row (same style as the MinHash family).
+CMS_A = [1_000_003, 1_000_033, 1_000_037, 1_000_039]
+# Support floor for reported heavy hitters (CMS estimate ≥ floor).
+CMS_MIN_EST = 200
+
+
+def _bucket(col, row: int):
+    """Row ``row``'s bucket for a token-hash column (exact int64:
+    hash < P, multiplier < 2^20, product < 2^51)."""
+    return ((col % MINHASH_P) * CMS_A[row]) % CMS_WIDTH
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-estimated heavy-hitter tokens with their exact counts:
+    (token, cms_estimate, exact_count), estimate desc / token asc.
+
+    ``cms_estimate >= exact_count`` always (one-sided error); every
+    token with ``exact_count >= CMS_MIN_EST`` is guaranteed present.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .select("token", token_hash(F.col("token")).alias("th"))
+    )
+    # grid: one shuffle over a d*w-cell key space, map-side combined
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(F.col("th"), r).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).groupBy("c.row", "c.bucket").agg(F.count(F.lit(1)).alias("n"))
+    # candidate probe: distinct tokens (with exact counts — the audit
+    # column) against the broadcast grid; est = min over rows
+    vocab = toks.groupBy("token", "th").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probed = vocab
+    for r in range(CMS_DEPTH):
+        grid_r = cells.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("n").alias(f"n{r}")
+        )
+        probed = probed.withColumn(f"b{r}", _bucket(F.col("th"), r)).join(
+            F.broadcast(grid_r), f"b{r}"
+        )
+    est = F.least(*[F.col(f"n{r}") for r in range(CMS_DEPTH)])
+    return (
+        probed.select(
+            "token",
+            est.alias("cms_estimate"),
+            "exact_count",
+        )
+        .filter(F.col("cms_estimate") >= CMS_MIN_EST)
+        .orderBy(F.desc("cms_estimate"), F.asc("token"))
+    )
+
+
+def _cms_oracle_sql() -> str:
+    th = token_hash_sql("token")
+    buckets = {
+        r: f"((({th}) % {MINHASH_P}) * {CMS_A[r]}) % {CMS_WIDTH}"
+        for r in range(CMS_DEPTH)
+    }
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rw, {buckets[r]} AS bucket, cnt FROM vocab"
+        for r in range(CMS_DEPTH)
+    )
+    est = "LEAST(" + ", ".join(f"e{r}.n" for r in range(CMS_DEPTH)) + ")"
+    joins = "\n".join(
+        f"JOIN cells e{r} ON e{r}.rw = {r} AND e{r}.bucket = {buckets[r]}"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT t AS token FROM (
+    SELECT unnest({TOKENS_SQL.format(x='text')}) AS t FROM documents
+  ) WHERE t <> ''
+), vocab AS MATERIALIZED (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), cells AS MATERIALIZED (
+  SELECT rw, bucket, SUM(cnt) AS n FROM (
+{cell_selects}
+  ) GROUP BY rw, bucket
+)
+SELECT v.token,
+       CAST({est} AS BIGINT) AS cms_estimate,
+       CAST(v.cnt AS BIGINT) AS exact_count
+FROM vocab v
+{joins}
+WHERE {est} >= {CMS_MIN_EST}
+ORDER BY cms_estimate DESC, v.token ASC
+"""
+
+
+ORACLE_CMS_HEAVY_HITTERS = _cms_oracle_sql()
+
+
+# sketch_cms_heavy_hitters enters the registry (and the driver check
+# window) in r8 with the other r7-built surfaces.
+QUERIES: dict[str, tuple] = {
+    "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
+}
