@@ -234,3 +234,24 @@ def test_range_frame_window_boundaries(spark, tmp_path):
     assert got[3] == (300.0, 3)  # days 0..6 all inside 7-day frame
     assert got[4] == (200.0, 4)  # day 0 aged out of 7d, still in 30d
     assert got[5] == (100.0, 2)  # only day 7 within 29 preceding
+
+
+def test_gopher_rules_plan_is_map_only(spark):
+    """The quality gate's 100 TB claim: zero exchanges — a pure
+    projection the scan can stream through."""
+    from cdc_cascade_spark.llm.quality_rules import gopher_quality_rules
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(gopher_quality_rules(spark, SF))
+    assert plan.count("Exchange") == 0, plan[:2000]
+
+
+def test_q32_plan_partitions_by_custkey(spark):
+    """RANGE-frame windows must shuffle on the partition key, never
+    into a single partition."""
+    from cdc_cascade_spark.operators.window_frames import q32_range_frame_window
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q32_range_frame_window(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "o_custkey" in plan

@@ -103,3 +103,29 @@ def test_segment_dedup_keeps_first_occurrence_only(spark, tmp_path):
     assert got[7] == (2, 1, " ".join(f"u7x{i}" for i in range(K)))
     assert got[9] == (2, 1, " ".join(f"u9x{i}" for i in range(K)))
     assert got[11] == (1, 0, docs[3][1])
+
+
+def test_segment_dedup_partitioning_invariant_and_plan_sane(spark):
+    """The first-occurrence rule is a total order over (doc_id, pos),
+    so output must be identical under any input partitioning; and the
+    plan must contain no cartesian/nested-loop join."""
+    from cdc_cascade_spark.llm.segdedup import segment_dedup
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    base = {(r.doc_id, r.n_segments, r.n_dropped, r.cleaned_text)
+            for r in segment_dedup(spark, SF).collect()}
+
+    from cdc_cascade_spark.catalog import load_table
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # rewrite the corpus into a deliberately different layout
+        load_table(spark, SF, "documents").repartition(7).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "documents.parquet"))
+        rep = {(r.doc_id, r.n_segments, r.n_dropped, r.cleaned_text)
+               for r in segment_dedup(spark, d).collect()}
+    assert rep == base
+
+    plan = physical_plan(segment_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
