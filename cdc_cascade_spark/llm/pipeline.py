@@ -163,3 +163,146 @@ ORACLE_CURATE_CORPUS = _curate_corpus_oracle_sql()
 QUERIES: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
 }
+
+
+def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-accounting face of :func:`curate_corpus`: one row per
+    RAW corpus document with every stage's verdict —
+    (doc_id, lang, is_dup_loser, failed_quality, contaminated,
+    was_redacted, over_budget, kept).
+
+    ``curate_corpus`` answers "what do I train on"; this answers "why
+    is my document not in it" — the lineage/debugging query every
+    curation pipeline needs. Flag semantics mirror the composition
+    exactly: the first three verdicts are per-document stage decisions
+    on the full corpus; ``over_budget`` is only reachable by documents
+    that survived them (budget is computed over the survivors'
+    redacted text, as in curate_corpus — upstream drops never consume
+    stratum budget); ``kept`` matches curate_corpus's output set
+    row-for-row.
+
+    Scale shape: identical to curate_corpus (the stages ARE the same
+    operators, sharing its session-cached feature frames) plus
+    id-keyed left joins that replace the semi/anti filters with
+    booleans — same joins, same shuffle keys, flags instead of drops.
+
+    Registration note: built in r7 after the driver window was
+    committed; oracle ships now, registry entry lands in r8.
+    tests/test_pipeline_audit.py carries the claim meanwhile.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    reps = dedup_cluster_representatives(spark, sf_dir)
+    losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
+        "doc_id", F.lit(True).alias("_loser")
+    )
+    keep = quality_floor_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_kept_q")
+    )
+    contaminated = (
+        contamination_check(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_contam"))
+    )
+    red = pii_redaction(spark, sf_dir).select(
+        "doc_id",
+        F.col("redacted").alias("clean_text"),
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).alias(
+            "was_redacted"
+        ),
+    )
+    flags = (
+        docs.join(losers, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(red, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "clean_text",
+            F.coalesce(F.col("_loser"), F.lit(False)).alias("is_dup_loser"),
+            (~F.coalesce(F.col("_kept_q"), F.lit(False))).alias("failed_quality"),
+            F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
+            "was_redacted",
+        )
+    )
+    survivor = (
+        ~F.col("is_dup_loser") & ~F.col("failed_quality") & ~F.col("contaminated")
+    )
+    survivors = flags.filter(survivor).select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
+    admitted = budget_filter(survivors).select(
+        "doc_id", F.lit(True).alias("_adm")
+    )
+    return (
+        flags.join(admitted, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "is_dup_loser",
+            "failed_quality",
+            "contaminated",
+            "was_redacted",
+            (survivor & ~F.coalesce(F.col("_adm"), F.lit(False))).alias(
+                "over_budget"
+            ),
+            (survivor & F.coalesce(F.col("_adm"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
+def _curation_audit_oracle_sql() -> str:
+    """Composed mirror of :func:`curation_audit` — the curate_corpus
+    oracle's stage CTEs with left-join flags instead of filters."""
+    toks = TOKENS_SQL.format(x="text")
+    return f"""
+WITH reps AS MATERIALIZED (SELECT * FROM ({ORACLE_CLUSTER_REPS}) t),
+losers AS (SELECT doc_id FROM reps WHERE doc_id <> rep_doc_id),
+keepq AS MATERIALIZED (SELECT doc_id FROM ({ORACLE_QUALITY_FLOOR}) t),
+contam AS MATERIALIZED (
+  SELECT DISTINCT train_doc AS doc_id FROM ({ORACLE_CONTAMINATION}) t
+),
+red AS MATERIALIZED (
+  SELECT doc_id, redacted,
+         (n_emails + n_phones + n_ips) > 0 AS was_redacted
+  FROM ({ORACLE_PII}) t
+),
+flags AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, r.redacted,
+         d.doc_id IN (SELECT doc_id FROM losers) AS is_dup_loser,
+         d.doc_id NOT IN (SELECT doc_id FROM keepq) AS failed_quality,
+         d.doc_id IN (SELECT doc_id FROM contam) AS contaminated,
+         r.was_redacted
+  FROM documents d JOIN red r USING (doc_id)
+),
+survivors AS (
+  SELECT doc_id, lang, redacted AS text FROM flags
+  WHERE NOT is_dup_loser AND NOT failed_quality AND NOT contaminated
+),
+bud AS (
+  SELECT lang, doc_id,
+         len({toks}) AS n_tokens,
+         CAST((len(list_distinct({toks})) * {QUALITY_PPM})
+              // len({toks}) AS BIGINT) AS quality
+  FROM survivors
+),
+o AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM bud
+),
+admitted AS (SELECT doc_id FROM o WHERE cum_tokens <= {STRATUM_TOKEN_BUDGET})
+SELECT f.doc_id, f.lang, f.is_dup_loser, f.failed_quality, f.contaminated,
+       f.was_redacted,
+       (NOT f.is_dup_loser AND NOT f.failed_quality AND NOT f.contaminated)
+         AND f.doc_id NOT IN (SELECT doc_id FROM admitted) AS over_budget,
+       (NOT f.is_dup_loser AND NOT f.failed_quality AND NOT f.contaminated)
+         AND f.doc_id IN (SELECT doc_id FROM admitted) AS kept
+FROM flags f
+"""
+
+
+ORACLE_CURATION_AUDIT = _curation_audit_oracle_sql()
