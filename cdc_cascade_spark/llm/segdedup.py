@@ -58,12 +58,10 @@ def _segments(toks):
     )).otherwise(F.array().cast("array<string>"))
 
 
-def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide duplicated-segment removal: (doc_id, n_segments,
-    n_dropped, cleaned_text), where ``cleaned_text`` keeps only
-    segments that are unique corpus-wide or are the global first
-    occurrence of their duplicate class."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def segment_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level duplicated-segment removal over any (doc_id, text)
+    frame — the registered query below and the hypothesis property
+    tests both call this, so the two surfaces cannot drift."""
     toks = F.filter(tokens(F.col("text")), lambda t: t != "")
     segs = docs.select(
         "doc_id", F.posexplode(_segments(toks)).alias("pos", "seg")
@@ -104,6 +102,16 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("cleaned_text"),
         )
+    )
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-segment removal: (doc_id, n_segments,
+    n_dropped, cleaned_text), where ``cleaned_text`` keeps only
+    segments that are unique corpus-wide or are the global first
+    occurrence of their duplicate class."""
+    return segment_dedup_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
