@@ -73,6 +73,8 @@ def _load_centroids(spark: SparkSession, out_path: str):
         key=lambda r: r.centroid,
     )
     cids = np.array([r.centroid for r in rows], dtype=np.int64)
+    if not rows:  # empty corpus trained an empty index — np.stack([]) raises
+        return cids, np.zeros((0, 64)), np.zeros(0)
     C = np.stack(
         [np.asarray(r.embedding, dtype=np.float32).astype(np.float64) for r in rows]
     )
@@ -97,6 +99,11 @@ def _assign_udf(cids: np.ndarray, C: np.ndarray, normC: np.ndarray):
 
 
 def _assigned(emb: DataFrame, cids, C, normC) -> DataFrame:
+    if len(cids) == 0 and not emb.isEmpty():
+        raise ValueError(
+            "IVF index has no centroids (trained on an empty corpus) — "
+            "re-train before assigning a non-empty batch"
+        )
     assign_pd = _assign_udf(cids, C, normC)
     return _with_norm(emb).select(
         "vec_id",

@@ -124,3 +124,35 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
         for r in spark.read.parquet(f"{incr}/cells").select("vec_id", "centroid").collect()
     }
     assert fa == ia
+
+
+def test_ivf_index_empty_corpus(spark, tmp_path):
+    """Empty-partition robustness for the unregistered lifecycle (the
+    registered-query empty sweep doesn't cover it): building from an
+    empty corpus yields an index whose probe returns a typed empty
+    frame, and appending real data to a centroid-less index raises a
+    clear error instead of an argmax crash."""
+    import numpy as np
+    import pytest
+    from cdc_cascade_spark.catalog import TABLES, load_table
+    from cdc_cascade_spark.llm.ivf_index import (
+        _load_centroids,
+        ann_against_ivf_index,
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    empty_dir = str(tmp_path / "sf_empty")
+    for t in ("embeddings",):
+        load_table(spark, SF, t).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    idx = str(tmp_path / "ivf_empty")
+    write_ivf_index(spark, empty_dir, idx)
+    cids, C, normC = _load_centroids(spark, idx)
+    assert len(cids) == 0
+    out = ann_against_ivf_index(spark, idx, np.zeros(64), qid=0)
+    assert out.collect() == []
+    batch = load_table(spark, SF, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="no centroids"):
+        append_ivf_index(batch, idx)

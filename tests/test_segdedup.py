@@ -129,3 +129,32 @@ def test_segment_dedup_partitioning_invariant_and_plan_sane(spark):
     plan = physical_plan(segment_dedup(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unregistered_surfaces_survive_empty_corpus(spark, tmp_path):
+    """The registered-query empty sweep (test_operator_properties)
+    covers only registry entries; run the r8-bound surfaces against a
+    zero-row corpus too, pre-empting their registration."""
+    from cdc_cascade_spark.catalog import TABLES, load_table
+    from cdc_cascade_spark.llm.bpe import bpe_encode_corpus
+    from cdc_cascade_spark.llm.pipeline import curation_audit
+    from cdc_cascade_spark.llm.segdedup import segment_dedup
+    from cdc_cascade_spark.llm.sources import source_reputation
+    from cdc_cascade_spark.operators.anomaly import events_rate_anomaly
+    from cdc_cascade_spark.operators.cms import sketch_cms_heavy_hitters
+
+    empty_dir = str(tmp_path / "sf_empty")
+    for t in TABLES:
+        load_table(spark, SF, t).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    for fn in (
+        segment_dedup,
+        source_reputation,
+        bpe_encode_corpus,
+        sketch_cms_heavy_hitters,
+        events_rate_anomaly,
+        curation_audit,
+    ):
+        rows = fn(spark, empty_dir).collect()
+        assert len(rows) <= 10, (fn.__name__, len(rows))
