@@ -211,3 +211,62 @@ def test_salted_joins_accept_spark_aliases(spark):
                 "fullouter", "full_outer", "outer", "cross"):
         with pytest.raises(ValueError):
             _check_join_type(bad, "salted_join")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE skew-join claim (session.py, SCALE.md,
+    operators/skew.py docstring), demonstrated: a deliberately skewed
+    sort-merge join gets its hot partition SPLIT at runtime — the
+    final adaptive plan marks SortMergeJoin(skew=true) — and the
+    result is identical to the un-assisted join. Thresholds are
+    tightened locally because the defaults (256 MB) target real
+    clusters; they are restored afterwards."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set(keys[0], "64KB")
+        conf.set(keys[1], "2")
+        conf.set(keys[2], "16KB")
+        conf.set(keys[3], "-1")  # force SMJ so skew handling is reachable
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 4 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("p"),
+        )
+        small = spark.range(5_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        agg = big.join(small, "k").select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("p")).alias("s")
+        )
+        row = agg.collect()[0]
+        final_plan = spark._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in final_plan, final_plan[:3000]
+        # correctness unchanged by the split
+        conf.set(keys[0], "256MB")  # effectively disable the split
+        row_plain = (
+            big.join(small, "k")
+            .select(F.count(F.lit(1)).alias("n"), F.sum(F.length("p")).alias("s"))
+            .collect()[0]
+        )
+        assert (row.n, row.s) == (row_plain.n, row_plain.s)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
