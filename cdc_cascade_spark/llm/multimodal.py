@@ -194,6 +194,88 @@ FROM f
 """
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest — the first pass every
+    multimodal training pipeline runs (identical encoded payloads are
+    rampant in web crawls: re-hosted images, mirrored files).
+
+    Groups payloads by (md5(bytes), byte length); duplicate groups
+    report the kept representative (min doc_id) and the bytes a
+    dedup pass reclaims: (content_key, n_bytes, n_copies, keep_doc_id,
+    bytes_reclaimed). Near-dup (perceptual-hash) media dedup needs the
+    stubbed decode step (``decode_media``) — content-digest dedup is
+    the codec-free subset that works on any opaque blob.
+
+    Scale: one shuffle carrying (32-byte digest, 8-byte id) per blob —
+    payload bytes never shuffle; the digest projection is map-side
+    JVM md5 over the binary column.
+
+    Oracle note: DuckDB's ``md5`` accepts VARCHAR only; the synthetic
+    payload IS the UTF-8 encoding of ``text`` (``with_media_columns``),
+    and md5 over a VARCHAR hashes its UTF-8 bytes, so ``md5(text)``
+    reproduces Spark's ``md5(payload)`` digest exactly.
+
+    Registration note: built in r7 after the driver window was
+    committed; registry entry lands in r8 with the other late
+    surfaces. tests/test_multimodal_dedup.py carries the claim.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The synthetic corpus has no byte-identical payloads at sf<=0.01,
+    # so — the pii_redaction precedent — every 20th document's payload
+    # is deterministically replaced by one of three shared blobs so the
+    # duplicate-group path is really exercised at every SF (the
+    # remaining docs keep their real payloads and any genuine dups
+    # among them are still found, e.g. 8 groups at sf0.1).
+    injected = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(F.lit("shared-blob-"), (F.col("doc_id") % 3).cast("string")),
+    ).otherwise(F.col("text"))
+    media = with_media_columns(docs.select("doc_id", injected.alias("text")))
+    return (
+        media.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("content_key"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_key", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "content_key",
+            "n_bytes",
+            "n_copies",
+            "keep_doc_id",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).alias("bytes_reclaimed"),
+        )
+    )
+
+
+ORACLE_MULTIMODAL_DEDUP = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN 'shared-blob-' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS blob_text
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         md5(blob_text) AS content_key,
+         CAST(octet_length(encode(blob_text)) AS BIGINT) AS n_bytes
+  FROM m
+)
+SELECT content_key, n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_doc_id,
+       CAST((COUNT(*) - 1) * n_bytes AS BIGINT) AS bytes_reclaimed
+FROM keyed
+GROUP BY content_key, n_bytes
+HAVING COUNT(*) > 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "multimodal_metadata": (multimodal_metadata, ORACLE_METADATA),
     "multimodal_features": (multimodal_features, ORACLE_FEATURES),
