@@ -170,10 +170,9 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str, k: int = BPE_K) -> DataF
     (session, sf_dir, k) feeds BOTH this and ``bpe_train_k_merges``);
     the apply itself is map-only chained ``replace`` — no shuffle.
 
-    Registration note: built in r7 after the driver window was
-    committed; oracle ships now, registry entry lands in r8 (the
-    segdedup/sources pattern). tests/test_llm_bpe_encode.py carries
-    the claim meanwhile.
+    Registered in r8 (built in r7 after that round's driver window was
+    committed); tests/test_llm_bpe_encode.py pins the encode semantics
+    alongside the oracle row.
     """
     _merges, stream = _trained(spark, sf_dir, k)
     toks = _bpe_decode_tokens(F.col("stream"))
@@ -294,8 +293,7 @@ FROM (SELECT doc_id, n_pretokens, {_BPE_DECODE_SQL.format(s='stream')} AS m
 ORACLE_BPE_ENCODE = _oracle_encode_sql()
 
 
-# bpe_encode_corpus enters this dict (and the driver window) in r8 —
-# see its docstring's registration note.
 QUERIES: dict[str, tuple] = {
     "bpe_train_k_merges": (bpe_train_k_merges, ORACLE_BPE_TRAIN),
+    "bpe_encode_corpus": (bpe_encode_corpus, ORACLE_BPE_ENCODE),
 }

@@ -215,9 +215,9 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and md5 over a VARCHAR hashes its UTF-8 bytes, so ``md5(text)``
     reproduces Spark's ``md5(payload)`` digest exactly.
 
-    Registration note: built in r7 after the driver window was
-    committed; registry entry lands in r8 with the other late
-    surfaces. tests/test_multimodal_dedup.py carries the claim.
+    Registered in r8 (built in r7 after that round's driver window was
+    committed); tests/test_multimodal_dedup.py pins the duplicate-group
+    semantics alongside the oracle row.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # The synthetic corpus has no byte-identical payloads at sf<=0.01,
@@ -280,4 +280,5 @@ QUERIES: dict[str, tuple] = {
     "multimodal_metadata": (multimodal_metadata, ORACLE_METADATA),
     "multimodal_features": (multimodal_features, ORACLE_FEATURES),
     "multimodal_frame_sample": (multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
+    "multimodal_dedup": (multimodal_dedup, ORACLE_MULTIMODAL_DEDUP),
 }

@@ -160,11 +160,6 @@ WHERE o.cum_tokens <= {STRATUM_TOKEN_BUDGET}
 ORACLE_CURATE_CORPUS = _curate_corpus_oracle_sql()
 
 
-QUERIES: dict[str, tuple] = {
-    "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
-}
-
-
 def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drop-accounting face of :func:`curate_corpus`: one row per
     RAW corpus document with every stage's verdict —
@@ -186,9 +181,9 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed left joins that replace the semi/anti filters with
     booleans — same joins, same shuffle keys, flags instead of drops.
 
-    Registration note: built in r7 after the driver window was
-    committed; oracle ships now, registry entry lands in r8.
-    tests/test_pipeline_audit.py carries the claim meanwhile.
+    Registered in r8 (built in r7 after that round's driver window was
+    committed); tests/test_pipeline_audit.py pins the curate_corpus
+    reconciliation alongside the oracle row.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     reps = dedup_cluster_representatives(spark, sf_dir)
@@ -306,3 +301,9 @@ FROM flags f
 
 
 ORACLE_CURATION_AUDIT = _curation_audit_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
+    "curation_audit": (curation_audit, ORACLE_CURATION_AUDIT),
+}

@@ -25,11 +25,11 @@ aggregation absorbs them map-side, so there is no skewed join
 anywhere. The reassembly ``collect_list`` is per-document bounded (a
 document's own segments), never corpus-bounded.
 
-Registration note: built in round 7 after the 50-slot driver window
-was already committed (see registry.py's r7 window note) — the DuckDB
-oracle below ships now, and the query enters the registry + window in
-round 8. Until then correctness is pinned by the pure-Python model
-check and both-engine agreement tests in tests/test_segdedup.py.
+Registered in round 8 (built in round 7 after that round's 50-slot
+driver window was already committed — see registry.py's r7 window
+note). Correctness is pinned by the pure-Python model check and
+both-engine agreement tests in tests/test_segdedup.py alongside the
+oracle row.
 """
 
 from __future__ import annotations

@@ -28,11 +28,11 @@ corpus × corpus only in cardinality, not in payload (both sides are
 already reduced to a few columns), and shuffles on the same doc_id
 key. Nothing collects to the driver.
 
-Registration note: built in round 7 after the 50-slot driver window
-was committed; oracle ships now (composing ORACLE_GOPHER_RULES
-verbatim as a CTE — the curate_corpus pattern), registry + window
-entry lands in round 8. tests/test_sources.py carries the claim until
-then.
+Registered in round 8 (built in round 7 after that round's 50-slot
+driver window was committed). The oracle composes ORACLE_GOPHER_RULES
+verbatim as a CTE — the curate_corpus pattern — so the rule surface
+cannot drift; tests/test_sources.py pins the per-source semantics
+alongside the oracle row.
 """
 
 from __future__ import annotations

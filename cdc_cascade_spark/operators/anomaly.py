@@ -26,9 +26,9 @@ broadcast back onto the rollup — nothing past the first aggregate is
 corpus-sized. Hot types skew the FIRST aggregate only, where partial
 aggregation absorbs them map-side.
 
-Registration note: built in r7 after the driver window was committed;
-oracle ships now, registry entry lands in r8 with the other late
-surfaces. tests/test_anomaly.py carries the claim meanwhile.
+Registered in r8 (built in r7 after that round's driver window was
+committed); tests/test_anomaly.py pins the z-score decision rule
+alongside the oracle row.
 """
 
 from __future__ import annotations
@@ -98,8 +98,6 @@ FROM hourly JOIN moments USING (event_type)
 """
 
 
-# events_rate_anomaly enters the registry (and the driver check
-# window) in r8 with the other r7-built surfaces.
 QUERIES: dict[str, tuple] = {
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
 }

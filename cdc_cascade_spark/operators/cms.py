@@ -149,8 +149,6 @@ ORDER BY cms_estimate DESC, v.token ASC
 ORACLE_CMS_HEAVY_HITTERS = _cms_oracle_sql()
 
 
-# sketch_cms_heavy_hitters enters the registry (and the driver check
-# window) in r8 with the other r7-built surfaces.
 QUERIES: dict[str, tuple] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
 }

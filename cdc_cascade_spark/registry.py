@@ -63,97 +63,71 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r7 window note: the r6 driver gate never ran (no
-    # CORRECTNESS_r06 / BENCH_r06 was produced), so every r6 pin below
-    # still needs its FIRST green row and must stay in the window this
-    # round. That re-spends the slots the r6 session had earmarked for
-    # the 10 deferred r3-green suites; the deferral is re-split below
-    # via CHECK_NEXT (slots 46-50) and the registry's fingerprint
-    # freeze keeps the remainder provably unchanged until r8.
-    # --- r6 changed-code pins (every query whose fingerprint differs
-    # from the committed manifest; computed, not guessed) ---
-    # llm/text.py changed (BPE boundary-bleed fix: anchored
-    # doubled-separator stream encoding) — every query it defines
-    # re-verifies, plus its dependents (bpe.py trainer; curation.py
-    # imports text_stats).
-    "text_stats",
-    "doc_repetition",
-    "bpe_merge_pairs",
-    "bpe_apply_top_merge",
-    "text_salient_terms",
-    "lang_id",
-    "doc_fingerprint",
-    "text_vocabulary",
-    "text_bigrams",
-    "bpe_train_k_merges",
-    # curation.py closure includes text.py (quality_floor_filter calls
-    # text_stats), so the whole module re-verifies
-    "label_quality_profile",
-    "contamination_check",
-    "stratified_sample",
-    "stratified_sample_exact",
-    "pii_redaction",
-    "quality_floor_filter",
-    # llm/similarity.py changed (embedding_top_pairs empty-big-path
-    # short-circuit, r5 verdict #3; shell-by-shell probe masks) —
-    # module + vectorops dependents re-verify
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_top_pairs",
-    "knn_join_topk",
-    "embedding_quantize",
-    # new this round — first green rows: the composed curation
-    # pipeline with a CTE-composed oracle (r5 verdict #5), the
-    # L-table LSH dial (r5 advice: its candidacy is plain SQL), and
-    # the int8 quantized-scan + exact-rerank ANN. Total pin budget
-    # this round: 45 pins + 5 insertion-order fillers (q01–q05) =
-    # the driver's observed 50-slot window, with the guard margin at
-    # exactly 45 (test_check_first_fits_window_with_margin).
+    # --- r8 window. CORRECTNESS_r07 was 50/50 green, so the ~30
+    # r6/r7-era pins rotate out and the budget finally covers both the
+    # r7-built late surfaces and the full stale-rotation debt. Slot
+    # arithmetic: 9 new + 5 changed + 9 r3-green + 13 r4-green +
+    # 9 r5-green = 45 hard pins; CHECK_NEXT carries 5 more r5-green.
+    # The 11 remaining r5-green queries (q01–q05, dq_constraint_report,
+    # doc_chunks, token_budget_selection, shingle_containment,
+    # corpus_profile, quantile_histogram) are fingerprint-frozen and
+    # rotate in r9 — prioritized out because they are single-table /
+    # already-spot-reverified shapes with no join-strategy risk.
+    # --- new r8 registrations — first green rows. Built + oracle-
+    # verified locally in r7 AFTER that round's window was committed
+    # (see each module's registration note).
+    "segment_dedup",
+    "source_reputation",
+    "bpe_encode_corpus",
+    "sketch_cms_heavy_hitters",
+    "events_rate_anomaly",
+    "curation_audit",
+    "multimodal_dedup",
+    # --- changed-fingerprint re-pins: adding the late surfaces to
+    # llm/pipeline.py, llm/multimodal.py and llm/bpe.py QUERIES dicts
+    # re-fingerprints every query those modules define.
     "curate_corpus",
-    "ann_lsh_multitable_topk",
-    "ann_int8_topk",
-    # new this round (second batch): the vector-space dedup family
-    # member (banded hyperplane LSH + exact-cosine verify), and the
-    # segmented two-phase locf registered against the SAME oracle as
-    # events_gap_fill (r5 advice low #4) — editing timeseries.py
-    # changes events_gap_fill's fingerprint too, so both pin.
-    "dedup_embedding_cosine",
-    "events_gap_fill",
-    "events_gap_fill_segmented",
-    # --- new r7 queries — first green rows: Gopher-style quality
-    # rules (integer-arithmetic thresholds), cross-corpus MinHash
-    # novelty (the daily-ingest screen as a fixed-table query), the
-    # fixed-slice drift report (log-free L1 metrics), and RANGE-frame
-    # windows (the frame kind q28 doesn't cover).
-    "gopher_quality_rules",
-    "minhash_novelty",
-    "corpus_drift_report",
-    "q32_range_frame_window",
-    # --- r6 stale rotation (r5 verdict #1): the r3-green cohort is at
-    # the registry's 2-round staleness bound. 15 of the 25 rotate now
-    # (join-strategy / window / multimodal plan risk first); the r5
-    # verdict sanctioned splitting the cohort across r6/r7 when new
-    # work needs slots, so the 7 expression/subquery suites
-    # q21/q22/q24/q25/q26/q29/q30 PLUS the three single-table reshape
-    # suites q14 (pivot) / q16 (distinct agg) / q31 (unpivot) — none
-    # with join-strategy or partitioning risk, all fingerprint-frozen
-    # since their r3 green rows — defer to r7. That keeps the pin list
-    # at 45, inside the driver's ~50 window (guard:
-    # tests/test_registry_guard.py::test_check_first_fits_window_with_margin).
-    "q13_sessionize_events",
-    "q15_outer_join_part_activity",
-    "q23_timeseries_rollup",
-    "q27_full_outer_join",
-    "asof_latest_order",
-    "asof_prev_click_tolerance",
-    "range_join_signup_activity",
-    "overlap_join_order_windows",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frame_sample",
+    "bpe_train_k_merges",
+    # --- r3-green rotation debt (4 rounds stale; r7 verdict #2): the
+    # nine expression/subquery/reshape suites deferred since r6.
+    "q16_distinct_stats",
+    "q21_above_segment_average",
+    "q22_in_subquery",
+    "q24_explode_lateral",
+    "q25_datetime_functions",
+    "q26_string_functions",
+    "q29_array_functions",
+    "q30_null_semantics",
+    "q31_unpivot_metrics",
+    # --- r4-green rotation (3 rounds stale, oldest-first after r3).
+    "q06_customers_without_orders",
+    "q07_rollup_sales",
+    "q08_topk_customers_per_segment",
+    "q09_monthly_revenue_window",
+    "q10_set_operations",
+    "q11_scalar_functions",
+    "q12_json_extraction",
+    "funnel_conversion",
+    "cohort_retention",
+    "sketch_kmv_distinct",
+    "sketch_kmv_setops",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    # --- r5-green rotation, join/plan-risk first: the CDC JSON
+    # round-trip pair and the blocked/banded dedup family (the shapes
+    # where a planner change could matter most).
+    "cdc_op_routing",
+    "cdc_invalidation_summary",
+    "dedup_exact",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_weighted",
+    "minhash_jaccard_estimate",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -161,16 +135,15 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r7: four single-table agg suites
-# demoted from the r6 pin list plus the pivot suite, all r3-green and
-# byte-unchanged since. Still waiting (r8 debt, equally frozen):
-# q16, q21, q22, q24, q25, q26, q29, q30, q31.
+# never for changed or new code. r8: five more r5-green queries —
+# the two heaviest dedup pipelines (both spot-reverified at sf0.01 by
+# the r7 judge), the window suite, sequence packing and collocations.
 CHECK_NEXT: list[str] = [
-    "q17_tumbling_hourly",
-    "q18_price_percentiles",
-    "q19_cube_volume",
-    "q20_grouping_sets",
-    "q14_pivot_status",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "q28_window_suite",
+    "pack_sequences",
+    "bigram_lift",
 ]
 
 
@@ -187,14 +160,18 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         pipeline,
         profile,
         quality_rules,
+        segdedup,
         selection,
         similarity,
+        sources,
         text,
         vectorops,
     )
     from cdc_cascade_spark.operators import (
+        anomaly,
         asof,
         behavior,
+        cms,
         collocations,
         quality,
         quantiles,
@@ -232,6 +209,10 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         novelty,
         drift,
         window_frames,
+        segdedup,
+        sources,
+        cms,
+        anomaly,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
