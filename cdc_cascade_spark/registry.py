@@ -83,6 +83,9 @@ CHECK_FIRST: list[str] = [
     "events_rate_anomaly",
     "curation_audit",
     "multimodal_dedup",
+    # the LM admission filter's integer-decision face (r7 verdict #4:
+    # bring the last major test-only LLM surface under the oracle gate)
+    "lm_score_filter",
     # --- changed-fingerprint re-pins: adding the late surfaces to
     # llm/pipeline.py, llm/multimodal.py and llm/bpe.py QUERIES dicts
     # re-fingerprints every query those modules define.
@@ -154,6 +157,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         curation,
         dedup,
         drift,
+        lm_score,
         multimodal,
         novelty,
         packing,
@@ -213,6 +217,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         sources,
         cms,
         anomaly,
+        lm_score,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

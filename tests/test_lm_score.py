@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
@@ -164,3 +166,112 @@ def test_whitespace_formatting_does_not_change_scores(spark):
     s = {r.doc_id: (r.n_transitions, r.lm_score)
          for r in score_documents(probe, u1, b1, v1).collect()}
     assert s[10] == s[11]
+
+
+# ---------------------------------------------------------------------------
+# lm_score_filter: the oracle-registered integer-decision face — pure-
+# Python model check + cross-engine agreement on a crafted corpus.
+# ---------------------------------------------------------------------------
+
+
+def _lm_filter_model(docs):
+    """Pure-Python replay of lm_score_filter's decision rule."""
+    from collections import Counter
+
+    from cdc_cascade_spark.llm.lm_score import LM_IMPROB_DEN, LM_KEEP_PCT
+
+    def toks(t):
+        import re
+
+        return [w for w in re.split(r"\s+", t) if w]
+
+    ref = {i: t for i, t in docs.items() if i % 2 == 0}
+    uni = Counter(w for t in ref.values() for w in toks(t))
+    bi = Counter(
+        (a, b)
+        for t in ref.values()
+        for a, b in zip(toks(t), toks(t)[1:])
+    )
+    v = len(uni)
+    out = {}
+    for i, t in docs.items():
+        pairs = list(zip(toks(t), toks(t)[1:]))
+        n_im = sum(
+            1
+            for a, b in pairs
+            if LM_IMPROB_DEN * (10 * bi.get((a, b), 0) + 1)
+            < 10 * uni.get(a, 0) + v + 1
+        )
+        out[i] = (
+            len(pairs),
+            n_im,
+            n_im * 100 <= len(pairs) * LM_KEEP_PCT,
+        )
+    return out
+
+
+_LM_DOCS = {
+    # even ids = reference slice; "alpha beta" is a frequent reference
+    # transition. Doc 6 pads the reference vocabulary above
+    # LM_IMPROB_DEN distinct words — below that, the add-k unknown
+    # mass 1/(V+1) exceeds the 1/LM_IMPROB_DEN threshold and no
+    # transition can ever be improbable (the small-vocab carve-out the
+    # rule's cross-multiplication encodes).
+    0: "alpha beta alpha beta alpha beta gamma delta",
+    2: "alpha beta alpha beta alpha beta alpha beta",
+    4: "alpha beta gamma alpha beta alpha beta alpha",
+    6: " ".join(f"filler{i}" for i in range(60)),
+    # odd ids are scored only: 1 rides the frequent transition, 3 is
+    # OOV-heavy gibberish, 5 has a single token (no transitions).
+    1: "alpha beta alpha beta alpha beta",
+    3: "zzz yyy zzz yyy zzz yyy zzz yyy",
+    5: "alpha",
+}
+
+
+@pytest.fixture(scope="module")
+def lm_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lmfilter") / "sf"
+    rows = [(i, t, "en", "test", len(t)) for i, t in _LM_DOCS.items()]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_lm_score_filter_matches_pure_python_model(spark, lm_dir):
+    from cdc_cascade_spark.llm.lm_score import lm_score_filter
+
+    want = _lm_filter_model(_LM_DOCS)
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["n_improbable"], r["kept"])
+        for r in lm_score_filter(spark, lm_dir).collect()
+    }
+    assert got == want
+    # the crafted corpus must exercise both verdicts and the
+    # no-transition carve-out, or the test proves nothing
+    kept = {i: k for i, (_, _, k) in want.items()}
+    assert kept[3] is False and kept[1] is True and kept[5] is True
+
+
+def test_lm_score_filter_oracle_agrees_on_crafted_corpus(spark, lm_dir):
+    import duckdb
+
+    from cdc_cascade_spark.llm.lm_score import (
+        ORACLE_LM_SCORE_FILTER,
+        lm_score_filter,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{lm_dir}/documents.parquet/*.parquet'"
+    )
+    odf = (
+        con.execute(ORACLE_LM_SCORE_FILTER).df().set_index("doc_id").sort_index()
+    )
+    sdf = (
+        lm_score_filter(spark, lm_dir).toPandas().set_index("doc_id").sort_index()
+    )
+    for c in sdf.columns:
+        assert (sdf[c].values == odf[c].values).all(), c
