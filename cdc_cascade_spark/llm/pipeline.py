@@ -38,6 +38,7 @@ from cdc_cascade_spark.llm.dedup import (
     dedup_cluster_representatives,
 )
 from cdc_cascade_spark.llm.prep import TOKENS_SQL
+from cdc_cascade_spark.llm.segdedup import segdedup_sql, segment_dedup_frame
 from cdc_cascade_spark.llm.selection import (
     QUALITY_PPM,
     STRATUM_TOKEN_BUDGET,
@@ -45,7 +46,9 @@ from cdc_cascade_spark.llm.selection import (
 )
 
 
-def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, segment_stage: bool = False
+) -> DataFrame:
     """Training-ready corpus: (doc_id, lang, source, text, n_tokens,
     quality, was_redacted) after the full curation chain.
 
@@ -56,6 +59,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. any training document a benchmark document is contained in
        drops (contamination);
     4. surviving text is the PII-redacted form;
+    4b. (``segment_stage=True`` only) duplicated-segment removal — the
+       C4 three-sentence-span rule in segment form (llm/segdedup.py) —
+       runs over the SURVIVORS' redacted text, rewriting each document
+       to its surviving segments and appending ``n_dropped_segments``.
+       It sits between redaction and budgeting because span dedup is a
+       text rewrite, and the budget must count the tokens that will
+       actually be trained on (the same principle that already puts
+       budgeting after redaction). Computing it over survivors, not the
+       raw corpus, keeps the stage a true pipeline step: text removed
+       by earlier stages cannot claim first-occurrence status.
     5. each (lang) stratum admits docs up to its token budget.
     """
     docs = load_table(spark, sf_dir, "documents").select(
@@ -87,15 +100,27 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("was_redacted"),
     )
     survivors = survivors.join(red, "doc_id")
-    # 5. token budget per stratum — over the SURVIVORS' redacted text,
-    # so (a) documents already dropped upstream cannot consume stratum
-    # budget (budgeting the raw corpus would under-fill strata whose
-    # best docs were near-dup losers) and (b) token counts reflect the
-    # text that will actually be trained on
+    # 4b. optional duplicated-segment removal over the survivors'
+    # redacted text (see docstring)
+    if segment_stage:
+        seg = segment_dedup_frame(
+            survivors.select("doc_id", F.col("clean_text").alias("text"))
+        ).select(
+            "doc_id",
+            F.col("cleaned_text").alias("clean_text"),
+            F.col("n_dropped").alias("n_dropped_segments"),
+        )
+        survivors = survivors.drop("clean_text").join(seg, "doc_id")
+    # 5. token budget per stratum — over the SURVIVORS' redacted (and,
+    # with the segment stage, span-deduplicated) text, so (a) documents
+    # already dropped upstream cannot consume stratum budget (budgeting
+    # the raw corpus would under-fill strata whose best docs were
+    # near-dup losers) and (b) token counts reflect the text that will
+    # actually be trained on
     admitted = budget_filter(
         survivors.select("doc_id", "lang", F.col("clean_text").alias("text"))
     ).select("doc_id", "n_tokens", "quality")
-    return survivors.join(admitted, "doc_id").select(
+    out_cols = [
         "doc_id",
         "lang",
         "source",
@@ -103,21 +128,52 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "quality",
         "was_redacted",
-    )
+    ]
+    if segment_stage:
+        out_cols.append("n_dropped_segments")
+    return survivors.join(admitted, "doc_id").select(*out_cols)
 
 
-def _curate_corpus_oracle_sql() -> str:
+def curate_corpus_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`curate_corpus` with the duplicated-segment stage enabled —
+    registered separately so the flagship pipeline's verified output is
+    untouched while the segmented composition gets its own oracle row.
+    Output adds ``n_dropped_segments`` (segments removed from each
+    surviving document by the C4 span rule)."""
+    return curate_corpus(spark, sf_dir, segment_stage=True)
+
+
+def _curate_corpus_oracle_sql(segment_stage: bool = False) -> str:
     """Composed-CTE mirror of :func:`curate_corpus` (r5 verdict #5).
 
     Each stage's already-verified oracle is embedded VERBATIM as a
     subquery (DuckDB allows WITH — including WITH RECURSIVE — inside a
-    derived table), so this oracle cannot drift from the per-stage
-    oracles: any stage fix propagates here automatically. The
-    composition layer adds only the id-keyed semi/anti joins and the
-    budget window over the survivors' redacted text — exactly the
-    joins curate_corpus itself adds over its stage operators.
+    derived table, and the inner WITH may reference outer CTEs), so
+    this oracle cannot drift from the per-stage oracles: any stage fix
+    propagates here automatically. The composition layer adds only the
+    id-keyed semi/anti joins and the budget window over the survivors'
+    redacted text — exactly the joins curate_corpus itself adds over
+    its stage operators. With ``segment_stage`` the segdedup oracle is
+    instantiated over the survivors CTE (``segdedup_sql`` — the same
+    template that defines the stand-alone query's oracle) and the
+    budget CTEs read the span-deduplicated text.
     """
     toks = TOKENS_SQL.format(x="text")
+    if segment_stage:
+        seg_cte = f"""
+seg AS MATERIALIZED (
+  SELECT * FROM ({segdedup_sql('(SELECT doc_id, text FROM survivors)')}) t
+),
+budget_src AS (
+  SELECT s.doc_id, s.lang, s.source, g.cleaned_text AS text,
+         s.was_redacted, g.n_dropped AS n_dropped_segments
+  FROM survivors s JOIN seg g USING (doc_id)
+),"""
+        seg_col = ", b.n_dropped_segments"
+    else:
+        seg_cte = """
+budget_src AS (SELECT *, NULL AS n_dropped_segments FROM survivors),"""
+        seg_col = ""
     return f"""
 WITH reps AS (SELECT * FROM ({ORACLE_CLUSTER_REPS}) t),
 losers AS (SELECT doc_id FROM reps WHERE doc_id <> rep_doc_id),
@@ -135,13 +191,13 @@ survivors AS (
   WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
     AND d.doc_id IN (SELECT doc_id FROM keepq)
     AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-),
+),{seg_cte}
 bud AS (
   SELECT lang, doc_id,
          len({toks}) AS n_tokens,
          CAST((len(list_distinct({toks})) * {QUALITY_PPM})
               // len({toks}) AS BIGINT) AS quality
-  FROM survivors
+  FROM budget_src
 ),
 o AS (
   SELECT *,
@@ -150,21 +206,34 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM bud
 )
-SELECT s.doc_id, s.lang, s.source, s.text,
-       CAST(o.n_tokens AS BIGINT) AS n_tokens, o.quality, s.was_redacted
-FROM survivors s JOIN o USING (doc_id)
+SELECT b.doc_id, b.lang, b.source, b.text,
+       CAST(o.n_tokens AS BIGINT) AS n_tokens, o.quality,
+       b.was_redacted{seg_col}
+FROM budget_src b JOIN o USING (doc_id)
 WHERE o.cum_tokens <= {STRATUM_TOKEN_BUDGET}
 """
 
 
 ORACLE_CURATE_CORPUS = _curate_corpus_oracle_sql()
+ORACLE_CURATE_SEGMENTED = _curate_corpus_oracle_sql(segment_stage=True)
 
 
-def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_audit(
+    spark: SparkSession, sf_dir: str, segment_stage: bool = False
+) -> DataFrame:
     """The drop-accounting face of :func:`curate_corpus`: one row per
     RAW corpus document with every stage's verdict —
     (doc_id, lang, is_dup_loser, failed_quality, contaminated,
     was_redacted, over_budget, kept).
+
+    With ``segment_stage`` the audit mirrors
+    :func:`curate_corpus_segmented` instead: the span-dedup stage runs
+    over the survivors' redacted text before budgeting, and the output
+    appends ``n_dropped_segments`` — NULL for documents that never
+    reached the segment stage (dropped by an earlier verdict), the
+    stage's drop count otherwise. The registered query is the default
+    (flag off); the segmented mode is pinned by the reconciliation
+    tests against ``curate_corpus_segmented``.
 
     ``curate_corpus`` answers "what do I train on"; this answers "why
     is my document not in it" — the lineage/debugging query every
@@ -227,24 +296,36 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = flags.filter(survivor).select(
         "doc_id", "lang", F.col("clean_text").alias("text")
     )
+    seg_join = None
+    if segment_stage:
+        seg = segment_dedup_frame(survivors.select("doc_id", "text")).select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            F.col("n_dropped").alias("n_dropped_segments"),
+        )
+        survivors = survivors.drop("text").join(seg, "doc_id")
+        seg_join = survivors.select("doc_id", "n_dropped_segments")
+        survivors = survivors.select("doc_id", "lang", "text")
     admitted = budget_filter(survivors).select(
         "doc_id", F.lit(True).alias("_adm")
     )
-    return (
-        flags.join(admitted, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "is_dup_loser",
-            "failed_quality",
-            "contaminated",
-            "was_redacted",
-            (survivor & ~F.coalesce(F.col("_adm"), F.lit(False))).alias(
-                "over_budget"
-            ),
-            (survivor & F.coalesce(F.col("_adm"), F.lit(False))).alias("kept"),
-        )
-    )
+    out_cols = [
+        "doc_id",
+        "lang",
+        "is_dup_loser",
+        "failed_quality",
+        "contaminated",
+        "was_redacted",
+        (survivor & ~F.coalesce(F.col("_adm"), F.lit(False))).alias(
+            "over_budget"
+        ),
+        (survivor & F.coalesce(F.col("_adm"), F.lit(False))).alias("kept"),
+    ]
+    out = flags.join(admitted, "doc_id", "left")
+    if seg_join is not None:
+        out = out.join(seg_join, "doc_id", "left")
+        out_cols.append("n_dropped_segments")
+    return out.select(*out_cols)
 
 
 def _curation_audit_oracle_sql() -> str:
@@ -306,4 +387,5 @@ ORACLE_CURATION_AUDIT = _curation_audit_oracle_sql()
 QUERIES: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
     "curation_audit": (curation_audit, ORACLE_CURATION_AUDIT),
+    "curate_corpus_segmented": (curate_corpus_segmented, ORACLE_CURATE_SEGMENTED),
 }

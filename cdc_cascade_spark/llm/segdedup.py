@@ -115,11 +115,18 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEGMENT_DEDUP = f"""
+def segdedup_sql(src: str) -> str:
+    """The segment-dedup oracle over any relation exposing
+    ``(doc_id, text)`` — ``src`` may be a table name or an in-scope CTE
+    name. ``ORACLE_SEGMENT_DEDUP`` instantiates it over ``documents``;
+    the composed curation oracle (llm/pipeline.py) instantiates it over
+    the survivors CTE so the stage SQL is embedded VERBATIM and cannot
+    drift from the stand-alone query."""
+    return f"""
 WITH d AS (
   SELECT doc_id,
          list_filter({TOKENS_SQL.format(x='text')}, t -> t <> '') AS toks
-  FROM documents
+  FROM {src}
 ), segs0 AS (
   -- per-row ranges can't drive a lateral generate_series in DuckDB;
   -- build the segment list per doc and unnest it instead
@@ -155,6 +162,9 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 """
+
+
+ORACLE_SEGMENT_DEDUP = segdedup_sql("documents")
 
 
 QUERIES: dict[str, tuple] = {

@@ -86,6 +86,9 @@ CHECK_FIRST: list[str] = [
     # the LM admission filter's integer-decision face (r7 verdict #4:
     # bring the last major test-only LLM surface under the oracle gate)
     "lm_score_filter",
+    # the curation chain with the C4 span-dedup stage enabled (r7
+    # verdict #3) — registered beside curate_corpus, not replacing it
+    "curate_corpus_segmented",
     # --- changed-fingerprint re-pins: adding the late surfaces to
     # llm/pipeline.py, llm/multimodal.py and llm/bpe.py QUERIES dicts
     # re-fingerprints every query those modules define.

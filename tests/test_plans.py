@@ -150,8 +150,10 @@ def test_plan_lint_all_registered_queries(spark):
         # scan, once for the POOL-row exact rerank
         "ann_int8_topk": {"bnlj"},
         # inherits quality_floor_filter's 1-row threshold broadcast
-        # (the composed pipeline contains that stage verbatim)
+        # (the composed pipelines contain that stage verbatim)
         "curate_corpus": {"bnlj"},
+        "curate_corpus_segmented": {"bnlj"},
+        "curation_audit": {"bnlj"},
         # 1-row corpus-count frame broadcast into the idf-tier weight
         "dedup_simhash_weighted": {"bnlj"},
         # 1-row quality-threshold frame (TakeOrderedAndProject result)
