@@ -47,15 +47,22 @@ def salted_join(
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
     )
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
-    replicated_small = small.select("*", salts)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__rsalt")
+    # the small side's key and salt are RENAMED before the join and
+    # dropped by name after it — never dropped via a frame-qualified
+    # column reference: when the two inputs share lineage (e.g. both
+    # derive from the same table, or the join runs inside foreachBatch
+    # where the analyzer deduplicates attribute ids), drop(df[col])
+    # can silently no-op on the rewritten ids and leak a duplicate key
+    # column into the output
+    replicated_small = small.withColumnRenamed(key, "__rkey").select("*", salts)
     joined = salted_large.join(
         replicated_small,
-        on=[salted_large[key] == replicated_small[key],
-            salted_large["__salt"] == replicated_small["__salt"]],
+        on=[salted_large[key] == replicated_small["__rkey"],
+            salted_large["__salt"] == replicated_small["__rsalt"]],
         how=how,
     )
-    return joined.drop(replicated_small[key]).drop("__salt")
+    return joined.drop("__rkey", "__rsalt", "__salt")
 
 
 def salted_join_targeted(
@@ -102,6 +109,8 @@ def salted_join_targeted(
         )
         .drop("__hot")
     )
+    # rename-before-join / drop-by-name, for the same shared-lineage
+    # reason documented in salted_join
     replicated_small = (
         small.join(hot_marked, key, "left")
         .withColumn(
@@ -112,13 +121,14 @@ def salted_join_targeted(
             ).otherwise(F.array(F.lit(0))),
         )
         .drop("__hot")
-        .withColumn("__salt", F.explode("__salts"))
+        .withColumn("__rsalt", F.explode("__salts"))
         .drop("__salts")
+        .withColumnRenamed(key, "__rkey")
     )
     joined = salted_large.join(
         replicated_small,
-        on=[salted_large[key] == replicated_small[key],
-            salted_large["__salt"] == replicated_small["__salt"]],
+        on=[salted_large[key] == replicated_small["__rkey"],
+            salted_large["__salt"] == replicated_small["__rsalt"]],
         how=how,
     )
-    return joined.drop(replicated_small[key]).drop("__salt")
+    return joined.drop("__rkey", "__rsalt", "__salt")

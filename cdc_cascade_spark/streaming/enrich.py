@@ -110,8 +110,21 @@ def build_static_index(static_docs: DataFrame) -> DataFrame:
     ``start_admission_stream``; at 100 TB the same frame is what you
     would write out as the corpus's band-index table. Caller owns the
     persist (unpersist when the query stops).
+
+    The persist is materialized EAGERLY here (one count action), in
+    the calling batch context, not lazily by the first consumer: a
+    lazily-persisted index whose first materialization happens inside
+    a streaming micro-batch (AQE is disabled there) is cached with the
+    streaming run's partitioning, and a later BATCH query whose plan
+    cache-hits the same index can then fail its sort-merge zip with
+    "Can't zip RDDs with unequal numbers of partitions" under AQE —
+    observed in the composed-ingest e2e test. Eager batch-side
+    materialization also keeps the index build cost out of the first
+    micro-batch's latency.
     """
-    return _as_index(static_docs).persist()
+    index = _as_index(static_docs).persist()
+    index.count()
+    return index
 
 
 def near_dup_matches(
@@ -169,7 +182,17 @@ def admit_new_docs(
     Streaming shape for per-batch batch-semantics filtering.
     """
     matches = near_dup_matches(incoming, static_docs, static_index)
-    return incoming.join(matches.select("doc_id"), "doc_id", "left_anti")
+    # The anti-join's right side derives from ``incoming`` itself (a
+    # self-referential plan). Under AQE, when ``incoming`` is a UNION,
+    # Spark 4.1's exchange reuse across the two occurrences can zip a
+    # reused 8-partition exchange against the 24-partition pre-shuffle
+    # union and fail with "Can't zip RDDs with unequal numbers of
+    # partitions" (reproduced in tests/test_ingest_e2e.py's composed
+    # pipeline). Snapshotting the matched-id set — a near-dup id list,
+    # bounded by the incoming batch — breaks the shared subtree; the
+    # matches plan still executes exactly once.
+    matched_ids = matches.select("doc_id").localCheckpoint(eager=False)
+    return incoming.join(matched_ids, "doc_id", "left_anti")
 
 
 def start_admission_stream(
