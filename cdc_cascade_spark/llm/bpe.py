@@ -297,3 +297,69 @@ QUERIES: dict[str, tuple] = {
     "bpe_train_k_merges": (bpe_train_k_merges, ORACLE_BPE_TRAIN),
     "bpe_encode_corpus": (bpe_encode_corpus, ORACLE_BPE_ENCODE),
 }
+
+
+def bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str, k: int = BPE_K
+) -> DataFrame:
+    """Per-language tokenizer fertility under the trained merges:
+    ``(lang, n_docs, sum_pretokens, sum_tokens, symbols_per_word)``.
+
+    The report every tokenizer-training run ends with: how many
+    symbols does the vocabulary spend per word, per language? A
+    language whose fertility stays near its character count is being
+    under-served by the learned merges (its byte-pairs never won a
+    round) — the signal used to rebalance the training mix or grow
+    the vocab. ``symbols_per_word`` is the ONE IEEE division of two
+    exact bigint sums (the cross-engine determinism convention).
+
+    Rides the shared (session, sf_dir, k) trained state; the rollup
+    adds one doc_id join against the documents scan and a lang-keyed
+    aggregate (map-side partial, ~langs reducers).
+
+    Registration note: built in r8 after that round's 50-slot window
+    was already committed (the established late-surface pattern);
+    oracle + tests ship now, the registry entry lands in r9.
+    tests/test_llm_bpe_encode.py carries the claim meanwhile.
+    """
+    _merges, stream = _trained(spark, sf_dir, k)
+    toks = _bpe_decode_tokens(F.col("stream"))
+    per_doc = stream.select(
+        "doc_id",
+        "n_pretokens",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    agg = (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pretokens").cast("bigint").alias("sum_pretokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_pretokens",
+        "sum_tokens",
+        F.when(
+            F.col("sum_pretokens") > 0,
+            F.col("sum_tokens").cast("double") / F.col("sum_pretokens"),
+        ).alias("symbols_per_word"),
+    )
+
+
+ORACLE_BPE_FERTILITY = f"""
+WITH enc AS MATERIALIZED (SELECT * FROM ({ORACLE_BPE_ENCODE}) t)
+SELECT d.lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(e.n_pretokens)::BIGINT AS sum_pretokens,
+       SUM(e.n_tokens)::BIGINT AS sum_tokens,
+       CASE WHEN SUM(e.n_pretokens) > 0
+            THEN SUM(e.n_tokens)::DOUBLE / SUM(e.n_pretokens) END
+         AS symbols_per_word
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""

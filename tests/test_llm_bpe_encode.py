@@ -60,3 +60,45 @@ def test_trained_state_is_shared_between_trainer_and_encoder(spark):
     before = bpe._TRAIN_CACHE[key]
     bpe.bpe_encode_corpus(spark, SF).collect()
     assert bpe._TRAIN_CACHE[key] is before  # no retrain
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_lang (r8-built, registers r9): per-lang rollup of the
+# encode output — oracle agreement + exact consistency with the encode.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fertility_oracle_agrees(spark):
+    from cdc_cascade_spark.llm.bpe import (
+        ORACLE_BPE_FERTILITY,
+        bpe_fertility_by_lang,
+    )
+    from cdc_cascade_spark.testing.parity import compare, duckdb_connect
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        res = compare(
+            "bpe_fertility_by_lang",
+            bpe_fertility_by_lang(spark, sf).toPandas(),
+            duckdb_connect(sf).execute(ORACLE_BPE_FERTILITY).df(),
+        )
+        assert res.ok, str(res)
+        assert res.spark_rows > 0
+
+
+def test_bpe_fertility_reconciles_with_encode(spark):
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bpe import bpe_encode_corpus, bpe_fertility_by_lang
+
+    sf = "/root/testdata/sf0.001"
+    enc = {r.doc_id: r for r in bpe_encode_corpus(spark, sf).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf, "documents").select("doc_id", "lang").collect()
+    }
+    for row in bpe_fertility_by_lang(spark, sf).collect():
+        ids = [d for d, lg in langs.items() if lg == row.lang]
+        assert row.n_docs == len(ids)
+        assert row.sum_pretokens == sum(enc[d].n_pretokens for d in ids)
+        assert row.sum_tokens == sum(enc[d].n_tokens for d in ids)
+        assert row.symbols_per_word == row.sum_tokens / row.sum_pretokens
+        assert row.symbols_per_word > 0
