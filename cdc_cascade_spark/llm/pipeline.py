@@ -100,16 +100,17 @@ def curate_corpus(
         ).alias("was_redacted"),
     )
     survivors = survivors.join(red, "doc_id")
+    # The survivors frame always feeds TWO consumers (the budget
+    # relation and the final rejoin; with the segment stage also the
+    # segment relation); without a snapshot each branch re-executes
+    # the whole four-stage chain. Measured warm at sf0.1: base
+    # pipeline 3.3 → 2.0 s, segmented 5.3 → 3.3 s (the expensive-
+    # subtree case where localCheckpoint pays, unlike the cheap-frame
+    # CMS counterexample recorded in BUILD_NOTES r7).
+    survivors = survivors.localCheckpoint(eager=False)
     # 4b. optional duplicated-segment removal over the survivors'
     # redacted text (see docstring)
     if segment_stage:
-        # the survivors frame feeds TWO consumers here (the segment
-        # relation and the rejoin below); without a snapshot each
-        # branch re-executes the whole four-stage chain — measured
-        # 5.3 s → 3.3 s warm at sf0.1 with the snapshot (the expensive-
-        # subtree case where localCheckpoint pays, unlike the cheap-
-        # frame CMS counterexample recorded in BUILD_NOTES r7)
-        survivors = survivors.localCheckpoint(eager=False)
         seg = segment_dedup_frame(
             survivors.select("doc_id", F.col("clean_text").alias("text"))
         ).select(

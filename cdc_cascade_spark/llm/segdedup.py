@@ -69,6 +69,13 @@ def segment_dedup_frame(docs: DataFrame) -> DataFrame:
     segs = segs.select(
         "doc_id", "pos", "seg", token_hash(F.col("seg")).alias("seg_hash")
     )
+    # The segment relation feeds TWO consumers (the occurrence count
+    # and the join-back); without a snapshot each consumer re-runs the
+    # explode + per-segment md5 — measured 1.57 → 0.95 s warm at
+    # sf0.1. The snapshot is corpus-sized, so on a real cluster this
+    # is the point to persist(MEMORY_AND_DISK_SER) or checkpoint to
+    # storage instead; either way the hashing pass runs once.
+    segs = segs.localCheckpoint(eager=False)
     occ = segs.groupBy("seg_hash").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct("doc_id", "pos")).alias("first_occ"),

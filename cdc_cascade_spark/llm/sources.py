@@ -56,7 +56,15 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = gopher_quality_rules(spark, sf_dir).select("doc_id", "n_words", "keep")
     norm_key = F.md5(F.lower(F.substring("text", 1, 50)))
-    keyed = docs.select("doc_id", "source", "lang", norm_key.alias("norm_key"))
+    # keyed feeds TWO consumers (the copy-count aggregate and the
+    # join-back); it is a 4-small-column projection, so snapshotting it
+    # costs ~40 B/doc and removes one of the three text-reading corpus
+    # scans from the plan (locally a few percent — the scan dominates
+    # only at real scale; the cms.py r8 snapshot-the-derived-boundary
+    # rule)
+    keyed = docs.select(
+        "doc_id", "source", "lang", norm_key.alias("norm_key")
+    ).localCheckpoint(eager=False)
     key_counts = keyed.groupBy("norm_key").agg(
         F.count(F.lit(1)).alias("n_copies")
     )

@@ -22,13 +22,17 @@ by reducing mod P first — the MinHash discipline), counts are exact
 integers, and the candidate cut is an integer threshold — bit-equal
 in both engines.
 
-Scale shape (100 TB): one explode over tokens → ONE shuffle on
-(row, bucket) — a key space of exactly ``d · w`` cells regardless of
-corpus size, partial-aggregated map-side, so reducer state is the
-fixed grid, not the vocabulary. The candidate probe then joins the
-(vocabulary-sized, Zipf-concentrated) distinct-token relation against
-the broadcast d·w-cell grid. Nothing is ever corpus-sized past the
-first partial aggregation.
+Scale shape (100 TB): ONE corpus scan → one shuffle on the token key
+(map-side combined; the audit's exact counts need this vocabulary
+aggregate regardless) → a snapshotted vocab-sized relation from which
+both the ``d · w``-cell grid (a second, cell-keyed aggregate whose
+key space is fixed at any corpus size) and the candidate probe
+derive. The probe joins the Zipf-concentrated distinct-token relation
+against the broadcast grid. Nothing is ever corpus-sized past the
+first partial aggregation, and the corpus is scanned exactly once
+(the pre-r8 form re-scanned it per grid branch — five scans).
+A grid-only deployment (no exact audit) would partial-aggregate
+straight into the d·w cells with no vocabulary state at all.
 """
 
 from __future__ import annotations
@@ -71,24 +75,37 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("token", token_hash(F.col("token")).alias("th"))
     )
-    # grid: one shuffle over a d*w-cell key space, map-side combined
-    cells = toks.select(
+    # The vocabulary (token, hash, exact count) is the ONE corpus-scan
+    # boundary: snapshotting it makes every downstream consumer — the
+    # grid build and each of the d broadcast grid branches — re-derive
+    # from the vocab-sized snapshot instead of re-scanning and
+    # re-hashing the corpus per branch (the executed plan previously
+    # held FIVE documents scans; measured 1.62 → 1.04 s warm at
+    # sf0.1, identical output). This refines the r7 lesson: the
+    # 1024-row GRID was the wrong thing to snapshot; the corpus-scan
+    # boundary is the right one.
+    vocab = (
+        toks.groupBy("token", "th")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    # grid: one aggregate over the vocab-sized snapshot, keyed by the
+    # fixed d*w-cell space (same cell counts as counting raw tokens —
+    # integer sums are associative)
+    cells = vocab.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(r).alias("row"), _bucket(F.col("th"), r).alias("bucket")
+                        F.lit(r).alias("row"),
+                        _bucket(F.col("th"), r).alias("bucket"),
+                        F.col("exact_count").alias("cnt"),
                     )
                     for r in range(CMS_DEPTH)
                 ]
             )
         ).alias("c")
-    ).groupBy("c.row", "c.bucket").agg(F.count(F.lit(1)).alias("n"))
-    # candidate probe: distinct tokens (with exact counts — the audit
-    # column) against the broadcast grid; est = min over rows
-    vocab = toks.groupBy("token", "th").agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
+    ).groupBy("c.row", "c.bucket").agg(F.sum("c.cnt").alias("n"))
     probed = vocab
     for r in range(CMS_DEPTH):
         grid_r = cells.filter(F.col("row") == r).select(
