@@ -264,3 +264,28 @@ def test_minhash_estimate_reads_cached_signature_frame(spark):
     minhash_sigs_cached(spark, SF).count()  # warm, as the bench does
     plan = physical_plan(minhash_jaccard_estimate(spark, SF))
     assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_single_corpus_scan_after_snapshot_boundaries(spark):
+    """The r8 scan-elimination contract: queries whose shared subtree
+    feeds multiple consumers must scan their base table at most once —
+    the snapshot at the corpus-scan boundary is what makes the plan
+    survive 100 TB (each extra scan re-reads and re-hashes the
+    corpus). Counts the executed plan's parquet scans per table."""
+    from cdc_cascade_spark.llm.segdedup import segment_dedup
+    from cdc_cascade_spark.llm.sources import source_reputation
+    from cdc_cascade_spark.operators.anomaly import events_rate_anomaly
+    from cdc_cascade_spark.operators.cms import sketch_cms_heavy_hitters
+
+    bounds = [
+        # (query, table, max scans of that table in the executed plan)
+        (sketch_cms_heavy_hitters, "documents", 1),
+        (events_rate_anomaly, "events", 0),  # both reads hit the snapshot
+        (segment_dedup, "documents", 1),
+        # rules need one text scan, the norm-key snapshot the other
+        (source_reputation, "documents", 2),
+    ]
+    for fn, table, cap in bounds:
+        plan = physical_plan(fn(spark, SF))
+        n = plan.count(f"{table}.parquet")
+        assert n <= cap, (fn.__name__, table, n, cap)
