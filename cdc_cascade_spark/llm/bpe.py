@@ -317,10 +317,10 @@ def bpe_fertility_by_lang(
     adds one doc_id join against the documents scan and a lang-keyed
     aggregate (map-side partial, ~langs reducers).
 
-    Registration note: built in r8 after that round's 50-slot window
-    was already committed (the established late-surface pattern);
-    oracle + tests ship now, the registry entry lands in r9.
-    tests/test_llm_bpe_encode.py carries the claim meanwhile.
+    Built in r8 after that round's window was already committed (the
+    established late-surface pattern); registered in r9.
+    tests/test_llm_bpe_encode.py pins the oracle agreement and the
+    fertility invariants alongside the driver row.
     """
     _merges, stream = _trained(spark, sf_dir, k)
     toks = _bpe_decode_tokens(F.col("stream"))
@@ -363,3 +363,5 @@ SELECT d.lang,
 FROM enc e JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
+
+QUERIES["bpe_fertility_by_lang"] = (bpe_fertility_by_lang, ORACLE_BPE_FERTILITY)

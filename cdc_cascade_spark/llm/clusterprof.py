@@ -33,10 +33,10 @@ map-side Arrow kernel (no shuffle); the per-member cosine joins the
 centroid key with map-side partial aggregation — reducer count =
 cell count at any corpus size.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_clusterprof.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_clusterprof.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -139,3 +139,8 @@ FROM assigned GROUP BY centroid
 
 
 ORACLE_CLUSTER_PROFILE = _cluster_profile_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "embedding_cluster_profile": (embedding_cluster_profile, ORACLE_CLUSTER_PROFILE),
+}

@@ -28,10 +28,10 @@ The oracle embeds the verified-pairs oracle VERBATIM as a
 materialized CTE (the curate_corpus composition pattern), so the
 matrix cannot drift from the pair query the driver checks.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_mirrors.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_mirrors.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -90,3 +90,8 @@ SELECT source_a, source_b,
        COUNT(DISTINCT db)::BIGINT AS n_docs_b
 FROM canon GROUP BY source_a, source_b
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "source_dedup_matrix": (source_dedup_matrix, ORACLE_SOURCE_DEDUP_MATRIX),
+}

@@ -30,10 +30,10 @@ The oracle embeds ``ORACLE_PACK`` verbatim as a materialized CTE (the
 curate_corpus composition pattern), so this report cannot drift from
 the verified layout query.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_packstats.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_packstats.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -83,3 +83,8 @@ SELECT shard, n_docs, n_straddlers, total_tokens, n_chunks,
        total_tokens::DOUBLE / (n_chunks * {PACK_BUDGET}) AS fill_rate
 FROM agg
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "packing_efficiency": (packing_efficiency, ORACLE_PACKING_EFFICIENCY),
+}

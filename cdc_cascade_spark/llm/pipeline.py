@@ -115,10 +115,24 @@ def curate_corpus(
             survivors.select("doc_id", F.col("clean_text").alias("text"))
         ).select(
             "doc_id",
-            F.col("cleaned_text").alias("clean_text"),
-            F.col("n_dropped").alias("n_dropped_segments"),
+            F.col("cleaned_text").alias("seg_text"),
+            F.col("n_dropped").alias("seg_dropped"),
         )
-        survivors = survivors.drop("clean_text").join(seg, "doc_id")
+        # LEFT join: a survivor whose redacted text tokenizes to
+        # nothing yields no segment rows, and an inner join would
+        # silently drop it here (r8 advice). It surfaces instead with
+        # empty text and a zero drop count; the budget stage then
+        # rejects it EXPLICITLY (budget_filter admits only n_tokens>0).
+        survivors = (
+            survivors.drop("clean_text")
+            .join(seg, "doc_id", "left")
+            .withColumn("clean_text", F.coalesce("seg_text", F.lit("")))
+            .withColumn(
+                "n_dropped_segments",
+                F.coalesce(F.col("seg_dropped"), F.lit(0)).cast("bigint"),
+            )
+            .drop("seg_text", "seg_dropped")
+        )
     # 5. token budget per stratum — over the SURVIVORS' redacted (and,
     # with the segment stage, span-deduplicated) text, so (a) documents
     # already dropped upstream cannot consume stratum budget (budgeting
@@ -173,9 +187,13 @@ seg AS MATERIALIZED (
   SELECT * FROM ({segdedup_sql('(SELECT doc_id, text FROM survivors)')}) t
 ),
 budget_src AS (
-  SELECT s.doc_id, s.lang, s.source, g.cleaned_text AS text,
-         s.was_redacted, g.n_dropped AS n_dropped_segments
-  FROM survivors s JOIN seg g USING (doc_id)
+  -- LEFT join + coalesce: token-less survivors produce no segment
+  -- rows and must surface (empty text, zero drops), not vanish —
+  -- mirrors the Spark-side join exactly (r8 advice)
+  SELECT s.doc_id, s.lang, s.source, COALESCE(g.cleaned_text, '') AS text,
+         s.was_redacted,
+         CAST(COALESCE(g.n_dropped, 0) AS BIGINT) AS n_dropped_segments
+  FROM survivors s LEFT JOIN seg g USING (doc_id)
 ),"""
         seg_col = ", b.n_dropped_segments"
     else:
@@ -206,6 +224,7 @@ bud AS (
          CAST((len(list_distinct({toks})) * {QUALITY_PPM})
               // len({toks}) AS BIGINT) AS quality
   FROM budget_src
+  WHERE len({toks}) > 0
 ),
 o AS (
   SELECT *,
@@ -313,10 +332,21 @@ def curation_audit(
     if segment_stage:
         seg = segment_dedup_frame(survivors.select("doc_id", "text")).select(
             "doc_id",
-            F.col("cleaned_text").alias("text"),
-            F.col("n_dropped").alias("n_dropped_segments"),
+            F.col("cleaned_text").alias("seg_text"),
+            F.col("n_dropped").alias("seg_dropped"),
         )
-        survivors = survivors.drop("text").join(seg, "doc_id")
+        # LEFT join + coalesce, as in curate_corpus: token-less
+        # survivors surface with empty text / zero drops instead of
+        # silently vanishing from the audit (r8 advice)
+        survivors = (
+            survivors.drop("text")
+            .join(seg, "doc_id", "left")
+            .withColumn("text", F.coalesce("seg_text", F.lit("")))
+            .withColumn(
+                "n_dropped_segments",
+                F.coalesce(F.col("seg_dropped"), F.lit(0)).cast("bigint"),
+            )
+        )
         seg_join = survivors.select("doc_id", "n_dropped_segments")
         survivors = survivors.select("doc_id", "lang", "text")
     admitted = budget_filter(survivors).select(
@@ -341,10 +371,32 @@ def curation_audit(
     return out.select(*out_cols)
 
 
-def _curation_audit_oracle_sql() -> str:
+def _curation_audit_oracle_sql(segment_stage: bool = False) -> str:
     """Composed mirror of :func:`curation_audit` — the curate_corpus
-    oracle's stage CTEs with left-join flags instead of filters."""
+    oracle's stage CTEs with left-join flags instead of filters. With
+    ``segment_stage`` the segdedup oracle is embedded VERBATIM over the
+    survivors CTE (the same ``segdedup_sql`` template that defines the
+    stand-alone query's oracle), budgeting reads the span-deduplicated
+    text, and the output appends ``n_dropped_segments`` (r8 verdict
+    #5)."""
     toks = TOKENS_SQL.format(x="text")
+    if segment_stage:
+        seg_cte = f""",
+seg AS MATERIALIZED (
+  SELECT * FROM ({segdedup_sql('(SELECT doc_id, text FROM survivors)')}) t
+),
+budget_src AS (
+  SELECT s.doc_id, s.lang, COALESCE(g.cleaned_text, '') AS text,
+         CAST(COALESCE(g.n_dropped, 0) AS BIGINT) AS n_dropped_segments
+  FROM survivors s LEFT JOIN seg g USING (doc_id)
+)"""
+        seg_col = ", bs.n_dropped_segments"
+        seg_tail = " LEFT JOIN budget_src bs USING (doc_id)"
+    else:
+        seg_cte = """,
+budget_src AS (SELECT doc_id, lang, text FROM survivors)"""
+        seg_col = ""
+        seg_tail = ""
     return f"""
 WITH reps AS MATERIALIZED (SELECT * FROM ({ORACLE_CLUSTER_REPS}) t),
 losers AS (SELECT doc_id FROM reps WHERE doc_id <> rep_doc_id),
@@ -368,13 +420,14 @@ flags AS MATERIALIZED (
 survivors AS (
   SELECT doc_id, lang, redacted AS text FROM flags
   WHERE NOT is_dup_loser AND NOT failed_quality AND NOT contaminated
-),
+){seg_cte},
 bud AS (
   SELECT lang, doc_id,
          len({toks}) AS n_tokens,
          CAST((len(list_distinct({toks})) * {QUALITY_PPM})
               // len({toks}) AS BIGINT) AS quality
-  FROM survivors
+  FROM budget_src
+  WHERE len({toks}) > 0
 ),
 o AS (
   SELECT *,
@@ -389,16 +442,33 @@ SELECT f.doc_id, f.lang, f.is_dup_loser, f.failed_quality, f.contaminated,
        (NOT f.is_dup_loser AND NOT f.failed_quality AND NOT f.contaminated)
          AND f.doc_id NOT IN (SELECT doc_id FROM admitted) AS over_budget,
        (NOT f.is_dup_loser AND NOT f.failed_quality AND NOT f.contaminated)
-         AND f.doc_id IN (SELECT doc_id FROM admitted) AS kept
-FROM flags f
+         AND f.doc_id IN (SELECT doc_id FROM admitted) AS kept{seg_col}
+FROM flags f{seg_tail}
 """
 
 
 ORACLE_CURATION_AUDIT = _curation_audit_oracle_sql()
+ORACLE_AUDIT_SEGMENTED = _curation_audit_oracle_sql(segment_stage=True)
+
+
+def curation_audit_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`curation_audit` with the duplicated-segment stage enabled
+    — the drop-accounting face of :func:`curate_corpus_segmented`,
+    registered separately (r8 verdict #5) so the segmented composition's
+    audit trail is itself driver-verified: per-document stage verdicts
+    plus ``n_dropped_segments`` (NULL for documents dropped before the
+    segment stage). tests/test_pipeline_audit.py pins the row-for-row
+    reconciliation against ``curate_corpus_segmented`` alongside the
+    oracle row."""
+    return curation_audit(spark, sf_dir, segment_stage=True)
 
 
 QUERIES: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
     "curation_audit": (curation_audit, ORACLE_CURATION_AUDIT),
     "curate_corpus_segmented": (curate_corpus_segmented, ORACLE_CURATE_SEGMENTED),
+    "curation_audit_segmented": (
+        curation_audit_segmented,
+        ORACLE_AUDIT_SEGMENTED,
+    ),
 }

@@ -1,0 +1,186 @@
+"""ANN recall evaluation: bucketed-LSH top-k measured against exact
+brute-force ground truth, per query.
+
+Beyond-reference LLM-pipeline surface (SURVEY.md §2 extension): every
+approximate-nearest-neighbor deployment ships with a recall dial
+(probes, buckets, cells) and the ONLY way to set it is to measure
+recall@k on a query sample against the exact answer. The engine has
+both sides already verified in isolation (``ann_cosine_topk`` exact,
+``ann_lsh_topk`` bucketed — llm/similarity.py); this query runs the
+evaluation loop over a deterministic MULTI-query sample and reports
+per-query recall, the table an index-tuning run actually reads.
+
+Output, one row per query vector (``vec_id % QUERY_MOD == 0``):
+
+    (qid, n_truth, n_approx, n_hits, recall_ppm)
+
+``n_truth`` = exact top-k size (k, or the corpus bound), ``n_approx``
+= candidates the query's own LSH bucket yielded (≤ k; 0 when the
+bucket is otherwise empty — kept as an honest 0-recall row),
+``n_hits`` = overlap, ``recall_ppm = n_hits * 1e6 div n_truth``
+(integer, exact in both engines).
+
+Determinism: cosines ride the same strict left-to-right IEEE fold and
+round-to-9 as the whole similarity family; top-k cuts order by
+``(cosine DESC, vec_id ASC)`` — a total order, so the k-sets are
+identical cross-engine.
+
+Scale shape (100 TB): the query sample is bounded (Q queries — the
+eval budget, not the corpus); ground truth is the expensive side BY
+DESIGN (Q broadcast queries × corpus scan, Arrow-vectorized dot
+kernels, per-partition top-k before the merge — Q·k rows ever
+shuffle); the approx side joins the bucketed corpus on bucket id,
+scanning ~1/2^planes of it per query. Nothing corpus-sized shuffles;
+the report is Q rows.
+
+Registered in r9, same round as built (r8 verdict #3).
+tests/test_mixing_leakage.py pins the oracle agreement, a numpy
+brute-force model of the truth sets, and the recall invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.similarity import (
+    LSH_PLANES,
+    TOPK,
+    _bucket_sql,
+    _bucket_udf,
+    _cosine_sql,
+    _dot,
+    _with_norm,
+)
+
+# Every 50th vec_id is a query: 10 queries at sf0.001/0.01 (500
+# vectors), 40 at sf0.1 (2000) — the sample grows with the corpus, as
+# a real eval set would.
+QUERY_MOD = 50
+
+
+def _topk_per_query(scored: DataFrame) -> DataFrame:
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id")
+    )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of single-probe bucketed LSH vs exact:
+    ``(qid, n_truth, n_approx, n_hits, recall_ppm)``."""
+    bucket_pd = _bucket_udf(LSH_PLANES)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        bucket_pd(F.col("embedding")).alias("bucket"),
+    )
+    # the bucketed+normed relation feeds three consumers (queries,
+    # truth scan, bucket scan): snapshot so the Arrow kernels run once
+    emb = emb.localCheckpoint(eager=False)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qvec"))
+        / (F.col("norm") * F.col("qnorm")),
+        9,
+    ).alias("cosine")
+    truth = _topk_per_query(
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine)
+    )
+    approx = _topk_per_query(
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        ).select("qid", "vec_id", cosine)
+    )
+    tn = truth.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    an = approx.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    hits = (
+        truth.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        tn.join(an, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_truth",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                "(coalesce(n_hits, 0) * 1000000) div n_truth"
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _recall_oracle_sql() -> str:
+    bucket = _bucket_sql("embedding", LSH_PLANES)
+    cos = _cosine_sql("b.embedding", "q.qvec")
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+),
+truth AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid ORDER BY {cos} DESC, b.vec_id ASC) AS rnk
+    FROM b, q WHERE b.vec_id <> q.qid
+  ) WHERE rnk <= {TOPK}
+),
+approx AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid ORDER BY {cos} DESC, b.vec_id ASC) AS rnk
+    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+  ) WHERE rnk <= {TOPK}
+),
+tn AS (SELECT qid, COUNT(*)::BIGINT AS n_truth FROM truth GROUP BY qid),
+an AS (SELECT qid, COUNT(*)::BIGINT AS n_approx FROM approx GROUP BY qid),
+hits AS (
+  SELECT t.qid, COUNT(*)::BIGINT AS n_hits
+  FROM truth t JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
+  GROUP BY t.qid
+)
+SELECT tn.qid, tn.n_truth,
+       COALESCE(an.n_approx, 0)::BIGINT AS n_approx,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       ((COALESCE(h.n_hits, 0) * 1000000) // tn.n_truth)::BIGINT
+         AS recall_ppm
+FROM tn
+LEFT JOIN an ON an.qid = tn.qid
+LEFT JOIN hits h ON h.qid = tn.qid
+"""
+
+
+ORACLE_ANN_RECALL = _recall_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_recall_report": (ann_recall_report, ORACLE_ANN_RECALL),
+}

@@ -80,6 +80,14 @@ def budget_filter(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    ).filter(
+        # token-less documents can't be admitted (zero trainable
+        # content) and must never reach the quality division below —
+        # without this guard a 0-token row's quality is engine-defined
+        # (NULL in Spark, error in DuckDB). Reachable via the segment
+        # stage of llm/pipeline.py, whose span rule can rewrite a
+        # document to the empty string (r8 advice).
+        F.col("n_tokens") > 0
     ).select(
         "lang",
         "doc_id",
@@ -116,6 +124,7 @@ WITH d AS (
          CAST((len(list_distinct({TOKENS_SQL.format(x='text')})) * {QUALITY_PPM})
               // len({TOKENS_SQL.format(x='text')}) AS BIGINT) AS quality
   FROM documents
+  WHERE len({TOKENS_SQL.format(x='text')}) > 0
 ), o AS (
   SELECT *,
          SUM(n_tokens) OVER (

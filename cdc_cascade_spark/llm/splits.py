@@ -31,10 +31,10 @@ threshold without recomputing hashes.
 Scale shape: map-only — a projection over the documents scan; no
 shuffle, no state, no driver data.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_splits.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_splits_vecquality.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -79,3 +79,8 @@ SELECT doc_id, lang,
        CAST({_PPM_SQL} AS BIGINT) AS split_ppm
 FROM documents
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_split": (corpus_split, ORACLE_CORPUS_SPLIT),
+}

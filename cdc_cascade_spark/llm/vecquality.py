@@ -33,10 +33,10 @@ Scale shape: map-only per-vector predicates (JVM array expressions,
 no UDF) followed by one label-keyed aggregate with map-side partial
 counts — no shuffle carries vectors.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_vecquality.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_splits_vecquality.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -155,3 +155,8 @@ SELECT label,
        SUM(is_low)::BIGINT AS n_low_norm
 FROM f2 GROUP BY label
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "embedding_quality_report": (embedding_quality_report, ORACLE_EMBEDDING_QUALITY),
+}

@@ -33,10 +33,10 @@ shuffle. At production scale both digest relations are incremental
 artifacts you persist per snapshot, making the diff a join of two
 pre-computed digest tables — exactly how table-format diffs work.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_versioning.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in r9.
+tests/test_versioning.py pins the oracle agreement and the op-mix
+invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -82,11 +82,18 @@ def _v2(docs: DataFrame) -> DataFrame:
     kept = docs.filter(F.col("doc_id") % DIFF_DELETE_MOD != 0).select(
         "doc_id", edited.alias("text"), "source"
     )
+    # Synthetic ids must come from a range no real doc_id can occupy at
+    # ANY corpus size (r8 advice: an offset like min+1e6 collides once
+    # real ids pass the offset, multiplying rows through the diff's full
+    # outer join in BOTH engines — invisible to the oracle). Real
+    # doc_ids are non-negative, so the negated-(min+1) ids are free; and
+    # since each source's MIN(doc_id) is itself a distinct real id, the
+    # negated values stay distinct across sources.
     added = (
         docs.groupBy("source")
         .agg(F.min("doc_id").alias("m"))
         .select(
-            (F.col("m") + 1_000_000).alias("doc_id"),
+            (-F.col("m") - 1).alias("doc_id"),
             F.concat(F.lit("v2-new-doc-for "), F.col("source")).alias("text"),
             "source",
         )
@@ -113,7 +120,10 @@ WITH v1 AS (
   FROM documents
   WHERE doc_id % {DIFF_DELETE_MOD} <> 0
 ), v2added AS (
-  SELECT MIN(doc_id) + 1000000 AS doc_id,
+  -- negative ids: guaranteed free of the (non-negative) real id space
+  -- at any corpus size, and distinct across sources because each
+  -- source's MIN(doc_id) is a distinct real id
+  SELECT -MIN(doc_id) - 1 AS doc_id,
          'v2-new-doc-for ' || source AS text
   FROM documents GROUP BY source
 ), v2 AS (
@@ -130,3 +140,8 @@ FROM v1 FULL OUTER JOIN v2 USING (doc_id)
 WHERE v1.old_digest IS NULL OR v2.new_digest IS NULL
    OR v1.old_digest <> v2.new_digest
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_diff": (corpus_diff, ORACLE_CORPUS_DIFF),
+}

@@ -23,10 +23,10 @@ state past the first partial aggregation. Hot keys are aggregate
 KEYS here (absorbed map-side), which is the point: the monitor must
 not itself melt under the skew it measures.
 
-Registration note: built in r8 after that round's 50-slot driver
-window was already committed (the established late-surface pattern);
-oracle + tests ship now, the registry entry lands in r9.
-tests/test_heavyhitters.py carries the claim meanwhile.
+Built in r8 after that round's 50-slot driver window was already
+committed (the established late-surface pattern); registered in
+r9. tests/test_heavyhitters.py pins the oracle agreement and the
+model invariants alongside the driver row.
 """
 
 from __future__ import annotations
@@ -42,15 +42,35 @@ from cdc_cascade_spark.catalog import load_table
 HOT_MIN_COUNT = 6
 
 
-def events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily heavy-hitter user keys over ``events`` with ppm share."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", F.col("ts").cast("timestamp"))
-        .cast("timestamp_ntz")
-        .alias("window_start"),
-        F.col("user_id").alias("key"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+def hot_keys_frame(
+    traffic: DataFrame,
+    ts_col: str | None = "ts",
+    key_col: str = "user_id",
+    min_count: int = HOT_MIN_COUNT,
+) -> DataFrame:
+    """Frame-level heavy-hitter report over any traffic frame — the
+    registered ``events_hot_keys`` query below and the composed ingest
+    pipeline's default salting list (streaming/ingest.py) both call
+    this, so the two surfaces cannot drift. ``ts_col=None`` collapses
+    the day windows into one global window (``window_start`` pinned to
+    the epoch — a non-null constant, so the totals join still matches)
+    — the shape a per-batch self-derived hot list needs, where the
+    batch IS the period."""
+    if ts_col is None:
+        window = (
+            F.lit("1970-01-01 00:00:00")
+            .cast("timestamp_ntz")
+            .alias("window_start")
+        )
+    else:
+        window = (
+            F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+            .cast("timestamp_ntz")
+            .alias("window_start")
+        )
+    daily = traffic.groupBy(window, F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
     # day totals re-reduced from the (day, key) counts — integer sums
     # are associative, so this equals counting raw events per day
     # without a second events scan
@@ -58,7 +78,7 @@ def events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("day_total")
     )
     return (
-        daily.filter(F.col("n_events") >= HOT_MIN_COUNT)
+        daily.filter(F.col("n_events") >= min_count)
         .join(F.broadcast(totals), "window_start")
         .select(
             "window_start",
@@ -68,6 +88,16 @@ def events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("share_ppm"),
         )
+    )
+
+
+def events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily heavy-hitter user keys over ``events`` with ppm share."""
+    return hot_keys_frame(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="user_id",
+        min_count=HOT_MIN_COUNT,
     )
 
 
@@ -86,3 +116,8 @@ SELECT d.window_start, d.key, d.n_events,
 FROM daily d JOIN totals t USING (window_start)
 WHERE d.n_events >= {HOT_MIN_COUNT}
 """
+
+
+QUERIES: dict[str, tuple] = {
+    "events_hot_keys": (events_hot_keys, ORACLE_EVENTS_HOT_KEYS),
+}

@@ -63,77 +63,59 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r8 window. CORRECTNESS_r07 was 50/50 green, so the ~30
-    # r6/r7-era pins rotate out and the budget finally covers both the
-    # r7-built late surfaces and the full stale-rotation debt. Slot
-    # arithmetic: 9 new + 5 changed + 9 r3-green + 13 r4-green +
-    # 9 r5-green = 45 hard pins; CHECK_NEXT carries 5 more r5-green.
-    # The 11 remaining r5-green queries (q01–q05, dq_constraint_report,
-    # doc_chunks, token_budget_selection, shingle_containment,
-    # corpus_profile, quantile_histogram) are fingerprint-frozen and
-    # rotate in r9 — prioritized out because they are single-table /
-    # already-spot-reverified shapes with no join-strategy risk.
-    # --- new r8 registrations — first green rows. Built + oracle-
-    # verified locally in r7 AFTER that round's window was committed
-    # (see each module's registration note).
-    "segment_dedup",
-    "source_reputation",
-    "bpe_encode_corpus",
-    "sketch_cms_heavy_hitters",
-    "events_rate_anomaly",
-    "curation_audit",
-    "multimodal_dedup",
-    # the LM admission filter's integer-decision face (r7 verdict #4:
-    # bring the last major test-only LLM surface under the oracle gate)
-    "lm_score_filter",
-    # the curation chain with the C4 span-dedup stage enabled (r7
-    # verdict #3) — registered beside curate_corpus, not replacing it
-    "curate_corpus_segmented",
-    # --- changed-fingerprint re-pins: adding the late surfaces to
-    # llm/pipeline.py, llm/multimodal.py and llm/bpe.py QUERIES dicts
-    # re-fingerprints every query those modules define.
+    # --- r9 window. CORRECTNESS_r08 was 50/50 green. Slot arithmetic:
+    # 13 new registrations (9 r8-built + 4 r9-built) + 5 changed-
+    # fingerprint re-pins + 11 r5-green stale rotations = 29 hard pins;
+    # CHECK_NEXT fills the remaining slots with r7-green re-evidence
+    # (join/plan-risk first). The ~27 r7-green queries that do not fit
+    # are fingerprint-frozen and rotate in r10 (oldest-first, per the
+    # cadence note above).
+    # --- new r9 registrations — first green rows (r8 verdict #1: the
+    # eight oracle-READY r8-built surfaces, plus the segmented audit
+    # built this round per r8 verdict #5).
+    "corpus_split",
+    "embedding_quality_report",
+    "events_hot_keys",
+    "source_dedup_matrix",
+    "corpus_diff",
+    "packing_efficiency",
+    "embedding_cluster_profile",
+    "bpe_fertility_by_lang",
+    "curation_audit_segmented",
+    # --- built AND registered in r9 (r8 verdict #3: drain the
+    # registration pipeline the same round): the oracle face of the
+    # mixing family, the split-leakage audit composing two verified
+    # operators, and the ANN recall evaluation.
+    "corpus_mixture_plan",
+    "corpus_mixture_sample",
+    "split_leakage_pairs",
+    "ann_recall_report",
+    # --- changed-fingerprint re-pins. llm/pipeline.py changed (the
+    # token-less-survivor left-join fix + the segmented audit oracle,
+    # r8 advice #3 / verdict #5); llm/selection.py changed (the
+    # budget_filter zero-token guard backing that fix); llm/bpe.py
+    # changed (the fertility registration). selection's own two
+    # queries are already pinned in the r5-stale block below.
     "curate_corpus",
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
+    "curation_audit",
+    "curate_corpus_segmented",
     "bpe_train_k_merges",
-    # --- r3-green rotation debt (4 rounds stale; r7 verdict #2): the
-    # nine expression/subquery/reshape suites deferred since r6.
-    "q16_distinct_stats",
-    "q21_above_segment_average",
-    "q22_in_subquery",
-    "q24_explode_lateral",
-    "q25_datetime_functions",
-    "q26_string_functions",
-    "q29_array_functions",
-    "q30_null_semantics",
-    "q31_unpivot_metrics",
-    # --- r4-green rotation (3 rounds stale, oldest-first after r3).
-    "q06_customers_without_orders",
-    "q07_rollup_sales",
-    "q08_topk_customers_per_segment",
-    "q09_monthly_revenue_window",
-    "q10_set_operations",
-    "q11_scalar_functions",
-    "q12_json_extraction",
-    "funnel_conversion",
-    "cohort_retention",
-    "sketch_kmv_distinct",
-    "sketch_kmv_setops",
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    # --- r5-green rotation, join/plan-risk first: the CDC JSON
-    # round-trip pair and the blocked/banded dedup family (the shapes
-    # where a planner change could matter most).
-    "cdc_op_routing",
-    "cdc_invalidation_summary",
-    "dedup_exact",
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_weighted",
-    "minhash_jaccard_estimate",
+    "bpe_encode_corpus",
+    # --- r5-green rotation debt (r8 verdict #2): the 11 queries whose
+    # last driver row is 4 rounds old — the registry's own cadence
+    # target requires them this round. token_budget_selection and
+    # shingle_containment double as llm/selection.py changed-pins.
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_semi",
+    "dq_constraint_report",
+    "doc_chunks",
+    "token_budget_selection",
+    "shingle_containment",
+    "corpus_profile",
+    "quantile_histogram",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -141,15 +123,31 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r8: five more r5-green queries —
-# the two heaviest dedup pipelines (both spot-reverified at sf0.01 by
-# the r7 judge), the window suite, sequence packing and collocations.
+# never for changed or new code. r9: twenty r7-green queries, two
+# rounds past their last row, join/plan-risk first — the ANN/vector
+# families (broadcast + WindowGroupLimit shapes), the as-of/range/
+# interval joins, the gap-fill pair, then the monitoring pair.
 CHECK_NEXT: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    "q28_window_suite",
-    "pack_sequences",
-    "bigram_lift",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multitable_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_top_pairs",
+    "dedup_embedding_cosine",
+    "embedding_quantize",
+    "knn_join_topk",
+    "ann_int8_topk",
+    "asof_latest_order",
+    "asof_prev_click_tolerance",
+    "range_join_signup_activity",
+    "overlap_join_order_windows",
+    "events_gap_fill",
+    "events_gap_fill_segmented",
+    "minhash_novelty",
+    "corpus_drift_report",
+    "q13_sessionize_events",
 ]
 
 
@@ -157,22 +155,31 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     from cdc_cascade_spark.cdc import queries as cdc_queries
     from cdc_cascade_spark.llm import (
         bpe,
+        clusterprof,
         curation,
         dedup,
         drift,
+        leakage,
         lm_score,
+        mirrors,
+        mixing,
         multimodal,
         novelty,
         packing,
+        packstats,
         pipeline,
         profile,
         quality_rules,
+        recall,
         segdedup,
         selection,
         similarity,
         sources,
+        splits,
         text,
+        vecquality,
         vectorops,
+        versioning,
     )
     from cdc_cascade_spark.operators import (
         anomaly,
@@ -180,6 +187,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         behavior,
         cms,
         collocations,
+        heavyhitters,
         quality,
         quantiles,
         ranges,
@@ -221,6 +229,16 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         cms,
         anomaly,
         lm_score,
+        splits,
+        vecquality,
+        versioning,
+        mirrors,
+        packstats,
+        clusterprof,
+        heavyhitters,
+        mixing,
+        leakage,
+        recall,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

@@ -58,15 +58,39 @@ from pyspark.sql import functions as F
 
 from cdc_cascade_spark.llm.drift import corpus_drift
 from cdc_cascade_spark.llm.shuffling import _order_hash
+from cdc_cascade_spark.operators.heavyhitters import (
+    HOT_MIN_COUNT,
+    hot_keys_frame,
+)
 from cdc_cascade_spark.operators.skew import salted_join_targeted
 from cdc_cascade_spark.streaming.enrich import build_static_index, curate_batch
+
+
+def hot_list_from_traffic(
+    traffic: DataFrame,
+    key_col: str = "source",
+    ts_col: str | None = "ts",
+    min_count: int = HOT_MIN_COUNT,
+) -> DataFrame:
+    """Tomorrow's salting list from yesterday's traffic: the distinct
+    keys of the batch heavy-hitter report
+    (``operators/heavyhitters.py::hot_keys_frame`` — the same operator
+    the driver verifies as ``events_hot_keys``). This is how a
+    scheduled pipeline feeds the composed ingest: the nightly
+    heavy-hitter run over the ingest-event log becomes the next day's
+    ``hot_sources`` (r8 verdict #4)."""
+    return (
+        hot_keys_frame(traffic, ts_col, key_col, min_count)
+        .select(F.col("key").alias(key_col))
+        .distinct()
+    )
 
 
 def ingest_batch(
     incoming: DataFrame,
     static_docs: DataFrame,
     source_meta: DataFrame,
-    hot_sources: DataFrame,
+    hot_sources: DataFrame | None = None,
     static_index: DataFrame | None = None,
     n_shards: int = 8,
     n_salts: int = 8,
@@ -75,7 +99,16 @@ def ingest_batch(
     """Batch-semantics core of the ingest pipeline: admission →
     skew-aware enrichment → shard assignment. Factored out of the
     stream so the convergence test can run the IDENTICAL code path on
-    the all-at-once reference (the ``curate_batch`` pattern)."""
+    the all-at-once reference (the ``curate_batch`` pattern).
+
+    ``hot_sources=None`` self-derives the salting list from the batch's
+    own per-source volume via the heavy-hitter operator (the batch IS
+    the traffic period) — safe because the targeted salted join equals
+    the plain join for ANY hot list (the skew module's property); the
+    list only moves rows between reducers. Callers with a real traffic
+    log pass :func:`hot_list_from_traffic` output instead."""
+    if hot_sources is None:
+        hot_sources = hot_list_from_traffic(incoming, ts_col=None)
     admitted = curate_batch(incoming, static_docs, static_index)
     enriched = salted_join_targeted(
         admitted, source_meta, "source", hot_sources, n_salts=n_salts
@@ -90,7 +123,7 @@ def start_production_ingest(
     stream_docs: DataFrame,
     static_docs: DataFrame,
     source_meta: DataFrame,
-    hot_sources: DataFrame,
+    hot_sources: DataFrame | None,
     out_dir: str,
     monitor_dir: str,
     checkpoint_dir: str,
@@ -101,7 +134,12 @@ def start_production_ingest(
     """Run the composed ingest over a document stream. Returns the
     StreamingQuery; admitted+enriched docs land under
     ``out_dir/batch_id=N/shard=K/``, drift reports under
-    ``monitor_dir/batch_id=N/``."""
+    ``monitor_dir/batch_id=N/``.
+
+    ``hot_sources`` is the salting list: the live streaming monitor's
+    output, :func:`hot_list_from_traffic` over a traffic log (the
+    nightly pattern), or ``None`` to let each micro-batch self-derive
+    its list from its own source volume (see :func:`ingest_batch`)."""
     index = build_static_index(static_docs)
     ref = static_docs.localCheckpoint(eager=True)
 

@@ -127,6 +127,47 @@ def test_hot_monitor_flags_exactly_the_flooded_source(hot_sources, ingest_fixtur
     assert n_sources > 10  # the threshold pruned a real population
 
 
+def test_batch_heavy_hitter_face_feeds_the_same_hot_list(
+    spark, ingest_fixture, hot_sources
+):
+    """r8 verdict #4: the nightly batch face (events_hot_keys /
+    hot_keys_frame) over the ingest-event log derives the SAME hot list
+    the streaming monitor produced — and the composed ingest accepts it
+    as the default hot-source path."""
+    from cdc_cascade_spark.streaming.ingest import (
+        hot_list_from_traffic,
+        ingest_batch,
+    )
+
+    fx = ingest_fixture
+    traffic = spark.read.parquet(str(fx["events_dir"]))
+    derived = hot_list_from_traffic(
+        traffic, key_col="source", ts_col="ts", min_count=HOT_MIN_COUNT
+    )
+    assert {r.source for r in derived.collect()} == hot_sources["keys"]
+
+    # the composed batch run fed by the DERIVED list equals the run fed
+    # by the streaming monitor's list (salting is semantics-neutral)
+    ref = ingest_batch(
+        fx["incoming_all"], fx["static"], fx["source_meta"],
+        hot_sources["frame"],
+    )
+    got = ingest_batch(
+        fx["incoming_all"], fx["static"], fx["source_meta"], derived
+    )
+    cols = sorted(ref.columns)
+    assert {tuple(r[c] for c in cols) for r in got.collect()} == {
+        tuple(r[c] for c in cols) for r in ref.collect()
+    }
+
+    # hot_sources=None: each batch self-derives its list — still the
+    # same admitted/enriched/sharded rows
+    selfd = ingest_batch(fx["incoming_all"], fx["static"], fx["source_meta"])
+    assert {tuple(r[c] for c in cols) for r in selfd.collect()} == {
+        tuple(r[c] for c in cols) for r in ref.collect()
+    }
+
+
 def test_ingest_stream_converges_to_batch_reference(
     spark, ingest_fixture, hot_sources, tmp_path
 ):

@@ -72,6 +72,25 @@ def test_curation_audit_reconciles_with_curate_corpus_and_stages(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_curation_audit_segmented_oracle_agrees(spark, sf):
+    """The r9-registered segmented audit (r8 verdict #5): the composed
+    oracle embeds the segdedup CTE verbatim over the survivors CTE."""
+    from cdc_cascade_spark.llm.pipeline import (
+        ORACLE_AUDIT_SEGMENTED,
+        curation_audit_segmented,
+    )
+    from cdc_cascade_spark.testing.parity import compare, duckdb_connect
+
+    res = compare(
+        "curation_audit_segmented",
+        curation_audit_segmented(spark, sf).toPandas(),
+        duckdb_connect(sf).execute(ORACLE_AUDIT_SEGMENTED).df(),
+    )
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
 def test_segmented_pipeline_reconciles_with_segmented_audit(spark):
     from cdc_cascade_spark.llm.pipeline import (
         curate_corpus_segmented,
