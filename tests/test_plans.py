@@ -164,6 +164,15 @@ def test_plan_lint_all_registered_queries(spark):
         "knn_join_topk": {"bnlj"},
         # 1-row total-token-count frame broadcast into the lift formula
         "bigram_lift": {"bnlj"},
+        # 1-row n_sources frame broadcast into the per-source quota
+        # arithmetic (plan is source-cardinality-sized; the sample
+        # inherits the plan subtree verbatim)
+        "corpus_mixture_plan": {"bnlj"},
+        "corpus_mixture_sample": {"bnlj"},
+        # Q-row query-sample broadcast for the exact ground-truth scan
+        # — recall eval is all-pairs against the sample BY DESIGN (the
+        # knn_join_topk shape); the bucketed approx side hash-joins
+        "ann_recall_report": {"bnlj"},
         # 1-row totals / per-side stats frames broadcast into each
         # metric's single division (the bigram_lift shape, x3)
         "corpus_drift_report": {"bnlj"},
