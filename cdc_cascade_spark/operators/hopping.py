@@ -1,0 +1,75 @@
+"""Hopping (sliding) event-time windows over the bounded events table.
+
+Relational/streaming coverage extension: the tumbling hourly rollup
+(operators/timeseries.py's family, q17) counts each event once; real
+rate monitoring usually wants OVERLAPPING windows — here 2-hour
+windows sliding by 1 hour, the batch face of Structured Streaming's
+``window(ts, '2 hours', '1 hour')``. Each event belongs to exactly two
+hop-aligned windows (``date_trunc('hour', ts)`` and the hour before),
+so the operator is an explode-by-2 followed by one aggregation — the
+same shape Spark's own window() function lowers to, written explicitly
+so the DuckDB oracle states the identical arithmetic.
+
+Output: ``(window_start, n_events, n_users)`` for every 2-hour window
+with at least one event.
+
+Scale shape: map-side explode (2 rows per event, no shuffle), ONE
+shuffle on window_start with map-side partial counts; the distinct
+user count is Spark's standard two-phase distinct aggregate (partial
+on (window, user) first), so hot windows are absorbed map-side.
+Windows are only ever hour-aligned — the key space is bounded by the
+time range, not the event volume.
+
+Registered in r9, same round as built (r8 verdict #3).
+tests/test_dedup_eval.py pins the oracle agreement and a pure-Python
+window-coverage model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+
+HOP_HOURS = 1
+WINDOW_HOURS = 2
+
+
+def q33_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping hourly over ``events``:
+    ``(window_start, n_events, n_users)``."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    h = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    return (
+        ev.select(
+            F.explode(
+                F.array(h - F.expr("INTERVAL 1 HOUR"), h)
+            ).alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+ORACLE_Q33 = """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS window_start,
+         user_id
+  FROM events
+)
+SELECT window_start,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM w GROUP BY window_start
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q33_hopping_windows": (q33_hopping_windows, ORACLE_Q33),
+}

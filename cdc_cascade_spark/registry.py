@@ -64,8 +64,8 @@ CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
     # --- r9 window. CORRECTNESS_r08 was 50/50 green. Slot arithmetic:
-    # 13 new registrations (9 r8-built + 4 r9-built) + 5 changed-
-    # fingerprint re-pins + 11 r5-green stale rotations = 29 hard pins;
+    # 16 new registrations (9 r8-built + 7 r9-built) + 5 changed-
+    # fingerprint re-pins + 11 r5-green stale rotations = 32 hard pins;
     # CHECK_NEXT fills the remaining slots with r7-green re-evidence
     # (join/plan-risk first). The ~27 r7-green queries that do not fit
     # are fingerprint-frozen and rotate in r10 (oldest-first, per the
@@ -90,6 +90,9 @@ CHECK_FIRST: list[str] = [
     "corpus_mixture_sample",
     "split_leakage_pairs",
     "ann_recall_report",
+    "minhash_banding_curve",
+    "dedup_index_probe",
+    "q33_hopping_windows",
     # --- changed-fingerprint re-pins. llm/pipeline.py changed (the
     # token-less-survivor left-join fix + the segmented audit oracle,
     # r8 advice #3 / verdict #5); llm/selection.py changed (the
@@ -123,10 +126,12 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r9: twenty r7-green queries, two
+# never for changed or new code. r9: eighteen r7-green queries, two
 # rounds past their last row, join/plan-risk first — the ANN/vector
 # families (broadcast + WindowGroupLimit shapes), the as-of/range/
-# interval joins, the gap-fill pair, then the monitoring pair.
+# interval joins, the gap-fill pair, then the novelty screen
+# (corpus_drift_report and q13_sessionize_events were displaced by the
+# late r9 builds; they rotate in r10 with the rest of the r7 cohort).
 CHECK_NEXT: list[str] = [
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -146,8 +151,6 @@ CHECK_NEXT: list[str] = [
     "events_gap_fill",
     "events_gap_fill_segmented",
     "minhash_novelty",
-    "corpus_drift_report",
-    "q13_sessionize_events",
 ]
 
 
@@ -158,6 +161,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         clusterprof,
         curation,
         dedup,
+        dedup_eval,
         drift,
         leakage,
         lm_score,
@@ -188,6 +192,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         cms,
         collocations,
         heavyhitters,
+        hopping,
         quality,
         quantiles,
         ranges,
@@ -239,6 +244,8 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         mixing,
         leakage,
         recall,
+        dedup_eval,
+        hopping,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

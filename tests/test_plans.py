@@ -169,6 +169,10 @@ def test_plan_lint_all_registered_queries(spark):
         # inherits the plan subtree verbatim)
         "corpus_mixture_plan": {"bnlj"},
         "corpus_mixture_sample": {"bnlj"},
+        # 1-row × 1-row cross of (sample count, materialized-pair
+        # count) for the zero-shared-shingle pair arithmetic (the
+        # bigram_lift shape)
+        "minhash_banding_curve": {"bnlj"},
         # Q-row query-sample broadcast for the exact ground-truth scan
         # — recall eval is all-pairs against the sample BY DESIGN (the
         # knn_join_topk shape); the bucketed approx side hash-joins
