@@ -133,15 +133,25 @@ def main() -> None:
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 4),
                 # Queries whose warm slots ride a session-level cache
-                # (the (session, sf_dir, k) trained-BPE state): their
-                # honest per-run cost is the COLD figure — the warm
-                # median measures a cache read. Duplicated here, after
-                # the big per-query dicts, so the driver's tail capture
+                # (the (session, sf_dir, k) trained-BPE state; the
+                # (session, sf_dir) curation stage-verdict frame of
+                # llm/pipeline.py): their honest per-run cost is the
+                # COLD figure — the warm median measures a cache read,
+                # and within each family the FIRST slot's cold pass
+                # pays the shared build. Duplicated here, after the
+                # big per-query dicts, so the driver's tail capture
                 # preserves the honest numbers even when the head of
                 # the JSON line is truncated.
                 "cache_backed_slots": {
                     n: {"warm_med": warm[n], "cold": cold[n]}
-                    for n in ("bpe_train_k_merges", "bpe_encode_corpus")
+                    for n in (
+                        "bpe_train_k_merges",
+                        "bpe_encode_corpus",
+                        "curate_corpus",
+                        "curation_audit",
+                        "curate_corpus_segmented",
+                        "curation_audit_segmented",
+                    )
                     if n in warm
                 },
                 "streaming": streaming,

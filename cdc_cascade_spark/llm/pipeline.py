@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.caching import BoundedDFCache
 from cdc_cascade_spark.llm.curation import (
     ORACLE_CONTAMINATION,
     ORACLE_PII,
@@ -44,6 +45,86 @@ from cdc_cascade_spark.llm.selection import (
     STRATUM_TOKEN_BUDGET,
     budget_filter,
 )
+
+
+# The per-document stage-verdict frame is the shared substrate of the
+# WHOLE pipeline family (curate_corpus, curation_audit, both segmented
+# variants): all four need the same four stage decisions over the same
+# corpus, and rebuilding the chain per query quadruples its cost in
+# any session that runs more than one of them. One persisted frame per
+# (session, sf_dir) — the session-scoped analogue of the "materialize
+# each stage to storage" architecture the module docstring describes
+# for 100 TB, where the verdict table is a first-class artifact both
+# the corpus build and the audit read. Slots riding this cache publish
+# their cold figures in the bench's ``cache_backed_slots`` (the
+# trained-BPE-state policy).
+_FLAGS_CACHE = BoundedDFCache()
+
+
+def _flags_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per raw document with every per-document stage verdict:
+    (doc_id, lang, source, clean_text, is_dup_loser, failed_quality,
+    contaminated, was_redacted). Budget admission is NOT a column here
+    — it depends on which documents survive (and, for the segmented
+    variants, on the span rewrite), so each consumer computes it over
+    its own survivor text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    reps = dedup_cluster_representatives(spark, sf_dir)
+    losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
+        "doc_id", F.lit(True).alias("_loser")
+    )
+    keep = quality_floor_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_kept_q")
+    )
+    contaminated = (
+        contamination_check(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_contam"))
+    )
+    red = pii_redaction(spark, sf_dir).select(
+        "doc_id",
+        F.col("redacted").alias("clean_text"),
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).alias(
+            "was_redacted"
+        ),
+    )
+    return (
+        docs.join(losers, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(red, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "clean_text",
+            F.coalesce(F.col("_loser"), F.lit(False)).alias("is_dup_loser"),
+            (~F.coalesce(F.col("_kept_q"), F.lit(False))).alias(
+                "failed_quality"
+            ),
+            F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
+            "was_redacted",
+        )
+    )
+
+
+def curation_flags_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _FLAGS_CACHE.get_or_build(
+        spark, sf_dir, lambda: _flags_frame(spark, sf_dir)
+    )
+
+
+def _survivor():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module must import without one (registry fingerprinting)
+    return (
+        ~F.col("is_dup_loser")
+        & ~F.col("failed_quality")
+        & ~F.col("contaminated")
+    )
 
 
 def curate_corpus(
@@ -71,43 +152,15 @@ def curate_corpus(
        by earlier stages cannot claim first-occurrence status.
     5. each (lang) stratum admits docs up to its token budget.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
+    # Stages 1-4 are the shared persisted verdict frame (see
+    # curation_flags_cached): survivors = documents no stage dropped,
+    # carrying their redacted text. The persisted frame also serves as
+    # the multi-consumer snapshot the old per-query localCheckpoint
+    # provided (budget relation + final rejoin + optional segment
+    # relation all re-read it).
+    survivors = curation_flags_cached(spark, sf_dir).filter(_survivor()).select(
+        "doc_id", "lang", "source", "clean_text", "was_redacted"
     )
-    # 1. near-dup collapse: drop clustered docs that are not their
-    # cluster's representative. No broadcast hint: loser sets are
-    # O(corpus) at web scale (20-50% of documents is normal) — AQE
-    # picks broadcast when the set happens to be small.
-    reps = dedup_cluster_representatives(spark, sf_dir)
-    dup_losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
-        "doc_id"
-    )
-    survivors = docs.join(dup_losers, "doc_id", "left_anti")
-    # 2. quality floor: semi-join the keep set
-    keep = quality_floor_filter(spark, sf_dir).select("doc_id")
-    survivors = survivors.join(keep, "doc_id", "left_semi")
-    # 3. contamination: drop contaminated training docs
-    contaminated = contamination_check(spark, sf_dir).select(
-        F.col("train_doc").alias("doc_id")
-    )
-    survivors = survivors.join(contaminated, "doc_id", "left_anti")
-    # 4. PII redaction: swap in the redacted text
-    red = pii_redaction(spark, sf_dir).select(
-        "doc_id",
-        F.col("redacted").alias("clean_text"),
-        (
-            (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
-        ).alias("was_redacted"),
-    )
-    survivors = survivors.join(red, "doc_id")
-    # The survivors frame always feeds TWO consumers (the budget
-    # relation and the final rejoin; with the segment stage also the
-    # segment relation); without a snapshot each branch re-executes
-    # the whole four-stage chain. Measured warm at sf0.1: base
-    # pipeline 3.3 → 2.0 s, segmented 5.3 → 3.3 s (the expensive-
-    # subtree case where localCheckpoint pays, unlike the cheap-frame
-    # CMS counterexample recorded in BUILD_NOTES r7).
-    survivors = survivors.localCheckpoint(eager=False)
     # 4b. optional duplicated-segment removal over the survivors'
     # redacted text (see docstring)
     if segment_stage:
@@ -281,50 +334,10 @@ def curation_audit(
     committed); tests/test_pipeline_audit.py pins the curate_corpus
     reconciliation alongside the oracle row.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    reps = dedup_cluster_representatives(spark, sf_dir)
-    losers = reps.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
-        "doc_id", F.lit(True).alias("_loser")
-    )
-    keep = quality_floor_filter(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("_kept_q")
-    )
-    contaminated = (
-        contamination_check(spark, sf_dir)
-        .select(F.col("train_doc").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit(True).alias("_contam"))
-    )
-    red = pii_redaction(spark, sf_dir).select(
-        "doc_id",
-        F.col("redacted").alias("clean_text"),
-        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).alias(
-            "was_redacted"
-        ),
-    )
-    flags = (
-        docs.join(losers, "doc_id", "left")
-        .join(keep, "doc_id", "left")
-        .join(contaminated, "doc_id", "left")
-        .join(red, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "clean_text",
-            F.coalesce(F.col("_loser"), F.lit(False)).alias("is_dup_loser"),
-            (~F.coalesce(F.col("_kept_q"), F.lit(False))).alias("failed_quality"),
-            F.coalesce(F.col("_contam"), F.lit(False)).alias("contaminated"),
-            "was_redacted",
-        )
-        # flags feeds TWO consumers (the survivor filter feeding the
-        # budget stage, and the final verdict join) — snapshotting the
-        # expensive four-stage chain stops each branch re-executing it:
-        # measured 2.9 s → 2.2 s warm at sf0.1
-        .localCheckpoint(eager=False)
-    )
-    survivor = (
-        ~F.col("is_dup_loser") & ~F.col("failed_quality") & ~F.col("contaminated")
-    )
+    # the shared persisted verdict frame IS the audit's flags relation
+    # (plus `source`, which the audit does not emit)
+    flags = curation_flags_cached(spark, sf_dir)
+    survivor = _survivor()
     survivors = flags.filter(survivor).select(
         "doc_id", "lang", F.col("clean_text").alias("text")
     )
