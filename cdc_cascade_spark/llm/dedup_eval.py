@@ -172,13 +172,19 @@ def minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_candidates").cast("bigint").alias("n_candidates"),
         )
     )
-    return merged.select(
-        F.col("decile").cast("bigint").alias("jaccard_decile"),
-        "n_pairs",
-        "n_candidates",
-        F.expr("(n_candidates * 1000000) div n_pairs")
-        .cast("bigint")
-        .alias("catch_ppm"),
+    return (
+        # drop empty buckets BEFORE the share division: the synthetic
+        # decile-0 row is 0 on an empty/1-doc corpus (ANSI div-by-zero)
+        # and the oracle emits rows only for deciles that hold pairs
+        merged.filter(F.col("n_pairs") > 0)
+        .select(
+            F.col("decile").cast("bigint").alias("jaccard_decile"),
+            "n_pairs",
+            "n_candidates",
+            F.expr("(n_candidates * 1000000) div n_pairs")
+            .cast("bigint")
+            .alias("catch_ppm"),
+        )
     )
 
 
