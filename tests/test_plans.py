@@ -154,6 +154,7 @@ def test_plan_lint_all_registered_queries(spark):
         "curate_corpus": {"bnlj"},
         "curate_corpus_segmented": {"bnlj"},
         "curation_audit": {"bnlj"},
+        "curation_audit_segmented": {"bnlj"},
         # 1-row corpus-count frame broadcast into the idf-tier weight
         "dedup_simhash_weighted": {"bnlj"},
         # 1-row quality-threshold frame (TakeOrderedAndProject result)
