@@ -112,3 +112,46 @@ def test_every_query_verified_once_or_scheduled():
         f"queries never driver-verified and not scheduled this round: "
         f"{orphans} — pin them in CHECK_FIRST"
     )
+
+
+def test_no_frozen_query_exceeds_the_staleness_budget():
+    """Rotation-cadence ceiling (r8 verdict #2, promised in the registry
+    docstring): the committed per-round CORRECTNESS files ARE the green
+    history, so the "no query drifts more than ~2 rounds past its last
+    driver row" target is machine-checkable. Every registered query
+    must either sit in the CURRENT window (getting a row this round) or
+    have a green row at most 2 report-rounds old. Fails the round a
+    frozen query slips to 3 rounds stale — the alarm that forces the
+    rotation the r5-green cohort missed for two rounds."""
+    import glob
+    import re
+
+    last_green: dict[str, int] = {}
+    latest = 0
+    for path in glob.glob(str(MANIFEST.parent.parent / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        latest = max(latest, rnd)
+        for name, row in json.loads(Path(path).read_text()).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    names = list(all_queries())
+    window = set(names[:CHECK_WINDOW])
+    overdue = sorted(
+        n
+        for n in names
+        if n not in window
+        and n in last_green
+        and latest - last_green[n] >= 2
+        # "latest - green >= 2" means the query will be 3+ rounds past
+        # its row when THIS round's report lands — past the budget
+    )
+    assert not overdue, (
+        f"frozen queries overdue for re-verification (last green ≥2 "
+        f"reports ago, not in the current window): {overdue} — rotate "
+        f"them into CHECK_NEXT/CHECK_FIRST"
+    )
