@@ -121,3 +121,33 @@ def test_hopping_windows_match_python_model(spark):
     assert got == {ws: (n, len(u)) for ws, (n, u) in want.items()}
     # every event is double-counted across windows, none lost
     assert sum(n for n, _ in got.values()) == 2 * len(ev)
+
+
+def test_q33_is_the_batch_face_of_the_streaming_sliding_window(spark, tmp_path):
+    """The registered hopping-window query must produce the exact
+    (window_start, n_events) map the streaming sliding_activity
+    (2 h window, 1 h slide) emits over the same events — the
+    streaming ≡ batch convergence discipline (hot_keys precedent),
+    now driver-anchored through q33's oracle row."""
+    from cdc_cascade_spark.operators.hopping import q33_hopping_windows
+    from cdc_cascade_spark.streaming.windows import sliding_activity, stream_events
+
+    q = (
+        sliding_activity(stream_events(spark, SF))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("q33_sliding_face")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM q33_sliding_face").collect()
+    }
+    want = {
+        r.window_start: r.n_events
+        for r in q33_hopping_windows(spark, SF).collect()
+    }
+    assert got == want
