@@ -233,7 +233,8 @@ def _curate_corpus_oracle_sql(segment_stage: bool = False) -> str:
     template that defines the stand-alone query's oracle) and the
     budget CTEs read the span-deduplicated text.
     """
-    toks = TOKENS_SQL.format(x="text")
+    # non-empty tokens, mirroring budget_filter's Spark-side filter
+    toks = f"list_filter({TOKENS_SQL.format(x='text')}, t -> t <> '')"
     if segment_stage:
         seg_cte = f"""
 seg AS MATERIALIZED (
@@ -392,7 +393,8 @@ def _curation_audit_oracle_sql(segment_stage: bool = False) -> str:
     stand-alone query's oracle), budgeting reads the span-deduplicated
     text, and the output appends ``n_dropped_segments`` (r8 verdict
     #5)."""
-    toks = TOKENS_SQL.format(x="text")
+    # non-empty tokens, mirroring budget_filter's Spark-side filter
+    toks = f"list_filter({TOKENS_SQL.format(x='text')}, t -> t <> '')"
     if segment_stage:
         seg_cte = f""",
 seg AS MATERIALIZED (

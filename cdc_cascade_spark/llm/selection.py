@@ -74,7 +74,11 @@ def budget_filter(docs: DataFrame) -> DataFrame:
     (first-fit prefix: the document that crosses the budget line is
     rejected and admission stops — running total is monotone).
     """
-    toks = tokens(F.col("text"))
+    # NON-EMPTY tokens only (the segdedup.py discipline): a raw \s+
+    # split of '' is [''] — size 1, NOT 0 — so without the filter an
+    # empty-text document would sail past the zero-token guard below
+    # and be admitted at maximum quality (1 distinct / 1 token).
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
     d = docs.select(
         "lang",
         "doc_id",
@@ -117,14 +121,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# non-empty tokens, mirroring budget_filter's Spark-side list filter
+_NE_TOKS = f"list_filter({TOKENS_SQL.format(x='text')}, t -> t <> '')"
+
 ORACLE_TOKEN_BUDGET = f"""
 WITH d AS (
   SELECT lang, doc_id,
-         len({TOKENS_SQL.format(x='text')}) AS n_tokens,
-         CAST((len(list_distinct({TOKENS_SQL.format(x='text')})) * {QUALITY_PPM})
-              // len({TOKENS_SQL.format(x='text')}) AS BIGINT) AS quality
+         len({_NE_TOKS}) AS n_tokens,
+         CAST((len(list_distinct({_NE_TOKS})) * {QUALITY_PPM})
+              // len({_NE_TOKS}) AS BIGINT) AS quality
   FROM documents
-  WHERE len({TOKENS_SQL.format(x='text')}) > 0
+  WHERE len({_NE_TOKS}) > 0
 ), o AS (
   SELECT *,
          SUM(n_tokens) OVER (

@@ -64,7 +64,7 @@ CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
     # --- r9 window. CORRECTNESS_r08 was 50/50 green. Slot arithmetic:
-    # 16 new registrations (9 r8-built + 7 r9-built) + 5 changed-
+    # 16 new registrations (8 r8-built + 8 r9-built) + 5 changed-
     # fingerprint re-pins + 11 r5-green stale rotations = 32 hard pins;
     # CHECK_NEXT fills the remaining slots with r7-green re-evidence
     # (join/plan-risk first). The ~27 r7-green queries that do not fit

@@ -68,6 +68,7 @@ from cdc_cascade_spark.streaming.enrich import build_static_index, curate_batch
 
 def hot_list_from_traffic(
     traffic: DataFrame,
+    *,
     key_col: str = "source",
     ts_col: str | None = "ts",
     min_count: int = HOT_MIN_COUNT,

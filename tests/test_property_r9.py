@@ -198,3 +198,30 @@ def test_hopping_coverage_on_random_event_times(spark, offsets):
             if hh == r.ws or hh == r.ws + datetime.timedelta(hours=1)
         )
         assert r.n == want
+
+
+def test_budget_filter_rejects_token_less_documents(spark):
+    """Regression (r9 review): a raw \\s+ split of '' is [''] — size 1
+    — so without the non-empty-token filter an empty-text survivor
+    (reachable via the segment stage's full-rewrite case) would be
+    admitted FIRST in its stratum at quality 1000. It must instead be
+    rejected by the explicit zero-token guard, in both engines."""
+    import duckdb
+
+    from cdc_cascade_spark.llm.selection import budget_filter
+
+    df = spark.createDataFrame(
+        [(1, "en", ""), (2, "en", "   "), (3, "en", "real tokens here")],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r.doc_id, r.n_tokens, r.quality) for r in budget_filter(df).collect()}
+    assert got == {(3, 3, 1000)}
+    # the oracle's d-CTE arithmetic agrees on the same rows
+    from cdc_cascade_spark.llm.selection import _NE_TOKS
+
+    rows = duckdb.sql(
+        "SELECT doc_id FROM (VALUES (1, ''), (2, '   '), "
+        "(3, 'real tokens here')) v(doc_id, text) "
+        f"WHERE len({_NE_TOKS}) > 0"
+    ).fetchall()
+    assert {r[0] for r in rows} == {3}
