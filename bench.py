@@ -122,15 +122,20 @@ def main() -> None:
     # publishes no throughput numbers (BASELINE.md); this records ours.
     streaming = _bench_invalidation_stream(spark, sf_dir)
 
+    # Key order is deliberate: the round driver records only the LAST
+    # ~2000 characters of this line (BENCH_r08.json's "tail"), so the
+    # big cold dict goes FIRST (sacrificial), the warm per-query dict —
+    # the round-over-round comparable — second, and every summary key
+    # (cache-backed truth, streaming headline, totals) at the very end
+    # where the tail capture always preserves it.
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
-                "value": total,
                 "unit": "sec",
                 "warm_policy": "warm_med: median of 3 warm passes per query",
-                "queries": warm,
                 "queries_cold": cold,
+                "queries": warm,
                 "cold_total_sec": round(sum(cold.values()), 4),
                 # Queries whose warm slots ride a session-level cache
                 # (the (session, sf_dir, k) trained-BPE state; the
@@ -138,10 +143,7 @@ def main() -> None:
                 # llm/pipeline.py): their honest per-run cost is the
                 # COLD figure — the warm median measures a cache read,
                 # and within each family the FIRST slot's cold pass
-                # pays the shared build. Duplicated here, after the
-                # big per-query dicts, so the driver's tail capture
-                # preserves the honest numbers even when the head of
-                # the JSON line is truncated.
+                # pays the shared build.
                 "cache_backed_slots": {
                     n: {"warm_med": warm[n], "cold": cold[n]}
                     for n in (
@@ -156,6 +158,7 @@ def main() -> None:
                 },
                 "streaming": streaming,
                 "sf": sf,
+                "value": total,
             }
         )
     )
