@@ -63,62 +63,73 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r9 window. CORRECTNESS_r08 was 50/50 green. Slot arithmetic:
-    # 16 new registrations (8 r8-built + 8 r9-built) + 5 changed-
-    # fingerprint re-pins + 11 r5-green stale rotations = 32 hard pins;
-    # CHECK_NEXT fills the remaining slots with r7-green re-evidence
-    # (join/plan-risk first). The ~27 r7-green queries that do not fit
-    # are fingerprint-frozen and rotate in r10 (oldest-first, per the
-    # cadence note above).
-    # --- new r9 registrations — first green rows (r8 verdict #1: the
-    # eight oracle-READY r8-built surfaces, plus the segmented audit
-    # built this round per r8 verdict #5).
-    "corpus_split",
-    "embedding_quality_report",
-    "events_hot_keys",
-    "source_dedup_matrix",
-    "corpus_diff",
-    "packing_efficiency",
-    "embedding_cluster_profile",
-    "bpe_fertility_by_lang",
-    "curation_audit_segmented",
-    # --- built AND registered in r9 (r8 verdict #3: drain the
-    # registration pipeline the same round): the oracle face of the
-    # mixing family, the split-leakage audit composing two verified
-    # operators, and the ANN recall evaluation.
-    "corpus_mixture_plan",
-    "corpus_mixture_sample",
-    "split_leakage_pairs",
-    "ann_recall_report",
-    "minhash_banding_curve",
-    "dedup_index_probe",
-    "q33_hopping_windows",
-    # --- changed-fingerprint re-pins. llm/pipeline.py changed (the
-    # token-less-survivor left-join fix + the segmented audit oracle,
-    # r8 advice #3 / verdict #5); llm/selection.py changed (the
-    # budget_filter zero-token guard backing that fix); llm/bpe.py
-    # changed (the fertility registration). selection's own two
-    # queries are already pinned in the r5-stale block below.
+    # --- r10 window. CORRECTNESS_r09 was 50/50 green. Slot arithmetic:
+    # 27 r7-green staleness-budget rotations (the ledger in
+    # BUILD_NOTES.md — at exactly 2 reports stale, this round is their
+    # deadline per test_no_frozen_query_exceeds_the_staleness_budget)
+    # + 11 changed-fingerprint re-pins (pipeline.py segdedup-cache
+    # rework, text.py/curation.py frame-level refactors backing the
+    # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
+    # sampling per r9 verdict #4, hopping.py constant derivation per
+    # r9 advice) + 1 new registration (curate_corpus_incremental, the
+    # r9 verdict #2 capstone) = 39 hard pins. CHECK_NEXT carries 9
+    # r8-green re-evidence slots (join/plan-risk first), total 48 —
+    # two slots of deliberate margin under the 50-entry window (r9
+    # advice: the r9 tier was flush at 50). The remaining 36 r8-green
+    # queries are fingerprint-frozen at 2 reports stale after this
+    # round and are r11's rotation debt.
+    # --- r7-green staleness-budget rotations: text family (9) ---
+    "text_stats",
+    "doc_repetition",
+    "bpe_merge_pairs",
+    "bpe_apply_top_merge",
+    "text_salient_terms",
+    "lang_id",
+    "doc_fingerprint",
+    "text_vocabulary",
+    "text_bigrams",
+    # --- curation stage operators (6) ---
+    "contamination_check",
+    "label_quality_profile",
+    "stratified_sample",
+    "stratified_sample_exact",
+    "pii_redaction",
+    "quality_floor_filter",
+    # --- relational/window/timeseries suites (10) ---
+    "q13_sessionize_events",
+    "q14_pivot_status",
+    "q15_outer_join_part_activity",
+    "q17_tumbling_hourly",
+    "q18_price_percentiles",
+    "q19_cube_volume",
+    "q20_grouping_sets",
+    "q23_timeseries_rollup",
+    "q27_full_outer_join",
+    "q32_range_frame_window",
+    # --- drift + quality-rule reports (2) ---
+    "corpus_drift_report",
+    "gopher_quality_rules",
+    # --- changed-fingerprint re-pins (r10 edits) ---
+    # pipeline.py: shared segdedup survivors frame (r9 verdict #3)
     "curate_corpus",
     "curation_audit",
     "curate_corpus_segmented",
+    "curation_audit_segmented",
+    # recall.py / dedup_eval.py: fixed-Q eval sampling (r9 verdict #4)
+    "ann_recall_report",
+    "minhash_banding_curve",
+    "dedup_index_probe",
+    # hopping.py: window arithmetic derived from constants (r9 advice)
+    "q33_hopping_windows",
+    # bpe family: text.py gained the frame-level text_stats refactor
+    # backing the incremental capstone (bpe.py imports text.py)
     "bpe_train_k_merges",
     "bpe_encode_corpus",
-    # --- r5-green rotation debt (r8 verdict #2): the 11 queries whose
-    # last driver row is 4 rounds old — the registry's own cadence
-    # target requires them this round. token_budget_selection and
-    # shingle_containment double as llm/selection.py changed-pins.
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_semi",
-    "dq_constraint_report",
-    "doc_chunks",
-    "token_budget_selection",
-    "shingle_containment",
-    "corpus_profile",
-    "quantile_histogram",
+    "bpe_fertility_by_lang",
+    # --- new r10 registration (r9 verdict #2 capstone): incremental
+    # curation over a corpus diff, oracle = full rebuild over v2
+    # (uncommented when llm/incremental.py lands this round)
+    # "curate_corpus_incremental",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -126,31 +137,24 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r9: eighteen r7-green queries, two
-# rounds past their last row, join/plan-risk first — the ANN/vector
-# families (broadcast + WindowGroupLimit shapes), the as-of/range/
-# interval joins, the gap-fill pair, then the novelty screen
-# (corpus_drift_report and q13_sessionize_events were displaced by the
-# late r9 builds; they rotate in r10 with the rest of the r7 cohort).
+# never for changed or new code. r10: nine r8-green queries, two
+# rounds past their last row, join/plan-risk first — the CDC family
+# (JSON envelope round-trip + LSN windows) and the heavy dedup
+# self-join family (band joins, skew guards, connected components).
+# The other 36 r8-green queries are fingerprint-frozen and form r11's
+# rotation debt (BUILD_NOTES.md); r11 is also the round for the
+# deferred dedup.py candidate-verification refactor, whose re-pins
+# overlap this cohort almost entirely.
 CHECK_NEXT: list[str] = [
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_multitable_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_top_pairs",
-    "dedup_embedding_cosine",
-    "embedding_quantize",
-    "knn_join_topk",
-    "ann_int8_topk",
-    "asof_latest_order",
-    "asof_prev_click_tolerance",
-    "range_join_signup_activity",
-    "overlap_join_order_windows",
-    "events_gap_fill",
-    "events_gap_fill_segmented",
-    "minhash_novelty",
+    "cdc_op_routing",
+    "cdc_invalidation_summary",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "dedup_simhash_pairs",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
 ]
 
 
