@@ -32,8 +32,17 @@ from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
 
-HOP_HOURS = 1
+# Hop grain is pinned to date_trunc('hour', ts) — the one truncation
+# both engines share — so the hop is 1 hour by construction and the
+# only free parameter is the window span. Each event's hour-hop then
+# belongs to WINDOW_HOURS consecutive windows, and the explode list /
+# oracle unnest list are BOTH generated from _HOP_OFFSETS below, so
+# editing WINDOW_HOURS changes the Spark plan and the oracle in
+# lockstep (r9 advice: the old standalone HOP_HOURS/WINDOW_HOURS pair
+# was declared but never consumed and could silently drift from the
+# hardcoded 2-element arithmetic).
 WINDOW_HOURS = 2
+_HOP_OFFSETS = list(range(WINDOW_HOURS))  # hours back from the event's hop
 
 
 def q33_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,11 +50,10 @@ def q33_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(window_start, n_events, n_users)``."""
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
     h = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    starts = [h - F.expr(f"INTERVAL {o} HOUR") for o in reversed(_HOP_OFFSETS)]
     return (
         ev.select(
-            F.explode(
-                F.array(h - F.expr("INTERVAL 1 HOUR"), h)
-            ).alias("window_start"),
+            F.explode(F.array(*starts)).alias("window_start"),
             "user_id",
         )
         .groupBy("window_start")
@@ -56,10 +64,14 @@ def q33_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q33 = """
+_UNNEST_STARTS = ",\n                 ".join(
+    f"date_trunc('hour', ts) - INTERVAL {o} HOUR"
+    for o in reversed(_HOP_OFFSETS)
+)
+
+ORACLE_Q33 = f"""
 WITH w AS (
-  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
-                 date_trunc('hour', ts)]) AS window_start,
+  SELECT unnest([{_UNNEST_STARTS}]) AS window_start,
          user_id
   FROM events
 )

@@ -36,41 +36,44 @@ def test_oracle_agrees(spark, sf, name):
     assert res.spark_rows > 0
 
 
-def test_banding_curve_accounts_for_every_sample_pair(spark):
-    """Σ n_pairs must equal C(n, 2) over the sample — the sparse
+def _anchor(doc_id: int) -> bool:
+    from cdc_cascade_spark.llm.dedup_eval import SAMPLE_CAP, SAMPLE_MOD
+
+    return doc_id % SAMPLE_MOD == 0 and doc_id < SAMPLE_MOD * SAMPLE_CAP
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.1"])
+def test_banding_curve_accounts_for_every_anchor_pair(spark, sf):
+    """Σ n_pairs must equal |A|·(N−1) − C(|A|,2) — the sparse
     inverted-index plan cannot silently lose the pairs it never
     materializes — and the verified near-dup detector must be
-    consistent with the curve's top deciles."""
-    from pyspark.sql import functions as F
-
+    consistent with the curve's top deciles. Run at sf0.1 too: that is
+    the scale where the anchor cap binds (256 of 5000 docs) and where
+    the old sample×sample shape lost every true near-dup pair."""
     from cdc_cascade_spark.llm.dedup import _docs_prepared_cached, dedup_minhash_lsh
-    from cdc_cascade_spark.llm.dedup_eval import SAMPLE_MOD, minhash_banding_curve
+    from cdc_cascade_spark.llm.dedup_eval import minhash_banding_curve
 
     rows = {
-        r.jaccard_decile: r for r in minhash_banding_curve(spark, SF).collect()
+        r.jaccard_decile: r for r in minhash_banding_curve(spark, sf).collect()
     }
-    n = (
-        _docs_prepared_cached(spark, SF)
-        .filter(F.col("doc_id") % SAMPLE_MOD == 0)
-        .count()
-    )
-    assert sum(r.n_pairs for r in rows.values()) == n * (n - 1) // 2
+    n = _docs_prepared_cached(spark, sf).count()
+    ids = [r.doc_id for r in _docs_prepared_cached(spark, sf).select("doc_id").collect()]
+    a = sum(1 for i in ids if _anchor(i))
+    assert sum(r.n_pairs for r in rows.values()) == a * (n - 1) - a * (a - 1) // 2
     for r in rows.values():
         assert 0 <= r.n_candidates <= r.n_pairs
         assert r.catch_ppm == r.n_candidates * 1_000_000 // r.n_pairs
-    # every VERIFIED near-dup pair (jaccard ≥ 0.8 ⇒ decile ≥ 8) with
-    # both ends in the sample was surfaced by banding, so the curve's
-    # top deciles must catch at least that many candidates
-    verified_in_sample = [
+    # every VERIFIED near-dup pair (jaccard ≥ 0.8 ⇒ decile ≥ 8)
+    # touching an anchor is in the pair population AND was surfaced by
+    # banding, so the curve's top deciles must catch at least that many
+    verified_touching = [
         r
-        for r in dedup_minhash_lsh(spark, SF).collect()
-        if r.doc_a % SAMPLE_MOD == 0 and r.doc_b % SAMPLE_MOD == 0
+        for r in dedup_minhash_lsh(spark, sf).collect()
+        if _anchor(r.doc_a) or _anchor(r.doc_b)
     ]
-    top_candidates = sum(
-        r.n_candidates for d, r in rows.items() if d >= 8
-    )
-    assert len(verified_in_sample) <= top_candidates
-    assert verified_in_sample, "sample must retain some true near-dups"
+    top_candidates = sum(r.n_candidates for d, r in rows.items() if d >= 8)
+    assert len(verified_touching) <= top_candidates
+    assert verified_touching, "anchor set must touch some true near-dups"
     # the pruning claim is real: decile 0 dominates and is ~uncaught
     assert rows[0].n_pairs > 1000 * max(
         r.n_pairs for d, r in rows.items() if d >= 8

@@ -127,7 +127,7 @@ def test_recall_matches_numpy_brute_force(spark):
     fold), python top-k, python bucket assignment — per-query recall
     must match the distributed report exactly."""
     from cdc_cascade_spark.catalog import load_table
-    from cdc_cascade_spark.llm.recall import QUERY_MOD, ann_recall_report
+    from cdc_cascade_spark.llm.recall import Q_CAP, QUERY_MOD, ann_recall_report
     from cdc_cascade_spark.llm.similarity import (
         LSH_PLANES,
         TOPK,
@@ -156,7 +156,7 @@ def test_recall_matches_numpy_brute_force(spark):
         return round(d / (norms[i] * norms[j]), 9)
 
     want = {}
-    for qi in np.where(ids % QUERY_MOD == 0)[0]:
+    for qi in np.where((ids % QUERY_MOD == 0) & (ids < QUERY_MOD * Q_CAP))[0]:
         qid = int(ids[qi])
         others = [i for i in range(len(ids)) if int(ids[i]) != qid]
         ranked = sorted(others, key=lambda i: (-cos(i, qi), int(ids[i])))
@@ -183,3 +183,14 @@ def test_recall_matches_numpy_brute_force(spark):
         assert 0 <= ppm <= 1_000_000
     assert any(h > 0 for _, _, h, _ in got.values())
     assert any(h < t for t, _, h, _ in got.values())
+
+
+def test_recall_query_set_is_capped_at_scale(spark):
+    """The eval budget is FIXED (r9 verdict #4): at sf0.1 — 2000
+    vectors, where the id bound binds — the report has exactly Q_CAP
+    rows, so ground-truth cost is O(n·Q_CAP) at any corpus size."""
+    from cdc_cascade_spark.llm.recall import Q_CAP, QUERY_MOD, ann_recall_report
+
+    rows = ann_recall_report(spark, "/root/testdata/sf0.1").collect()
+    assert len(rows) == Q_CAP
+    assert all(r.qid % QUERY_MOD == 0 and r.qid < QUERY_MOD * Q_CAP for r in rows)
