@@ -117,6 +117,41 @@ def curation_flags_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The segmented pipeline family's second shared substrate (r9 verdict
+# #3): both segmented queries run the C4 span-dedup rewrite over the
+# SAME survivor set (the segment stage is deterministic in the flags
+# frame), and rebuilding the explode → span-count agg → join-back →
+# reassembly chain per query made them the two heaviest bench slots
+# (1.99 s + 1.59 s warm at sf0.1). One persisted rewrite per
+# (session, sf_dir) — at 100 TB this is the materialized
+# span-deduplicated survivor table both the corpus build and its audit
+# read. The riding slots keep publishing their cold truth in the
+# bench's ``cache_backed_slots``.
+_SEG_CACHE = BoundedDFCache()
+
+
+def _segdedup_survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seg_text, seg_dropped) — the span-dedup rewrite of
+    every surviving document's redacted text. Token-less survivors
+    yield no row here; consumers LEFT-join and coalesce (r8 advice)."""
+    survivors = (
+        curation_flags_cached(spark, sf_dir)
+        .filter(_survivor())
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return segment_dedup_frame(survivors).select(
+        "doc_id",
+        F.col("cleaned_text").alias("seg_text"),
+        F.col("n_dropped").alias("seg_dropped"),
+    )
+
+
+def segdedup_survivors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _SEG_CACHE.get_or_build(
+        spark, sf_dir, lambda: _segdedup_survivors_frame(spark, sf_dir)
+    )
+
+
 def _survivor():
     # built lazily: Column construction needs an active SparkContext,
     # and this module must import without one (registry fingerprinting)
@@ -162,15 +197,10 @@ def curate_corpus(
         "doc_id", "lang", "source", "clean_text", "was_redacted"
     )
     # 4b. optional duplicated-segment removal over the survivors'
-    # redacted text (see docstring)
+    # redacted text (see docstring) — the shared persisted rewrite
+    # (the audit reads the same frame)
     if segment_stage:
-        seg = segment_dedup_frame(
-            survivors.select("doc_id", F.col("clean_text").alias("text"))
-        ).select(
-            "doc_id",
-            F.col("cleaned_text").alias("seg_text"),
-            F.col("n_dropped").alias("seg_dropped"),
-        )
+        seg = segdedup_survivors_cached(spark, sf_dir)
         # LEFT join: a survivor whose redacted text tokenizes to
         # nothing yields no segment rows, and an inner join would
         # silently drop it here (r8 advice). It surfaces instead with
@@ -344,11 +374,7 @@ def curation_audit(
     )
     seg_join = None
     if segment_stage:
-        seg = segment_dedup_frame(survivors.select("doc_id", "text")).select(
-            "doc_id",
-            F.col("cleaned_text").alias("seg_text"),
-            F.col("n_dropped").alias("seg_dropped"),
-        )
+        seg = segdedup_survivors_cached(spark, sf_dir)
         # LEFT join + coalesce, as in curate_corpus: token-less
         # survivors surface with empty text / zero drops instead of
         # silently vanishing from the audit (r8 advice)
