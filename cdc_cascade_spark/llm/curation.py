@@ -71,8 +71,12 @@ def _df_cap(n_docs: int) -> int:
     return max(CONTAM_DF_CAP_MIN, min(CONTAM_DF_CAP_MAX, n_docs // 20))
 
 
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark→training shingle-containment pairs ≥ 0.5.
+def contamination_frame(prepared: DataFrame) -> DataFrame:
+    """Benchmark→training shingle-containment pairs ≥ 0.5 over any
+    ``(doc_id, hset)`` shingle-set frame — the frame-level face of
+    :func:`contamination_check`, reused by the incremental curation
+    engine (llm/incremental.py). The bench/train split and the df cap
+    are properties of the frame passed in.
 
     Output: (bench_doc, train_doc, n_common, containment), one row per
     contaminated (benchmark doc, training doc) pair. The containment
@@ -81,14 +85,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces no rows (no division by zero, no spurious 1.0 scores
     from stopword overlap).
 
-    The ``prepared.count()`` is a bounded action on the session-cached
-    relation (same contract as the dedup guards' probe) — it freezes
-    the df cap into the plan, which is fine because the cache is
-    per-(session, sf_dir).
+    The ``prepared.count()`` is a bounded action (same contract as the
+    dedup guards' probe) — it freezes the df cap into the plan; pass a
+    persisted/session-cached frame so the count is not a second scan.
     """
-    from cdc_cascade_spark.llm.dedup import _docs_prepared_cached
-
-    prepared = _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
     cap = _df_cap(prepared.count())
     exploded = prepared.select("doc_id", F.explode("hset").alias("h"))
     hot = (
@@ -117,6 +117,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAM_MIN_CONTAINMENT)
     )
     return contained.select("bench_doc", "train_doc", "n_common", "containment")
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`contamination_frame` over the session-cached shingle-set
+    relation of the ``documents`` table (the registered query)."""
+    from cdc_cascade_spark.llm.dedup import _docs_prepared_cached
+
+    return contamination_frame(
+        _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
+    )
 
 
 ORACLE_CONTAMINATION = (
@@ -205,16 +215,21 @@ PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detect and redact emails / phone numbers / IPv4 addresses.
+def pii_frame(docs: DataFrame) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPv4 addresses over
+    any ``(doc_id, text)`` frame — the frame-level face of
+    :func:`pii_redaction`, reused by the incremental curation engine
+    (llm/incremental.py) so changed-batch redaction cannot drift from
+    the registered per-corpus query.
 
     The synthetic corpus contains no PII (verified: zero matches for
-    any pattern at sf0.01/sf0.1), so the query injects a deterministic
-    PII suffix first — every doc_id ≡ 0 (mod 10) gains an email,
-    every doc_id ≡ 5 (mod 10) a phone + IP — and both engines apply
-    the identical injection, making the redaction path genuinely
-    exercised AND oracle-checked. Untouched docs pass through
-    byte-identical (the no-PII fast path is part of the contract).
+    any pattern at sf0.01/sf0.1), so the operator injects a
+    deterministic PII suffix first — every doc_id ≡ 0 (mod 10) gains
+    an email, every doc_id ≡ 5 (mod 10) a phone + IP — and both
+    engines apply the identical injection, making the redaction path
+    genuinely exercised AND oracle-checked. Untouched docs pass
+    through byte-identical (the no-PII fast path is part of the
+    contract).
 
     Redaction order matters and is fixed: emails first (their
     local/domain parts contain dots and digits that the IP pattern
@@ -224,7 +239,6 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python, no shuffle. At 100 TB this is the shape of every
     PII-scrub pass — embarrassingly parallel, bounded by scan I/O.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mod10 = F.col("doc_id") % 10
     aug = F.concat(
         F.col("text"),
@@ -270,6 +284,14 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pii_frame` over the ``documents`` table (the registered
+    query)."""
+    return pii_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 ORACLE_PII = f"""
 WITH aug AS (
   SELECT doc_id,
@@ -303,8 +325,13 @@ QUALITY_DROP_NUM = 1
 QUALITY_DROP_DEN = 10
 
 
-def quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop the lowest-quality 10% of the corpus by exact rank.
+def quality_floor_keep_frame(scored: DataFrame) -> DataFrame:
+    """Drop the lowest-quality 10% of any ``(doc_id, lang,
+    quality_score)`` frame by exact rank — the frame-level face of
+    :func:`quality_floor_filter`, reused by the incremental curation
+    engine (llm/incremental.py); the election reruns over the
+    maintained per-document stats whenever corpus membership changes
+    (the decile threshold is a global property of the corpus).
 
     The cut is the bottom ``n // 10`` documents under the total order
     ``(quality_score, doc_id)`` — doc_id breaks score ties so the kept
@@ -321,9 +348,6 @@ def quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scored.count()`` is a bounded action (same contract as the dedup
     guards' probe).
     """
-    from cdc_cascade_spark.llm.text import text_stats
-
-    scored = text_stats(spark, sf_dir).select("doc_id", "lang", "quality_score")
     k = scored.count() * QUALITY_DROP_NUM // QUALITY_DROP_DEN
     if k == 0:
         return scored
@@ -342,6 +366,16 @@ def quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "lang", "quality_score")
+    )
+
+
+def quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`quality_floor_keep_frame` over the ``documents`` table's
+    text stats (the registered query)."""
+    from cdc_cascade_spark.llm.text import text_stats
+
+    return quality_floor_keep_frame(
+        text_stats(spark, sf_dir).select("doc_id", "lang", "quality_score")
     )
 
 

@@ -127,9 +127,11 @@ _BPE_DECODE_SQL = "list_filter(string_split({s}, chr(31)), t -> t <> '')"
 
 
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features: token counts, lengths, ratios."""
-    docs = load_table(spark, sf_dir, "documents")
+def text_stats_frame(docs: DataFrame) -> DataFrame:
+    """Per-document quality features over any ``(doc_id, lang, text)``
+    frame — the frame-level face of :func:`text_stats`, reused by the
+    incremental curation engine (llm/incremental.py) so changed-batch
+    scoring cannot drift from the registered per-corpus stats."""
     toks = tokens(F.col("text"))
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -154,6 +156,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (n_distinct.cast("double") / n)
         ).alias("quality_score"),
     )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, lengths, ratios."""
+    return text_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_TEXT_STATS = (
