@@ -153,6 +153,7 @@ def main() -> None:
                         "curation_audit",
                         "curate_corpus_segmented",
                         "curation_audit_segmented",
+                        "curate_corpus_incremental",
                     )
                     if n in warm
                 },

@@ -1,0 +1,633 @@
+"""Incremental corpus curation over a CDC diff — the capstone that
+applies the reference's cache-invalidation semantics (queue/cdc.go:
+188-197: upstream change invalidates exactly the dependent cached
+state) to the training-data product: consume a corpus snapshot diff
+(llm/versioning.py's CDC envelopes) and produce the curated corpus of
+the NEW snapshot while re-reading only the changed documents' text.
+
+Architecture — the split every 100 TB incremental pipeline makes:
+
+- **Per-document feature extraction is incremental.** The expensive
+  text-derived artifacts (PII-redacted text, raw-text quality score,
+  shingle-hash set, 64-bit SimHash fingerprint) are maintained as a
+  per-document STATE table (:func:`doc_state_frame` builds it;
+  :func:`apply_diff` deletes invalidated rows and inserts freshly
+  featurized rows for the diff's c/u payloads). Only changed
+  documents' bytes are ever tokenized, hashed, or regex-scanned — at
+  100 TB this is the dominant cost, and it scales with the DIFF, not
+  the corpus.
+- **Near-dup pairs are maintained, not recomputed.** The verified
+  SimHash pair set is CDC-maintained: pairs touching an invalidated
+  document are dropped; the changed documents' fingerprints probe the
+  new state's band index (the llm/dedup_index.py probe shape — a
+  band join of diff-sized left side against the corpus, never a
+  corpus self-join); probe candidates are Hamming-verified and merged
+  back. Cluster representatives are then re-elected over the
+  maintained pair graph — pairs are a vanishing fraction of the
+  corpus (841 at sf0.1), so the election is cheap and, crucially, it
+  CASCADES correctly: deleting a cluster representative resurrects
+  its surviving near-dups (tests pin a live resurrect case).
+- **Global decision layers recompute over compact state.** The
+  quality-decile floor, the contamination screen, and the per-stratum
+  token budget are corpus-global decisions BY DEFINITION (a decile
+  threshold, a document-frequency cap, and a budget prefix-sum all
+  move when membership changes — the df cap ``n_docs // 20`` can flip
+  ANY pair's rarity, so no per-pair delta is sound in general). They
+  re-run over the maintained state columns — fixed tens of bytes per
+  document plus the shingle posting lists, never the raw text — which
+  is exactly the "materialize each stage, recompute decisions over
+  the stats table" architecture llm/pipeline.py describes for 100 TB.
+
+Equivalence claim — and its machine proof: the incremental output
+must equal a full :func:`~cdc_cascade_spark.llm.pipeline.curate_corpus`
+rebuild on the new snapshot. The registered query's DuckDB oracle IS
+the full-rebuild SQL (``ORACLE_CURATE_CORPUS`` verbatim, retargeted at
+the v2 snapshot CTE), so every driver row re-proves incremental ≡
+rebuild end to end; tests additionally pin multi-batch convergence
+(a diff split into batches applied sequentially equals the one-shot
+application equals the from-scratch build) and the
+representative-deletion resurrect case.
+
+The registered fixed-table face diffs the deterministic v1/v2
+snapshot pair that ``corpus_diff`` already verifies (creates, updates
+AND deletes exist at every SF; added documents take lang
+``NEW_DOC_LANG`` since they are new to the corpus).
+
+Scale shape summary: featurization O(|diff| · text bytes); pair
+maintenance O(|diff| · bands + candidates); elections O(|corpus|
+stats rows) with the same TakeOrderedAndProject / broadcast shapes as
+the batch operators; budget window one shuffle on lang. Nothing
+re-reads unchanged text, nothing is quadratic in the corpus.
+
+Registered in r10, same round as built (the standing drain-the-
+pipeline invariant). tests/test_incremental.py holds the oracle
+parity, the convergence and resurrect pins, and the
+incremental ≡ from-scratch state equality.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.caching import BoundedDFCache
+from cdc_cascade_spark.llm.curation import (
+    contamination_frame,
+    pii_frame,
+    quality_floor_keep_frame,
+)
+from cdc_cascade_spark.functions.hashing import token_hash
+from cdc_cascade_spark.llm.dedup import (
+    SIMHASH64_BANDS,
+    SIMHASH64_MAX_HAMMING,
+    SIMHASH_BITS,
+    _docs_prepared_cached,
+    _simhash64_cached,
+    connected_components,
+    dedup_simhash_pairs,
+)
+from cdc_cascade_spark.llm.pipeline import (
+    ORACLE_CURATE_CORPUS,
+    curation_flags_cached,
+)
+from cdc_cascade_spark.llm.prep import shingle_hash_set, tokens
+from cdc_cascade_spark.llm.selection import budget_filter
+from cdc_cascade_spark.llm.text import text_stats_frame
+from cdc_cascade_spark.llm.versioning import (
+    DIFF_DELETE_MOD,
+    DIFF_UPDATE_MOD,
+    _v2,
+    corpus_diff_frame,
+)
+
+# Language stratum assigned to documents that are new in the v2
+# snapshot (they have no v1 lang to inherit) — mirrored in the oracle.
+NEW_DOC_LANG = "und"
+
+
+# ---------------------------------------------------------------------------
+# Per-document feature state
+# ---------------------------------------------------------------------------
+
+
+def _simhash64_frame_long(docs: DataFrame) -> DataFrame:
+    """Bit-identical to dedup._simhash64_frame, in long format: votes
+    as (doc_id, bit_index) rows through two plain SUM aggregations
+    instead of 64 wide conditional-sum aggregate columns.
+
+    Why a second form exists: the wide form's 128-expression aggregate
+    plan costs ~1.5 s of driver-side analysis/codegen PER INVOCATION —
+    irrelevant for the session-cached full-corpus build (paid once),
+    dominant for a diff-sized batch re-planned on every call (measured
+    1.5 s → 0.4 s on a 186-doc payload). The trade runs the other way
+    on rows: long format shuffles 64 small rows per document where
+    wide shuffles one — the right side of that trade for diff-sized
+    inputs, the wrong side for full-corpus builds, which keep the wide
+    form. Exact integer votes either way, so the fingerprints are
+    provably equal (tests pin frame equality against
+    ``_simhash64_frame`` on real corpora); any residual drift would
+    break the registered face's incremental ≡ rebuild oracle."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    hashed = tok.select(
+        "doc_id",
+        token_hash(F.col("t")).alias("h_lo"),
+        token_hash(F.concat(F.col("t"), F.lit("#hi"))).alias("h_hi"),
+    )
+    long = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "h_lo",
+        "h_hi",
+    ).select(
+        "doc_id",
+        "j",
+        F.expr("CASE WHEN (h_lo >> j) & 1 = 1 THEN 1 ELSE -1 END").alias("v_lo"),
+        F.expr("CASE WHEN (h_hi >> j) & 1 = 1 THEN 1 ELSE -1 END").alias("v_hi"),
+    )
+    votes = long.groupBy("doc_id", "j").agg(
+        F.sum("v_lo").alias("s_lo"), F.sum("v_hi").alias("s_hi")
+    )
+    bit = "CASE WHEN {s} > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END"
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr(bit.format(s="s_hi"))).cast("bigint").alias("sim_hi"),
+        F.sum(F.expr(bit.format(s="s_lo"))).cast("bigint").alias("sim_lo"),
+    )
+
+
+def doc_state_frame(docs: DataFrame) -> DataFrame:
+    """Featurize ``(doc_id, text, lang, source)`` rows into the
+    per-document curation state:
+
+        (doc_id, lang, source, quality_score, sim_hi, sim_lo, hset,
+         clean_text, was_redacted)
+
+    Every column is produced by the SAME frame-level operator the
+    batch pipeline uses (text_stats_frame / the SimHash vote rule /
+    shingle_hash_set / pii_frame), so incremental featurization cannot
+    drift from the verified full build. This is the only function that
+    reads document text; everything downstream consumes state columns.
+    """
+    stats = text_stats_frame(docs).select("doc_id", "quality_score")
+    fp = _simhash64_frame_long(docs.select("doc_id", "text"))
+    hs = docs.select(
+        "doc_id", shingle_hash_set(tokens(F.col("text"))).alias("hset")
+    )
+    red = pii_frame(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("redacted").alias("clean_text"),
+        ((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0).alias(
+            "was_redacted"
+        ),
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(stats, "doc_id")
+        .join(fp, "doc_id")
+        .join(hs, "doc_id")
+        .join(red, "doc_id")
+    )
+
+
+# v1 state for the registered face, assembled from the session-cached
+# feature frames the batch queries already share (at deployment this
+# is the persisted state table a prior run wrote).
+_BASE_STATE_CACHE = BoundedDFCache()
+
+
+def base_state_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        flags = curation_flags_cached(spark, sf_dir).select(
+            "doc_id", "lang", "source", "clean_text", "was_redacted"
+        )
+        stats = text_stats_frame(docs).select("doc_id", "quality_score")
+        hs = _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
+        fp = _simhash64_cached(spark, sf_dir)
+        return (
+            flags.join(stats, "doc_id").join(fp, "doc_id").join(hs, "doc_id")
+        )
+
+    return _BASE_STATE_CACHE.get_or_build(spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# SimHash pair maintenance (the dedup index's CDC face)
+# ---------------------------------------------------------------------------
+
+# 64-bit fingerprint → 4 × 16-bit band keys: the same arithmetic as
+# dedup._simhash_pairs_frame (llm/dedup.py), kept in lockstep by the
+# SIMHASH64_BANDS assertion and, end-to-end, by the full-rebuild
+# oracle (any drift breaks incremental ≡ rebuild on the driver row).
+_HALVES = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
+assert len(_HALVES) == SIMHASH64_BANDS
+
+
+def sim64_bands_frame(fp: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) band rows of a (doc_id, sim_hi, sim_lo)
+    fingerprint frame — pure map-side arithmetic, no stored index
+    needed (the 16 bytes of fingerprint ARE the index entry)."""
+    structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(c), s).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+        )
+        for i, (c, s) in enumerate(_HALVES)
+    ]
+    return fp.select(
+        "doc_id", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bkey")
+
+
+def _verify_hamming(cand: DataFrame, fp: DataFrame) -> DataFrame:
+    """Filter candidate (doc_a, doc_b) pairs to verified near-dups
+    (total Hamming distance ≤ SIMHASH64_MAX_HAMMING)."""
+    ha = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+    )
+    hb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(ham <= SIMHASH64_MAX_HAMMING)
+        .select("doc_a", "doc_b")
+    )
+
+
+def pairs_from_state(state: DataFrame) -> DataFrame:
+    """From-scratch verified near-dup pairs of a state frame (band
+    self-join + Hamming verify) — the bootstrap path and the tests'
+    from-scratch comparator; steady state uses :func:`apply_diff`'s
+    probe instead."""
+    bands = sim64_bands_frame(state.select("doc_id", "sim_hi", "sim_lo"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_hamming(cand, state)
+
+
+# ---------------------------------------------------------------------------
+# The incremental engine
+# ---------------------------------------------------------------------------
+
+
+def apply_diff(
+    state: DataFrame,
+    pairs: DataFrame,
+    changed_payload: DataFrame,
+    removed_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance (state, pairs) across one diff batch.
+
+    ``changed_payload``: (doc_id, text, lang, source) for op ∈ {c, u}
+    (the new images). ``removed_ids``: (doc_id,) for op ∈ {d, u} (the
+    invalidated old images — an update invalidates its old row AND
+    contributes a new one). Returns the new snapshot's
+    (state, pairs); both are safe to feed back for the next batch.
+
+    Shuffle accounting: featurization of the payload (diff-sized);
+    one anti-join per side to drop invalidated state/pairs (the
+    invalidated-id set is diff-sized → broadcast); the band probe
+    joins diff-sized fresh bands against the new state's bands —
+    O(|diff| + candidates) — then candidate-sized verify joins.
+    Nothing corpus-sized self-joins.
+    """
+    # The payload fans into five consumers (the four featurizer
+    # branches + the invalidated-id union): snapshot it once so the
+    # upstream diff derivation is not re-run per branch. It is
+    # diff-sized by definition — the thing being processed — so the
+    # snapshot is as bounded as the batch itself.
+    changed_payload = changed_payload.localCheckpoint(eager=False)
+    invalid = (
+        removed_ids.select("doc_id")
+        .unionByName(changed_payload.select("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fresh = doc_state_frame(changed_payload)
+    state2 = state.join(invalid, "doc_id", "left_anti").unionByName(fresh)
+    # The new state feeds five consumers (pair probe sides, floor
+    # election, contamination, budget): snapshot so featurization and
+    # the anti-join run once. Coalesce back to the INPUT state's
+    # partition count first — the union appends the payload's
+    # partitions, so without this every batch grows the state by its
+    # own partition count (partition creep: after K batches each
+    # downstream stage schedules K× the tasks over the same rows —
+    # measured 3× slower elections at sf0.1 from one 33-partition
+    # union).
+    state2 = state2.coalesce(
+        max(1, state.rdd.getNumPartitions())
+    ).localCheckpoint(eager=False)
+    return state2, maintain_pairs(state2, pairs, invalid)
+
+
+def maintain_pairs(
+    state2: DataFrame, pairs: DataFrame, invalid: DataFrame
+) -> DataFrame:
+    """The pair graph's CDC step: drop pairs touching an invalidated
+    id, probe the changed documents' bands against the new state, and
+    merge the Hamming-verified hits back. ``invalid`` is the
+    invalidated-id set (removed ∪ changed); the changed documents are
+    exactly ``state2 ⋉ invalid`` (removed-only ids are no longer in
+    the state)."""
+    kept_pairs = (
+        pairs.join(
+            invalid.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+        )
+        .join(
+            invalid.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+        )
+        .select("doc_a", "doc_b")
+    )
+    fresh_fp = state2.join(invalid, "doc_id", "left_semi").select(
+        "doc_id", "sim_hi", "sim_lo"
+    )
+    probe_cand = (
+        sim64_bands_frame(fresh_fp)
+        .select(F.col("doc_id").alias("p"), "band", "bkey")
+        .join(
+            sim64_bands_frame(
+                state2.select("doc_id", "sim_hi", "sim_lo")
+            ).select(F.col("doc_id").alias("q"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("doc_a"),
+            F.greatest("p", "q").alias("doc_b"),
+        )
+        .distinct()
+    )
+    probe = _verify_hamming(probe_cand, state2)
+    # disjoint by construction: kept pairs touch no invalidated id,
+    # probe pairs touch at least one changed id
+    return kept_pairs.unionByName(probe)
+
+
+def curate_from_state(state: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The global decision layers over a (state, pairs) snapshot —
+    rep election, quality floor, contamination screen, token budget —
+    producing the curated corpus in curate_corpus's output schema:
+    (doc_id, lang, source, text, n_tokens, quality, was_redacted).
+
+    Identical drop semantics to llm/pipeline.curate_corpus, stage by
+    stage (the oracle of the registered face proves it)."""
+    reps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    losers = reps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    keepq = quality_floor_keep_frame(
+        state.select("doc_id", "lang", "quality_score")
+    ).select("doc_id")
+    contam = (
+        contamination_frame(state.select("doc_id", "hset"))
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    survivors = (
+        state.join(losers, "doc_id", "left_anti")
+        .join(keepq, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "clean_text", "was_redacted")
+    )
+    admitted = budget_filter(
+        survivors.select("doc_id", "lang", F.col("clean_text").alias("text"))
+    ).select("doc_id", "n_tokens", "quality")
+    return survivors.join(admitted, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("clean_text").alias("text"),
+        "n_tokens",
+        "quality",
+        "was_redacted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming face: a diff stream drives the same engine
+# ---------------------------------------------------------------------------
+
+
+def start_incremental_curation_stream(
+    spark: SparkSession,
+    diff_dir: str,
+    initial_state: DataFrame,
+    initial_pairs: DataFrame,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Consume a stream of corpus-diff envelopes-with-payload rows
+    (``doc_id, op, text, lang, source`` — text/lang/source NULL for
+    op='d') and advance the maintained (state, pairs) through
+    :func:`apply_diff` once per micro-batch — the reference's
+    cache-invalidation loop (queue/cdc.go:188-197) with the curation
+    state as the invalidated store.
+
+    Returns ``(query, holder)`` where ``holder["state"]`` /
+    ``holder["pairs"]`` always hold the latest snapshot; call
+    :func:`curate_from_state` on them for the curated corpus at any
+    point. Batches are disjoint id-slices of a diff, so arrival order
+    across files does not matter; each batch's new state is EAGERLY
+    localCheckpoint-ed inside the micro-batch (the established
+    foreachBatch discipline — a lazily cached frame first touched
+    under streaming's AQE-off planning pins streaming partitioning
+    and can break later batch consumers).
+    """
+    holder = {"state": initial_state, "pairs": initial_pairs}
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        payload = batch_df.filter(F.col("op").isin("c", "u")).select(
+            "doc_id", "text", "lang", "source"
+        )
+        removed = batch_df.filter(F.col("op").isin("d", "u")).select("doc_id")
+        state2, pairs2 = apply_diff(
+            holder["state"], holder["pairs"], payload, removed
+        )
+        holder["state"] = state2.localCheckpoint(eager=True)
+        holder["pairs"] = pairs2.localCheckpoint(eager=True)
+
+    reader = (
+        spark.readStream.schema(
+            "doc_id long, op string, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(diff_dir)
+    )
+    query = (
+        reader.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, holder
+
+
+# ---------------------------------------------------------------------------
+# Registered fixed-table face
+# ---------------------------------------------------------------------------
+
+
+def _v2_full(docs: DataFrame) -> DataFrame:
+    """versioning's deterministic v2 snapshot widened to the curation
+    schema: kept/updated documents inherit their v1 lang, added
+    documents take NEW_DOC_LANG (they are new to the corpus)."""
+    return (
+        _v2(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce("lang", F.lit(NEW_DOC_LANG)).alias("lang"),
+            "source",
+        )
+    )
+
+
+# The maintained artifacts of the registered face — the post-diff
+# state table and pair graph — are what a deployment PERSISTS between
+# batches (each batch's output is the next batch's input; see the
+# module docstring), so the session caches them exactly like the
+# curation flags frame caches the stage-verdict table. The decision
+# layers (elections, budget) still run per pass — they are the query.
+# The riding slot publishes its cold truth in the bench's
+# ``cache_backed_slots``.
+_STATE2_CACHE = BoundedDFCache()
+_PAIRS2_CACHE = BoundedDFCache()
+
+
+def _face_diff_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(changed payload, removed ids) of the deterministic v1→v2 diff."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v2 = _v2_full(docs)
+    diff = corpus_diff_frame(
+        docs.select("doc_id", "text"), v2.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    changed_ids = diff.filter(F.col("op").isin("c", "u")).select("doc_id")
+    removed_ids = diff.filter(F.col("op").isin("d", "u")).select("doc_id")
+    return v2.join(changed_ids, "doc_id", "left_semi"), removed_ids
+
+
+def _face_state_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        payload, removed = _face_diff_parts(spark, sf_dir)
+        payload = payload.localCheckpoint(eager=False)
+        invalid = (
+            removed.unionByName(payload.select("doc_id")).distinct()
+        )
+        # partitioning sized to the DATA (the documents scan's split
+        # count — data-proportional at any scale), not to the union's
+        # accumulated partition count: the deployment analogue is the
+        # state table on storage read at maxPartitionBytes-sized
+        # splits. Checkpoint, not just persist: the cached frame feeds
+        # ~5 election actions per query pass, and each would re-pay
+        # Catalyst analysis of the whole featurization lineage
+        # (measured +3 s/pass) — the checkpoint truncates the plan to
+        # a leaf.
+        nparts = max(
+            1, load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
+        )
+        return (
+            base_state_cached(spark, sf_dir)
+            .join(invalid, "doc_id", "left_anti")
+            .unionByName(doc_state_frame(payload))
+            .coalesce(nparts)
+            .localCheckpoint(eager=False)
+        )
+
+    return _STATE2_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def _face_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        payload, removed = _face_diff_parts(spark, sf_dir)
+        invalid = (
+            removed.unionByName(payload.select("doc_id")).distinct()
+        )
+        return maintain_pairs(
+            _face_state_cached(spark, sf_dir),
+            dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+            invalid,
+        ).localCheckpoint(eager=False)  # leaf plan, as in the state cache
+
+    return _PAIRS2_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def curate_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation of the deterministic v2 snapshot: diff v1
+    (the ``documents`` table) against v2 (corpus_diff's injected-
+    mutation snapshot), featurize ONLY the diff's c/u payloads, apply
+    the CDC pair maintenance, and re-run the decision layers — the
+    oracle is the full curate_corpus rebuild over v2, so the driver
+    row is a machine proof of incremental ≡ rebuild."""
+    return curate_from_state(
+        _face_state_cached(spark, sf_dir), _face_pairs_cached(spark, sf_dir)
+    )
+
+
+def _incremental_oracle_sql() -> str:
+    """The full-rebuild spec over v2: ORACLE_CURATE_CORPUS embedded
+    VERBATIM (every stage oracle included), retargeted from the
+    ``documents`` view to the v2 snapshot CTE by a word-boundary
+    rename (DuckDB refuses a CTE that shadows the table it reads —
+    circular-reference check — so the snapshot must carry its own
+    name). The v2 CTE mirrors versioning's injected mutations plus
+    the lang widening; the Spark side builds v2 through versioning's
+    own ``_v2``, so any recipe drift between the two is caught by the
+    driver's hash compare."""
+    body = ORACLE_CURATE_CORPUS.lstrip()
+    assert body.startswith("WITH ")
+    body = re.sub(r"\bdocuments\b", "v2snapshot", body[len("WITH "):])
+    return f"""
+WITH v2base AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_UPDATE_MOD} = 0
+              THEN 'v2-rewrite ' || text ELSE text END AS text,
+         lang, source
+  FROM documents
+  WHERE doc_id % {DIFF_DELETE_MOD} <> 0
+), v2added AS (
+  SELECT -MIN(doc_id) - 1 AS doc_id,
+         'v2-new-doc-for ' || source AS text,
+         '{NEW_DOC_LANG}' AS lang, source
+  FROM documents GROUP BY source
+), v2snapshot AS MATERIALIZED (
+  SELECT doc_id, lang, source, length(text) AS n_chars, text FROM v2base
+  UNION ALL
+  SELECT doc_id, lang, source, length(text) AS n_chars, text FROM v2added
+), {body}"""
+
+
+ORACLE_CURATE_INCREMENTAL = _incremental_oracle_sql()
+
+
+QUERIES: dict[str, tuple] = {
+    "curate_corpus_incremental": (
+        curate_corpus_incremental,
+        ORACLE_CURATE_INCREMENTAL,
+    ),
+}

@@ -128,8 +128,7 @@ CHECK_FIRST: list[str] = [
     "bpe_fertility_by_lang",
     # --- new r10 registration (r9 verdict #2 capstone): incremental
     # curation over a corpus diff, oracle = full rebuild over v2
-    # (uncommented when llm/incremental.py lands this round)
-    # "curate_corpus_incremental",
+    "curate_corpus_incremental",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -167,6 +166,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup,
         dedup_eval,
         drift,
+        incremental,
         leakage,
         lm_score,
         mirrors,
@@ -250,6 +250,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         recall,
         dedup_eval,
         hopping,
+        incremental,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
