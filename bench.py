@@ -154,6 +154,7 @@ def main() -> None:
                         "curate_corpus_segmented",
                         "curation_audit_segmented",
                         "curate_corpus_incremental",
+                        "curation_invalidation_report",
                     )
                     if n in warm
                 },

@@ -91,6 +91,7 @@ from cdc_cascade_spark.llm.dedup import (
 )
 from cdc_cascade_spark.llm.pipeline import (
     ORACLE_CURATE_CORPUS,
+    curate_corpus,
     curation_flags_cached,
 )
 from cdc_cascade_spark.llm.prep import shingle_hash_set, tokens
@@ -99,7 +100,9 @@ from cdc_cascade_spark.llm.text import text_stats_frame
 from cdc_cascade_spark.llm.versioning import (
     DIFF_DELETE_MOD,
     DIFF_UPDATE_MOD,
+    ORACLE_CORPUS_DIFF,
     _v2,
+    corpus_diff,
     corpus_diff_frame,
 )
 
@@ -625,9 +628,71 @@ WITH v2base AS MATERIALIZED (
 ORACLE_CURATE_INCREMENTAL = _incremental_oracle_sql()
 
 
+def curation_invalidation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-level ``cdc_invalidation_summary``: one row per
+    document whose CURATED-CORPUS membership the v1→v2 diff flipped —
+    ``(doc_id, op, kept_v1, kept_v2)`` with ``op`` the diff envelope
+    that touched the document, or NULL when the document itself never
+    changed and its membership moved anyway (the invalidation CASCADE:
+    a re-elected dedup representative, a shifted quality decile, a
+    re-filled stratum budget). The NULL-op rows are the point — they
+    are the documents a per-document replay would get wrong, the exact
+    analogue of the reference invalidating cache entries whose OWN key
+    never appeared in the change stream (queue/cdc.go:188-197).
+
+    Rides the same session caches as the batch and incremental faces
+    (the kept-set derivations re-run only the election layers);
+    composes three verified oracles verbatim (curate_corpus, the
+    incremental rebuild spec, corpus_diff), so the driver row proves
+    the summary agrees with all three."""
+    v1k = curate_corpus(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_k1")
+    )
+    v2k = curate_corpus_incremental(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_k2")
+    )
+    ops = corpus_diff(spark, sf_dir).select("doc_id", "op")
+    return (
+        v1k.join(v2k, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("_k1", F.lit(False)).alias("kept_v1"),
+            F.coalesce("_k2", F.lit(False)).alias("kept_v2"),
+        )
+        .filter(F.col("kept_v1") != F.col("kept_v2"))
+        .join(ops, "doc_id", "left")
+        .select("doc_id", "op", "kept_v1", "kept_v2")
+    )
+
+
+ORACLE_INVALIDATION_REPORT = f"""
+WITH v1kept AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLE_CURATE_CORPUS}) t
+), v2kept AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLE_CURATE_INCREMENTAL}) t
+), ops AS MATERIALIZED (
+  SELECT doc_id, op FROM ({ORACLE_CORPUS_DIFF}) t
+), m AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.doc_id IS NOT NULL AS kept_v1,
+         b.doc_id IS NOT NULL AS kept_v2
+  FROM v1kept a FULL OUTER JOIN v2kept b ON a.doc_id = b.doc_id
+)
+SELECT m.doc_id, o.op, m.kept_v1, m.kept_v2
+FROM m LEFT JOIN ops o ON o.doc_id = m.doc_id
+WHERE m.kept_v1 <> m.kept_v2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "curate_corpus_incremental": (
         curate_corpus_incremental,
         ORACLE_CURATE_INCREMENTAL,
+    ),
+    "curation_invalidation_report": (
+        curation_invalidation_report,
+        ORACLE_INVALIDATION_REPORT,
     ),
 }

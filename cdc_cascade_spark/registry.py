@@ -71,13 +71,15 @@ CHECK_FIRST: list[str] = [
     # rework, text.py/curation.py frame-level refactors backing the
     # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
     # sampling per r9 verdict #4, hopping.py constant derivation per
-    # r9 advice) + 1 new registration (curate_corpus_incremental, the
-    # r9 verdict #2 capstone) = 39 hard pins. CHECK_NEXT carries 9
-    # r8-green re-evidence slots (join/plan-risk first), total 48 —
-    # two slots of deliberate margin under the 50-entry window (r9
-    # advice: the r9 tier was flush at 50). The remaining 36 r8-green
-    # queries are fingerprint-frozen at 2 reports stale after this
-    # round and are r11's rotation debt.
+    # r9 advice) + 2 new registrations (the r9 verdict #2 capstone
+    # pair: curate_corpus_incremental and its invalidation-audit
+    # face) = 40 hard pins. CHECK_NEXT carries 9 r8-green re-evidence
+    # slots (join/plan-risk first), total 49 — one slot of deliberate
+    # margin under the 50-entry window (r9 advice: the r9 tier was
+    # flush at 50; a one-short driver window costs only the LAST
+    # best-effort re-evidence row). The remaining 36 r8-green queries
+    # are fingerprint-frozen at 2 reports stale after this round and
+    # are r11's rotation debt.
     # --- r7-green staleness-budget rotations: text family (9) ---
     "text_stats",
     "doc_repetition",
@@ -126,9 +128,12 @@ CHECK_FIRST: list[str] = [
     "bpe_train_k_merges",
     "bpe_encode_corpus",
     "bpe_fertility_by_lang",
-    # --- new r10 registration (r9 verdict #2 capstone): incremental
-    # curation over a corpus diff, oracle = full rebuild over v2
+    # --- new r10 registrations (r9 verdict #2 capstone): incremental
+    # curation over a corpus diff (oracle = full rebuild over v2) and
+    # its invalidation-audit face (membership flips incl. NULL-op
+    # cascade rows — the corpus-level cdc_invalidation_summary)
     "curate_corpus_incremental",
+    "curation_invalidation_report",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,

@@ -26,12 +26,48 @@ def _parity(spark, sf, name):
 
 
 @pytest.mark.parametrize("sf", [SF, SF01])
-def test_oracle_agrees(spark, sf):
-    """The oracle IS the full curate_corpus rebuild over the v2
-    snapshot, so this row is the machine proof of incremental ≡
-    rebuild."""
-    res = _parity(spark, sf, "curate_corpus_incremental")
+@pytest.mark.parametrize(
+    "name", ["curate_corpus_incremental", "curation_invalidation_report"]
+)
+def test_oracle_agrees(spark, sf, name):
+    """curate_corpus_incremental's oracle IS the full curate_corpus
+    rebuild over the v2 snapshot, so its row is the machine proof of
+    incremental ≡ rebuild; the invalidation report composes that,
+    curate_corpus and corpus_diff verbatim."""
+    res = _parity(spark, sf, name)
     assert res.spark_rows > 0
+
+
+def test_invalidation_report_semantics(spark):
+    """Every flip row is consistent with the three faces it composes,
+    deleted docs can only leave, created docs can only enter, and the
+    NULL-op CASCADE rows — membership flips of documents the diff
+    never touched — exist (they are the reason the report exists)."""
+    from cdc_cascade_spark.llm import incremental as inc
+    from cdc_cascade_spark.llm.pipeline import curate_corpus
+    from cdc_cascade_spark.llm.versioning import corpus_diff
+
+    rows = inc.curation_invalidation_report(spark, SF01).collect()
+    assert rows
+    v1_kept = {r.doc_id for r in curate_corpus(spark, SF01).collect()}
+    v2_kept = {
+        r.doc_id for r in inc.curate_corpus_incremental(spark, SF01).collect()
+    }
+    ops = {r.doc_id: r.op for r in corpus_diff(spark, SF01).collect()}
+    flipped = {r.doc_id for r in rows}
+    assert flipped == v1_kept ^ v2_kept  # exactly the membership flips
+    cascade = 0
+    for r in rows:
+        assert r.kept_v1 == (r.doc_id in v1_kept)
+        assert r.kept_v2 == (r.doc_id in v2_kept)
+        assert r.op == ops.get(r.doc_id)
+        if r.op == "d":
+            assert r.kept_v1 and not r.kept_v2
+        if r.op == "c":
+            assert r.kept_v2 and not r.kept_v1
+        if r.op is None:
+            cascade += 1
+    assert cascade > 0, "diff-untouched docs must flip via the cascade"
 
 
 def test_simhash_long_format_is_bit_identical(spark):

@@ -158,6 +158,9 @@ def test_plan_lint_all_registered_queries(spark):
         # same stage, same 1-row threshold broadcast — the incremental
         # engine re-runs the quality-floor election over its state
         "curate_corpus_incremental": {"bnlj"},
+        # composes both kept-set derivations, each carrying that same
+        # 1-row threshold broadcast
+        "curation_invalidation_report": {"bnlj"},
         # 1-row corpus-count frame broadcast into the idf-tier weight
         "dedup_simhash_weighted": {"bnlj"},
         # 1-row quality-threshold frame (TakeOrderedAndProject result)
