@@ -1,0 +1,232 @@
+"""BM25 lexical retrieval over the ``documents`` corpus.
+
+Beyond-reference LLM-pipeline surface (SURVEY.md §2 extension): the
+similarity-search family so far is all *dense* (ann_cosine_topk /
+LSH / IVF over the embedding column). Real retrieval stacks pair that
+with a *sparse* lexical scorer — BM25 is the standard — for keyword
+recall, hybrid ranking, and decontamination lookups (find the training
+documents that lexically match an eval query). This module adds that
+face: top-k documents per query under the Okapi BM25 weighting, with
+the classic inverted-index execution shape re-expressed as DataFrame
+joins.
+
+Query workload: the same deterministic eval-sample idiom as
+``ann_recall_report`` (llm/recall.py) — every ``QUERY_MOD``-th doc_id,
+capped at ``Q_CAP`` queries by a pure-pushdown id bound; each query is
+the DISTINCT set of the document's first ``QUERY_TERMS`` tokens, and
+the query document itself is excluded from its result list.
+
+Scoring — Okapi BM25 with one deliberate, documented deviation:
+
+    idf_r(t)   = (N - df + 0.5) / (df + 0.5)          [rational idf]
+    w(t, d)    = idf_r · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    score(q,d) = Σ_{t ∈ q} round(w(t,d) · 1e9)        [exact ppb sum]
+
+The textbook idf is ``ln(idf_r)``; transcendentals are banned in
+registered queries (libm rounding differs across engines — see
+operators/relational.py docstring), so the scorer uses the rational
+argument directly, the same log-free substitution the engine already
+uses for salience (``text_salient_terms``) and PMI→lift
+(``bigram_lift``). Ranking quality note: per-term weights stay
+positive and monotone in the same df/tf/dl directions as true BM25,
+but very rare terms weigh relatively heavier than under the log.
+
+Determinism: every per-term weight is a fixed expression tree over
+exact integers (tf, df, dl, N, Σdl) and shared double constants
+(k1, b — interpolated from the SAME Python floats into both engines),
+evaluated once per (term, doc) — IEEE basic ops are exactly specified,
+so both engines produce bit-identical doubles. The only cross-row
+reduction is the per-(query, doc) SUM, taken over ppb-scaled BIGINTs
+(order-free exact; mirrors recall_ppm in llm/recall.py). The top-k cut
+orders by ``(score_ppb DESC, doc_id ASC)`` — integer total order, no
+float-ordering hazard at the boundary. int64 headroom: max per-term
+ppb weight ≈ 4.4·N·1e9 — safe through N ≈ 1e8 docs per corpus; a
+100 TB deployment sums DECIMAL(38,0) instead (same plan shape).
+
+Scale shape (100 TB): this is inverted-index retrieval without
+materializing the index — the query term set (≤ Q_CAP·QUERY_TERMS
+rows) broadcasts into the exploded token stream, so the corpus-sized
+relation is filtered map-side to query-term postings BEFORE any
+shuffle; tf/df aggregate over postings only (tiny), and the final
+score/topk runs over ≤ |postings| rows. Corpus-wide work is one scan
+for the two global scalars (N, Σdl) and one scan for the postings
+filter; nothing corpus-sized ever shuffles. A standing query workload
+would persist the (term → doc, tf, dl) postings relation bucketed by
+term — the plan here is the ad-hoc variant of exactly that layout.
+
+Registered in r10, same round as built (the registration-pipeline
+discipline from the r8/r9 verdicts). tests/test_bm25.py pins oracle
+agreement at two SFs, a pure-Python BM25 model, the self-exclusion
+and rank invariants, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.prep import TOKENS_SQL, tokens
+
+# Okapi parameters (the standard defaults). Derived constants are
+# computed HERE in Python and interpolated into both engines (F.lit on
+# the Spark side, repr() into the oracle SQL) so both evaluate the
+# exact same doubles — never re-derived independently per engine.
+K1 = 1.2
+B = 0.75
+K1_PLUS_1 = K1 + 1.0
+ONE_MINUS_B = 1.0 - B
+
+# Deterministic query workload: every QUERY_MOD-th doc_id, capped at
+# Q_CAP queries via the id bound (a pushdown predicate — no ordering
+# shuffle, no action); each query = the doc's first QUERY_TERMS
+# distinct tokens. 8 queries at every shipped SF (doc_id < 400 exists
+# from sf0.001 up).
+QUERY_MOD = 50
+Q_CAP = 8
+QUERY_TERMS = 6
+
+TOPK = 10
+
+# ppb scale for the order-free integer score sum.
+PPB = 1_000_000_000.0
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOPK`` documents per eval query under log-free Okapi BM25:
+    ``(qid, doc_id, n_terms, score_ppb, rank)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Non-empty tokens only: a raw \s+ split of '' is [''] (size 1),
+    # which would give empty docs dl=1 — the llm/prep.py discipline.
+    toks = F.filter(tokens(F.col("text")), lambda t: t != F.lit(""))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+
+    # Two corpus scalars (N, Σdl): a 1-row aggregate, broadcast below.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    # Query term sets: pushdown-bounded scan, ≤ Q_CAP·QUERY_TERMS rows.
+    qterms = (
+        base.filter(
+            (F.col("doc_id") % QUERY_MOD == 0)
+            & (F.col("doc_id") < QUERY_MOD * Q_CAP)
+        )
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice("toks", 1, QUERY_TERMS)).alias("term"),
+        )
+        .distinct()
+    )
+    qterm_set = qterms.select("term").distinct()
+
+    # Postings for query terms only: broadcast the tiny term set into
+    # the exploded token stream so the corpus is filtered map-side
+    # BEFORE the tf aggregation — the inverted-index probe shape.
+    tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
+    postings = tok.join(F.broadcast(qterm_set), "term")
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # Document frequency over the SAME postings relation: tf already
+    # has one row per (doc, term), so df is its per-term row count —
+    # corpus-correct because the broadcast filter keeps every doc that
+    # contains the term.
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    tf_part = (tf_d * F.lit(K1_PLUS_1)) / (
+        tf_d
+        + F.lit(K1) * (F.lit(ONE_MINUS_B) + (F.lit(B) * dl_d) / avgdl)
+    )
+    term_ppb = F.round((idf * tf_part) * F.lit(PPB), 0).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", term_ppb.alias("term_ppb"))
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_ppb").alias("score_ppb"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score_ppb"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "doc_id", "n_terms", "score_ppb", "rank")
+    )
+
+
+_TOKS = "list_filter(" + TOKENS_SQL.format(x="text") + ", t -> t <> '')"
+
+ORACLE_BM25 = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS})::BIGINT AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM base
+),
+q AS (
+  SELECT DISTINCT doc_id AS qid,
+         unnest(list_slice(toks, 1, {QUERY_TERMS})) AS term
+  FROM base
+  WHERE doc_id % {QUERY_MOD} = 0 AND doc_id < {QUERY_MOD * Q_CAP}
+),
+tok AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM base
+  WHERE len(toks) > 0
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+  FROM tok
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2, 3
+),
+dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(ROUND(
+           ((((CAST(s.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)) + 0.5)
+             / (CAST(dfr.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * {K1_PLUS_1!r})
+               / (CAST(tf.tf AS DOUBLE)
+                  + {K1!r} * ({ONE_MINUS_B!r}
+                              + ({B!r} * CAST(tf.dl AS DOUBLE))
+                                / (CAST(s.sum_dl AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE))))))
+           * {PPB!r}, 0) AS BIGINT) AS term_ppb
+  FROM tf
+  JOIN q ON tf.term = q.term AND tf.doc_id <> q.qid
+  JOIN dfr ON dfr.term = tf.term
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT qid, doc_id,
+         COUNT(*)::BIGINT AS n_terms,
+         SUM(term_ppb)::BIGINT AS score_ppb
+  FROM scored GROUP BY 1, 2
+)
+SELECT qid, doc_id, n_terms, score_ppb, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY score_ppb DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {TOPK}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "bm25_topk": (bm25_topk, ORACLE_BM25),
+}

@@ -134,6 +134,16 @@ CHECK_FIRST: list[str] = [
     # cascade rows — the corpus-level cdc_invalidation_summary)
     "curate_corpus_incremental",
     "curation_invalidation_report",
+    # sparse lexical retrieval (llm/bm25.py, built+registered r10):
+    # the BM25 counterpart to the dense ANN family. Its slot comes
+    # from trimming CHECK_NEXT's last re-evidence entry
+    # (dedup_ngram_jaccard → r11 debt, where the dedup family re-pins
+    # for the refactor anyway), keeping one slot of window margin.
+    "bm25_topk",
+    # hybrid retrieval (llm/hybrid.py, built+registered r10): RRF
+    # fusion of the sparse and dense top-k lists. Slot traded from
+    # CHECK_NEXT's dedup_edit_distance (same r11-debt reasoning).
+    "hybrid_retrieval_rrf",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -157,20 +167,25 @@ CHECK_NEXT: list[str] = [
     "dedup_minhash_lsh",
     "dedup_cluster_representatives",
     "dedup_simhash_pairs",
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
+    # dedup_edit_distance's and dedup_ngram_jaccard's re-evidence
+    # slots went to the r10-built retrieval pair (bm25_topk /
+    # hybrid_retrieval_rrf — new code outranks best-effort freshness);
+    # both join the r11 rotation cohort, which the r11 dedup.py
+    # refactor re-pins regardless.
 ]
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from cdc_cascade_spark.cdc import queries as cdc_queries
     from cdc_cascade_spark.llm import (
+        bm25,
         bpe,
         clusterprof,
         curation,
         dedup,
         dedup_eval,
         drift,
+        hybrid,
         incremental,
         leakage,
         lm_score,
@@ -256,6 +271,8 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         dedup_eval,
         hopping,
         incremental,
+        bm25,
+        hybrid,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

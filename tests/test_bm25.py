@@ -1,0 +1,142 @@
+"""BM25 lexical retrieval (llm/bm25.py): oracle parity at two SFs, an
+independent pure-Python BM25 model, retrieval invariants, and the
+broadcast inverted-index-probe plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cdc_cascade_spark.llm.bm25 import (
+    B,
+    K1,
+    K1_PLUS_1,
+    ONE_MINUS_B,
+    PPB,
+    Q_CAP,
+    QUERY_MOD,
+    QUERY_TERMS,
+    TOPK,
+    bm25_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _parity(spark, sf):
+    from cdc_cascade_spark import registry
+    from cdc_cascade_spark.testing.parity import compare, duckdb_connect
+
+    fn, sql = registry.all_queries()["bm25_topk"]
+    res = compare(
+        "bm25_topk", fn(spark, sf).toPandas(), duckdb_connect(sf).execute(sql).df()
+    )
+    assert res.ok, str(res)
+    return res
+
+
+@pytest.mark.parametrize("sf", [SF, SF01])
+def test_oracle_agrees(spark, sf):
+    res = _parity(spark, sf)
+    assert res.spark_rows > 0
+
+
+def _python_bm25(sf: str) -> dict[tuple[int, int], tuple[int, int]]:
+    """Independent model: {(qid, doc_id): (n_terms, score_ppb)} for all
+    candidate pairs (pre-topk), built with plain dicts — no Spark, no
+    SQL, no shared code with the implementation."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    toks = {
+        did: [t for t in re.split(r"\s+", text) if t != ""] for did, text in rows
+    }
+    n_docs = len(toks)
+    sum_dl = sum(len(ts) for ts in toks.values())
+    avgdl = float(sum_dl) / float(n_docs)
+    queries = {
+        did: set(ts[:QUERY_TERMS])
+        for did, ts in toks.items()
+        if did % QUERY_MOD == 0 and did < QUERY_MOD * Q_CAP
+    }
+    all_qterms = set().union(*queries.values())
+    tf: dict[tuple[int, str], int] = {}
+    df: dict[str, int] = {}
+    for did, ts in toks.items():
+        seen = set()
+        for t in ts:
+            if t not in all_qterms:
+                continue
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+            if t not in seen:
+                seen.add(t)
+                df[t] = df.get(t, 0) + 1
+    out: dict[tuple[int, int], tuple[int, int]] = {}
+    for qid, qts in queries.items():
+        for did, ts in toks.items():
+            if did == qid:
+                continue
+            score = 0
+            n_terms = 0
+            for t in qts:
+                if (did, t) not in tf:
+                    continue
+                n_terms += 1
+                idf = ((n_docs - df[t]) + 0.5) / (df[t] + 0.5)
+                f = float(tf[(did, t)])
+                dl = float(len(ts))
+                w = (f * K1_PLUS_1) / (
+                    f + K1 * (ONE_MINUS_B + (B * dl) / avgdl)
+                )
+                score += round((idf * w) * PPB)
+            if n_terms:
+                out[(qid, did)] = (n_terms, score)
+    return out
+
+
+def test_matches_python_model(spark):
+    model = _python_bm25(SF)
+    got = bm25_topk(spark, SF).collect()
+    assert got, "no results"
+    for r in got:
+        key = (r.qid, r.doc_id)
+        assert key in model, f"{key} not a candidate in the model"
+        n_terms, score = model[key]
+        assert (r.n_terms, r.score_ppb) == (n_terms, score), (key, r)
+    # the top-k cut itself: per query, result doc set == model's best k
+    by_q: dict[int, list] = {}
+    for (qid, did), (_, score) in model.items():
+        by_q.setdefault(qid, []).append((-score, did))
+    for qid, cands in by_q.items():
+        want = [d for _, d in sorted(cands)[:TOPK]]
+        have = [r.doc_id for r in sorted(got, key=lambda r: r.rank) if r.qid == qid]
+        assert have == want, (qid, have, want)
+
+
+def test_retrieval_invariants(spark):
+    rows = bm25_topk(spark, SF01).collect()
+    qids = {r.qid for r in rows}
+    assert qids == {q * QUERY_MOD for q in range(Q_CAP)}
+    for qid in qids:
+        mine = sorted((r for r in rows if r.qid == qid), key=lambda r: r.rank)
+        assert [r.rank for r in mine] == list(range(1, len(mine) + 1))
+        assert len(mine) <= TOPK
+        scores = [r.score_ppb for r in mine]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.doc_id != qid for r in mine), "query doc not excluded"
+        assert all(1 <= r.n_terms <= QUERY_TERMS for r in mine)
+
+
+def test_plan_is_broadcast_inverted_index_probe(spark):
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(bm25_topk(spark, SF))
+    # query-term set, qterms, dfr and the stats scalar all broadcast;
+    # nothing corpus-sized on the build side of any join
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]  # 1-row stats
+    assert "SortMergeJoin" not in plan, plan[:2000]

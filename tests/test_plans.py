@@ -171,6 +171,12 @@ def test_plan_lint_all_registered_queries(spark):
         "knn_join_topk": {"bnlj"},
         # 1-row total-token-count frame broadcast into the lift formula
         "bigram_lift": {"bnlj"},
+        # 1-row (N, Σdl) corpus-stats frame broadcast into the BM25
+        # weight (the bigram_lift shape); every corpus-sized join in
+        # the plan is a BroadcastHashJoin (pinned in test_bm25)
+        "bm25_topk": {"bnlj"},
+        # inherits bm25_topk's stats broadcast verbatim (sparse side)
+        "hybrid_retrieval_rrf": {"bnlj"},
         # 1-row n_sources frame broadcast into the per-source quota
         # arithmetic (plan is source-cardinality-sized; the sample
         # inherits the plan subtree verbatim)
