@@ -92,25 +92,30 @@ TOPK = 10
 PPB = 1_000_000_000.0
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``TOPK`` documents per eval query under log-free Okapi BM25:
-    ``(qid, doc_id, n_terms, score_ppb, rank)``."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Non-empty tokens only: a raw \s+ split of '' is [''] (size 1),
-    # which would give empty docs dl=1 — the llm/prep.py discipline.
-    toks = F.filter(tokens(F.col("text")), lambda t: t != F.lit(""))
-    base = docs.select(
-        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
-    )
+def tokenized_base(docs: DataFrame) -> DataFrame:
+    """``(doc_id, toks, dl)`` over any ``(doc_id, text)`` frame.
 
-    # Two corpus scalars (N, Σdl): a 1-row aggregate, broadcast below.
-    stats = base.agg(
+    Non-empty tokens only: a raw \\s+ split of '' is [''] (size 1),
+    which would give empty docs dl=1 — the llm/prep.py discipline.
+    """
+    toks = F.filter(tokens(F.col("text")), lambda t: t != F.lit(""))
+    return docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+
+
+def corpus_stats_frame(base: DataFrame) -> DataFrame:
+    """The two corpus scalars ``(n_docs, sum_dl)`` as a 1-row frame —
+    the only corpus-wide reduction BM25 needs."""
+    return base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
 
-    # Query term sets: pushdown-bounded scan, ≤ Q_CAP·QUERY_TERMS rows.
-    qterms = (
+
+def eval_query_terms(base: DataFrame) -> DataFrame:
+    """The deterministic eval workload: ``(qid, term)`` — each query
+    doc's first ``QUERY_TERMS`` distinct tokens, id-bounded so the
+    scan is pure pushdown; ≤ Q_CAP·QUERY_TERMS rows."""
+    return (
         base.filter(
             (F.col("doc_id") % QUERY_MOD == 0)
             & (F.col("doc_id") < QUERY_MOD * Q_CAP)
@@ -121,20 +126,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    qterm_set = qterms.select("term").distinct()
 
-    # Postings for query terms only: broadcast the tiny term set into
-    # the exploded token stream so the corpus is filtered map-side
-    # BEFORE the tf aggregation — the inverted-index probe shape.
-    tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
-    postings = tok.join(F.broadcast(qterm_set), "term")
-    tf = postings.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    # Document frequency over the SAME postings relation: tf already
-    # has one row per (doc, term), so df is its per-term row count —
-    # corpus-correct because the broadcast filter keeps every doc that
-    # contains the term.
+
+def topk_from_postings(
+    tf: DataFrame, qterms: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """The shared BM25 scorer: rank ``TOPK`` docs per query from a
+    query-term postings relation.
+
+    ``tf`` must hold one row per (doc, query term) the doc contains —
+    ``(doc_id, dl, term, tf)`` — covering EVERY corpus doc with the
+    term (df is derived as the per-term row count, so a filtered
+    postings set would understate it). Both the ad-hoc face
+    (``bm25_topk``) and the persistent-index probe
+    (llm/bm25_index.py) feed this one function, which is what makes
+    probe ≡ direct provable row-for-row.
+    """
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     n_d = F.col("n_docs").cast("double")
@@ -166,6 +173,31 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("qid", "doc_id", "n_terms", "score_ppb", "rank")
     )
+
+
+def bm25_topk_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level face over any ``(doc_id, text)`` corpus — reused by
+    the property tests and any non-catalog caller."""
+    base = tokenized_base(docs)
+    stats = corpus_stats_frame(base)
+    qterms = eval_query_terms(base)
+    qterm_set = qterms.select("term").distinct()
+
+    # Postings for query terms only: broadcast the tiny term set into
+    # the exploded token stream so the corpus is filtered map-side
+    # BEFORE the tf aggregation — the inverted-index probe shape.
+    tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
+    postings = tok.join(F.broadcast(qterm_set), "term")
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return topk_from_postings(tf, qterms, stats)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOPK`` documents per eval query under log-free Okapi BM25:
+    ``(qid, doc_id, n_terms, score_ppb, rank)``."""
+    return bm25_topk_frame(load_table(spark, sf_dir, "documents"))
 
 
 _TOKS = "list_filter(" + TOKENS_SQL.format(x="text") + ", t -> t <> '')"

@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from cdc_cascade_spark.llm.bm25 import (
     B,
@@ -43,18 +44,17 @@ def test_oracle_agrees(spark, sf):
     assert res.spark_rows > 0
 
 
-def _python_bm25(sf: str) -> dict[tuple[int, int], tuple[int, int]]:
+def _python_bm25_rows(
+    rows: list[tuple[int, str]]
+) -> dict[tuple[int, int], tuple[int, int]]:
     """Independent model: {(qid, doc_id): (n_terms, score_ppb)} for all
     candidate pairs (pre-topk), built with plain dicts — no Spark, no
     SQL, no shared code with the implementation."""
-    import duckdb
-
-    rows = duckdb.connect().execute(
-        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
     toks = {
         did: [t for t in re.split(r"\s+", text) if t != ""] for did, text in rows
     }
+    if not toks:
+        return {}
     n_docs = len(toks)
     sum_dl = sum(len(ts) for ts in toks.values())
     avgdl = float(sum_dl) / float(n_docs)
@@ -96,6 +96,15 @@ def _python_bm25(sf: str) -> dict[tuple[int, int], tuple[int, int]]:
             if n_terms:
                 out[(qid, did)] = (n_terms, score)
     return out
+
+
+def _python_bm25(sf: str) -> dict[tuple[int, int], tuple[int, int]]:
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    return _python_bm25_rows(rows)
 
 
 def test_matches_python_model(spark):
@@ -140,3 +149,41 @@ def test_plan_is_broadcast_inverted_index_probe(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]  # 1-row stats
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# property corpus: (doc_id 0..120, doc as a list of tokens from an
+# 8-word alphabet — small alphabet forces heavy df/tf collisions,
+# doc_id 0 and 50/100 hitting the eval-query bound exercises the
+# qid-present/absent edge; empty docs exercise the dl=0 path)
+_doc = st.tuples(
+    st.integers(0, 120),
+    st.lists(st.sampled_from([f"w{i}" for i in range(8)]), max_size=10),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc, min_size=1, max_size=15, unique_by=lambda d: d[0]))
+def test_frame_face_matches_python_model_on_random_corpora(spark, docs):
+    from cdc_cascade_spark.llm.bm25 import bm25_topk_frame
+
+    rows = [(did, " ".join(ts)) for did, ts in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk_frame(df).collect()
+    model = _python_bm25_rows(rows)
+    # every emitted row carries the model's exact integers
+    for r in got:
+        assert model[(r.qid, r.doc_id)] == (r.n_terms, r.score_ppb), r
+    # per query: emitted set == model's top-k under the same total order
+    by_q: dict[int, list] = {}
+    for (qid, did), (_, score) in model.items():
+        by_q.setdefault(qid, []).append((-score, did))
+    want = {
+        (qid, did)
+        for qid, cands in by_q.items()
+        for _, did in sorted(cands)[:TOPK]
+    }
+    assert {(r.qid, r.doc_id) for r in got} == want

@@ -1,0 +1,115 @@
+"""Persistent BM25 postings index (llm/bm25_index.py): probe ≡ direct,
+append ≡ rebuild, and the bucket partition-pruning plan shape."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r.qid, r.doc_id, r.n_terms, r.score_ppb, r.rank) for r in df.collect()
+    )
+
+
+def test_index_probe_matches_direct(spark, tmp_path):
+    from cdc_cascade_spark.llm.bm25 import bm25_topk
+    from cdc_cascade_spark.llm.bm25_index import (
+        bm25_against_index,
+        write_postings_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_postings_index(spark, SF, idx)
+    got = _rows(bm25_against_index(spark, SF, idx))
+    want = _rows(bm25_topk(spark, SF))
+    assert got == want and got
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        append_postings_index,
+        bm25_against_index,
+        write_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    full = str(tmp_path / "full")
+    write_postings_index(spark, SF, full)
+
+    inc = str(tmp_path / "inc")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    # build from the even half, append the odd half
+    from cdc_cascade_spark.llm.bm25_index import _write_batch
+
+    _write_batch(first, inc, "overwrite")
+    append_postings_index(second, inc)
+
+    got = _rows(bm25_against_index(spark, SF, inc))
+    want = _rows(bm25_against_index(spark, SF, full))
+    assert got == want and got
+
+    # the mergeable stats rows sum to the full-corpus scalars
+    sf_stats = spark.read.parquet(f"{full}/stats").agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).collect()[0]
+    inc_stats = spark.read.parquet(f"{inc}/stats").agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).collect()[0]
+    assert tuple(sf_stats) == tuple(inc_stats)
+    assert spark.read.parquet(f"{inc}/stats").count() == 2
+
+
+def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
+    """A 200-term synthetic corpus (the shipped testdata's 31-term
+    vocabulary populates and probes nearly every bucket, leaving no
+    pruning headroom to observe): a 3-term workload must read only
+    its own bucket directories."""
+    from cdc_cascade_spark.functions.hashing import token_hash
+    from cdc_cascade_spark.llm.bm25_index import (
+        N_BUCKETS,
+        _write_batch,
+        probe_postings_index,
+    )
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 7 + j) % 200}" for j in range(12)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite")
+
+    qterms = spark.createDataFrame(
+        [(0, "tok0"), (0, "tok7"), (1, "tok14")], "qid long, term string"
+    )
+    df = probe_postings_index(spark, qterms, idx)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    assert df.count() > 0
+
+    probed = {
+        int(r.bucket)
+        for r in qterms.select(
+            F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS))
+            .cast("int")
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()
+    }
+    n_dirs = len(glob.glob(f"{idx}/postings/bucket=*"))
+    assert 0 < len(probed) <= 3 < n_dirs <= N_BUCKETS, (probed, n_dirs)
+    # the pruned scan's file set is exactly the probed directories
+    n_probed_files = sum(
+        len(glob.glob(f"{idx}/postings/bucket={b}/*.parquet")) for b in probed
+    )
+    n_total_files = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    assert 0 < n_probed_files < n_total_files
