@@ -148,6 +148,45 @@ def probe_postings_index(
     return topk_from_postings(tf, qterms, stats)
 
 
+def start_postings_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming ingest into the index: consume ``(doc_id, text)``
+    document batches from a file stream and append each micro-batch's
+    postings + stats delta — the index stays probe-consistent after
+    every batch because append ≡ rebuild (each doc's postings rows and
+    the summed stats are batch-order-free).
+
+    foreachBatch rather than a streaming sink because the append is a
+    two-artifact transaction (postings dirs + stats row) against a
+    layout a plain ``writeStream.parquet`` cannot partition-and-merge;
+    at-least-once replay of a batch would double its stats row —
+    production puts the batch id in the stats row and dedups on read
+    (the IdempotentBatchSink discipline in streaming/sinks.py); the
+    lifecycle test here drives each batch exactly once.
+    """
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_postings_index(batch_df, out_path)
+
+    reader = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def bm25_against_index(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> DataFrame:

@@ -66,6 +66,48 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     assert spark.read.parquet(f"{inc}/stats").count() == 2
 
 
+def test_streaming_ingest_converges_to_batch_build(spark, tmp_path):
+    """File-stream the corpus in as three micro-batches via
+    foreachBatch append; the resulting index must answer the eval
+    probe identically to the one-shot batch build — the full
+    ingest → index → probe lifecycle."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        bm25_against_index,
+        start_postings_ingest_stream,
+        write_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "doc_stream")
+    docs.withColumn("slice", F.pmod(F.col("doc_id"), F.lit(3))).repartition(
+        3, "slice"
+    ).drop("slice").write.mode("overwrite").parquet(src)
+
+    inc = str(tmp_path / "inc")
+    q = start_postings_ingest_stream(spark, src, inc, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full")
+    write_postings_index(spark, SF, full)
+    got = _rows(bm25_against_index(spark, SF, inc))
+    want = _rows(bm25_against_index(spark, SF, full))
+    assert got == want and got
+    # one mergeable stats row per non-empty micro-batch (slice-hash
+    # collisions can leave a source file empty; empty batches append
+    # nothing)
+    import pyarrow.parquet as pq
+
+    n_nonempty = sum(
+        1 for f in glob.glob(f"{src}/part-*.parquet")
+        if pq.ParquetFile(f).metadata.num_rows > 0
+    )
+    assert 1 < spark.read.parquet(f"{inc}/stats").count() == n_nonempty
+
+
 def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
     """A 200-term synthetic corpus (the shipped testdata's 31-term
     vocabulary populates and probes nearly every bucket, leaving no
