@@ -120,7 +120,7 @@ def main() -> None:
     # key projection → keyed DEL effect) — the reference's flagship path
     # (SURVEY.md §3.1), file source standing in for Kafka. The reference
     # publishes no throughput numbers (BASELINE.md); this records ours.
-    streaming = _bench_invalidation_stream(spark, sf_dir)
+    streaming = _bench_streaming(spark, sf_dir)
 
     # Key order is deliberate: the round driver records only the LAST
     # ~2000 characters of this line (BENCH_r08.json's "tail"), so the
@@ -168,6 +168,8 @@ def main() -> None:
 
 
 def _bench_invalidation_stream(spark, sf_dir: str) -> dict:
+    """One full pipeline pass; see ``_bench_streaming`` for the
+    two-pass policy that separates first-touch cost from capability."""
     import shutil
     import tempfile
 
@@ -210,6 +212,22 @@ def _bench_invalidation_stream(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Two passes of the invalidation pipeline. ``events_per_sec``
+    stays the FIRST pass — the figure every prior round recorded, so
+    round-over-round comparisons hold — and ``warm_events_per_sec``
+    (second pass: streaming codegen/state paths already JIT-ed) is the
+    steady-state capability, which is what a long-running deployment
+    experiences. The r10 gap measured 34 k first vs ~75 k warm on
+    idle hardware — single-pass noise was repeatedly misread as a
+    throughput regression in r8/r9 post-mortems, hence the split."""
+    first = _bench_invalidation_stream(spark, sf_dir)
+    warm = _bench_invalidation_stream(spark, sf_dir)
+    first["warm_wall_sec"] = warm["wall_sec"]
+    first["warm_events_per_sec"] = warm["events_per_sec"]
+    return first
 
 
 if __name__ == "__main__":

@@ -136,15 +136,29 @@ def probe_postings_index(
     buckets = [
         int(r.bucket) for r in qterm_set.select("bucket").distinct().collect()
     ]
+    # stats is written by every build/append even for an empty batch,
+    # so it is the authoritative emptiness gate: an empty-corpus index
+    # has NO postings files (a partitioned write of zero rows emits no
+    # parts) and the dir cannot even be schema-inferred — short-circuit
+    # to the typed empty contract frame (an empty daily partition is a
+    # normal pipeline state), likewise for an empty probe workload.
+    stats = spark.read.parquet(f"{out_path}/stats").agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+    )
+    # sum_dl == 0 ⟺ zero tokens ⟺ zero postings rows ⟺ no part files
+    # (covers both the empty corpus and the all-empty-documents corpus)
+    if not buckets or stats.collect()[0]["sum_dl"] == 0:
+        return spark.createDataFrame(
+            [],
+            "qid bigint, doc_id bigint, n_terms bigint, "
+            "score_ppb bigint, rank int",
+        )
     post = spark.read.parquet(f"{out_path}/postings")
     pruned = post.filter(F.col("bucket").isin(buckets))
     tf = pruned.join(
         F.broadcast(qterm_set.select("term")), "term"
     ).select("doc_id", "dl", "term", "tf")
-    stats = spark.read.parquet(f"{out_path}/stats").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("sum_dl").alias("sum_dl"),
-    )
     return topk_from_postings(tf, qterms, stats)
 
 

@@ -108,6 +108,40 @@ def test_streaming_ingest_converges_to_batch_build(spark, tmp_path):
     assert 1 < spark.read.parquet(f"{inc}/stats").count() == n_nonempty
 
 
+def test_empty_corpus_index_probes_to_typed_empty(spark, tmp_path):
+    """An index built over an empty corpus (no postings files can even
+    be schema-inferred) and an empty probe workload both yield the
+    typed empty contract frame, not an AnalysisException."""
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        probe_postings_index,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    _write_batch(empty_docs, idx, "overwrite")
+    qterms = spark.createDataFrame([(0, "tok0")], "qid long, term string")
+    # non-empty workload against the file-less postings dir must
+    # short-circuit: there is nothing to read, so Spark must not try
+    assert probe_postings_index(spark, qterms, idx).count() == 0
+
+    no_q = spark.createDataFrame([], "qid long, term string")
+    empty = probe_postings_index(spark, no_q, idx)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "qid", "doc_id", "n_terms", "score_ppb", "rank",
+    ]
+
+    # all-empty-documents corpus: n_docs > 0 but zero tokens → still
+    # no postings part files; the sum_dl gate must catch it too
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    idx2 = str(tmp_path / "blank")
+    _write_batch(blank, idx2, "overwrite")
+    assert probe_postings_index(spark, qterms, idx2).count() == 0
+
+
 def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
     """A 200-term synthetic corpus (the shipped testdata's 31-term
     vocabulary populates and probes nearly every bucket, leaving no
