@@ -121,11 +121,12 @@ def contamination_frame(prepared: DataFrame) -> DataFrame:
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`contamination_frame` over the session-cached shingle-set
-    relation of the ``documents`` table (the registered query)."""
-    from cdc_cascade_spark.llm.dedup import _docs_prepared_cached
+    relation of the ``documents`` table (the registered query; cache
+    home is the leaf module llm/prepared.py)."""
+    from cdc_cascade_spark.llm.prepared import docs_prepared_cached
 
     return contamination_frame(
-        _docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
+        docs_prepared_cached(spark, sf_dir).select("doc_id", "hset")
     )
 
 

@@ -237,15 +237,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set (llm/prep.py) — the representative hash used for fast
     first-pass clustering of near-identical docs.
 
-    Rides the session-shared prepared relation (llm/dedup.py): the
-    shingle hashing is the dominant cost and is computed once per
-    (session, sf_dir) for the whole dedup family; this query is then a
-    projection over the cached ``hset`` column (array_min + size) —
-    same values as hashing in place, by construction.
+    Rides the session-shared prepared relation (llm/prepared.py — the
+    leaf home; same recipe the dedup family shares): the shingle
+    hashing is the dominant cost and is computed once per
+    (session, sf_dir); this query is then a projection over the cached
+    ``hset`` column (array_min + size) — same values as hashing in
+    place, by construction.
     """
-    from cdc_cascade_spark.llm.dedup import _docs_prepared_cached
+    from cdc_cascade_spark.llm.prepared import docs_prepared_cached
 
-    prepared = _docs_prepared_cached(spark, sf_dir)
+    prepared = docs_prepared_cached(spark, sf_dir)
     return prepared.select(
         "doc_id",
         F.array_min("hset").alias("fingerprint"),
