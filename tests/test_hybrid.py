@@ -74,6 +74,19 @@ def test_matches_python_rrf_model(spark):
             ), (qid, r)
 
 
+def test_dense_side_plan_shape(spark):
+    """The dense constituent keeps the recall-report ground-truth
+    shape: Q-broadcast query set (no shuffle of the corpus), rank
+    pushdown (WindowGroupLimit) before the final top-k merge. The
+    fusion's own full-outer join runs as SMJ over two (Q·k)-row
+    inputs — size-irrelevant by construction."""
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(_dense_topk(spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_fusion_invariants(spark):
     rows = hybrid_retrieval_rrf(spark, SF01).collect()
     assert {r.qid for r in rows} == {q * QUERY_MOD for q in range(Q_CAP)}
