@@ -71,15 +71,18 @@ CHECK_FIRST: list[str] = [
     # rework, text.py/curation.py frame-level refactors backing the
     # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
     # sampling per r9 verdict #4, hopping.py constant derivation per
-    # r9 advice) + 2 new registrations (the r9 verdict #2 capstone
+    # r9 advice) + 4 new registrations (the r9 verdict #2 capstone
     # pair: curate_corpus_incremental and its invalidation-audit
-    # face) = 40 hard pins. CHECK_NEXT carries 9 r8-green re-evidence
-    # slots (join/plan-risk first), total 49 — one slot of deliberate
-    # margin under the 50-entry window (r9 advice: the r9 tier was
-    # flush at 50; a one-short driver window costs only the LAST
-    # best-effort re-evidence row). The remaining 36 r8-green queries
-    # are fingerprint-frozen at 2 reports stale after this round and
-    # are r11's rotation debt.
+    # face; the r10-built retrieval pair: bm25_topk and
+    # hybrid_retrieval_rrf) = 42 hard pins. CHECK_NEXT carries 7
+    # r8-green re-evidence slots (join/plan-risk first; its last two
+    # entries were traded to the retrieval registrations), total 49 —
+    # one slot of deliberate margin under the 50-entry window (r9
+    # advice: the r9 tier was flush at 50; a one-short driver window
+    # costs only the LAST best-effort re-evidence row). The remaining
+    # 38 r8-green queries are fingerprint-frozen at 2 reports stale
+    # after this round and are r11's rotation debt (ledger in
+    # BUILD_NOTES.md).
     # --- r7-green staleness-budget rotations: text family (9) ---
     "text_stats",
     "doc_repetition",
