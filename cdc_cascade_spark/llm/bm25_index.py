@@ -162,6 +162,57 @@ def probe_postings_index(
     return topk_from_postings(tf, qterms, stats)
 
 
+def compact_postings_index(spark: SparkSession, out_path: str) -> None:
+    """Rewrite the index in place to one sorted file set per bucket
+    and a single summed stats row.
+
+    Streaming ingest appends one file group per micro-batch, so a
+    long-running index accretes small files — the classic
+    streaming-to-analytics problem: at scale, probe cost becomes
+    file-open-bound (thousands of footer reads per bucket) instead of
+    byte-bound. Compaction is pure layout: the postings ROWS are
+    per-doc facts and the stats rows sum associatively, so rewriting
+    them changes nothing a probe can observe (pinned by test).
+
+    Local rewrite is read-all → write-temp → swap. At 100 TB, don't:
+    each bucket directory is an independent unit (the point of the
+    layout), so production compacts bucket-by-bucket with the
+    shuffle-free ``sources.io.compact_table`` pass (coalesce-based,
+    sized from on-disk bytes, per-directory atomic swap) and only the
+    stats squash below is index-specific. This function is the
+    whole-index variant: one shuffled partitioned rewrite + the stats
+    squash, which doubles as the equivalence spec the per-bucket path
+    must preserve.
+    """
+    import shutil
+
+    post = spark.read.parquet(f"{out_path}/postings").localCheckpoint(
+        eager=True
+    )
+    stats = (
+        spark.read.parquet(f"{out_path}/stats")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tmp_post = f"{out_path}/postings.compact"
+    (
+        post.repartition("bucket")
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_post)
+    )
+    tmp_stats = f"{out_path}/stats.compact"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
+    shutil.rmtree(f"{out_path}/postings")
+    shutil.move(tmp_post, f"{out_path}/postings")
+    shutil.rmtree(f"{out_path}/stats")
+    shutil.move(tmp_stats, f"{out_path}/stats")
+
+
 def start_postings_ingest_stream(
     spark: SparkSession,
     docs_dir: str,

@@ -108,6 +108,41 @@ def test_streaming_ingest_converges_to_batch_build(spark, tmp_path):
     assert 1 < spark.read.parquet(f"{inc}/stats").count() == n_nonempty
 
 
+def test_compaction_is_probe_invisible_and_shrinks_files(spark, tmp_path):
+    """After many small appends, compaction must collapse the file
+    count (one stats row, one file set per bucket) while the probe
+    answers byte-identically — pure layout, no semantics."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite")
+    for k in (1, 2, 3):
+        append_postings_index(docs.filter(F.col("doc_id") % 4 == k), idx)
+
+    before_rows = _rows(bm25_against_index(spark, SF, idx))
+    files_before = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    assert spark.read.parquet(f"{idx}/stats").count() == 4
+
+    compact_postings_index(spark, idx)
+
+    assert _rows(bm25_against_index(spark, SF, idx)) == before_rows
+    files_after = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    n_buckets = len(glob.glob(f"{idx}/postings/bucket=*"))
+    assert files_after == n_buckets < files_before
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    # stats totals preserved exactly
+    s = spark.read.parquet(f"{idx}/stats").collect()[0]
+    base = docs.count()
+    assert s.n_docs == base
+
+
 def test_empty_corpus_index_probes_to_typed_empty(spark, tmp_path):
     """An index built over an empty corpus (no postings files can even
     be schema-inferred) and an empty probe workload both yield the
