@@ -187,3 +187,29 @@ def test_frame_face_matches_python_model_on_random_corpora(spark, docs):
         for _, did in sorted(cands)[:TOPK]
     }
     assert {(r.qid, r.doc_id) for r in got} == want
+
+
+def test_invariant_to_partitioning_and_order(spark):
+    """score_ppb sums are BIGINT (order-free) and every cut is an
+    integer total order, so the result must be a pure function of the
+    document SET — identical across file order and partition layout."""
+    import pyspark.sql.functions as F
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25 import bm25_topk_frame
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    layouts = {
+        "fwd": docs.orderBy("doc_id").coalesce(1),
+        "rev": docs.orderBy(F.desc("doc_id")).repartition(13),
+        "hash": docs.repartition(7, "text"),
+    }
+    results = {
+        name: sorted(
+            (r.qid, r.doc_id, r.n_terms, r.score_ppb, r.rank)
+            for r in bm25_topk_frame(df).collect()
+        )
+        for name, df in layouts.items()
+    }
+    assert results["fwd"] == results["rev"] == results["hash"]
+    assert results["fwd"]
