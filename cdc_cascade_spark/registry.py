@@ -71,18 +71,19 @@ CHECK_FIRST: list[str] = [
     # rework, text.py/curation.py frame-level refactors backing the
     # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
     # sampling per r9 verdict #4, hopping.py constant derivation per
-    # r9 advice) + 4 new registrations (the r9 verdict #2 capstone
+    # r9 advice) + 5 new registrations (the r9 verdict #2 capstone
     # pair: curate_corpus_incremental and its invalidation-audit
     # face; the r10-built retrieval pair: bm25_topk and
-    # hybrid_retrieval_rrf) = 42 hard pins. CHECK_NEXT carries 7
-    # r8-green re-evidence slots (join/plan-risk first; its last two
-    # entries were traded to the retrieval registrations), total 49 —
-    # one slot of deliberate margin under the 50-entry window (r9
-    # advice: the r9 tier was flush at 50; a one-short driver window
-    # costs only the LAST best-effort re-evidence row). The remaining
-    # 38 r8-green queries are fingerprint-frozen at 2 reports stale
-    # after this round and are r11's rotation debt (ledger in
-    # BUILD_NOTES.md).
+    # hybrid_retrieval_rrf; the temperature mix) = 43 hard pins.
+    # CHECK_NEXT carries 7 r8-green re-evidence slots (join/plan-risk
+    # first; its last two entries were traded to the retrieval
+    # registrations), total 50 — deliberately FLUSH against the
+    # window, the r9 advice's documented option (b): a one-short
+    # driver window costs only the LAST best-effort re-evidence row
+    # (dedup_simhash_pairs), never a new or changed query. The
+    # remaining 38 r8-green queries are fingerprint-frozen at 2
+    # reports stale after this round and are r11's rotation debt
+    # (ledger in BUILD_NOTES.md).
     # --- r7-green staleness-budget rotations: text family (9) ---
     "text_stats",
     "doc_repetition",
@@ -147,6 +148,13 @@ CHECK_FIRST: list[str] = [
     # fusion of the sparse and dense top-k lists. Slot traded from
     # CHECK_NEXT's dedup_edit_distance (same r11-debt reasoning).
     "hybrid_retrieval_rrf",
+    # temperature (size^0.5) mixing over the lang strata
+    # (llm/tempmix.py, built+registered r10). This pin takes the last
+    # margin slot: the tier is DELIBERATELY FLUSH at 50 — the r9
+    # advice's documented option (b); a one-short driver window costs
+    # only the LAST best-effort re-evidence row (dedup_simhash_pairs),
+    # never a new or changed query.
+    "temperature_mixture_sample",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -207,6 +215,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         similarity,
         sources,
         splits,
+        tempmix,
         text,
         vecquality,
         vectorops,
@@ -276,6 +285,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         incremental,
         bm25,
         hybrid,
+        tempmix,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

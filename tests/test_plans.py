@@ -182,6 +182,9 @@ def test_plan_lint_all_registered_queries(spark):
         # inherits the plan subtree verbatim)
         "corpus_mixture_plan": {"bnlj"},
         "corpus_mixture_sample": {"bnlj"},
+        # 1-row Σ w_micro frame broadcast into the per-stratum quota
+        # arithmetic (the corpus_mixture_plan shape)
+        "temperature_mixture_sample": {"bnlj"},
         # 1-row × 1-row cross of (sample count, materialized-pair
         # count) for the zero-shared-shingle pair arithmetic (the
         # bigram_lift shape)
