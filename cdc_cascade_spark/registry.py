@@ -152,9 +152,15 @@ CHECK_FIRST: list[str] = [
     # (llm/tempmix.py, built+registered r10). This pin takes the last
     # margin slot: the tier is DELIBERATELY FLUSH at 50 — the r9
     # advice's documented option (b); a one-short driver window costs
-    # only the LAST best-effort re-evidence row (dedup_simhash_pairs),
-    # never a new or changed query.
+    # only the LAST best-effort re-evidence row, never a new or
+    # changed query.
     "temperature_mixture_sample",
+    # per-stratum label concentration report (llm/labelskew.py,
+    # built+registered r10, late session): entropy-free HHI / top-share
+    # ppm over (lang|source) × embedding label. Its slot comes from
+    # trimming CHECK_NEXT's last entry (dedup_simhash_pairs → r11
+    # debt, which the r11 dedup-family rotation re-pins anyway).
+    "label_skew_report",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -177,12 +183,12 @@ CHECK_NEXT: list[str] = [
     "cdc_scd2_history",
     "dedup_minhash_lsh",
     "dedup_cluster_representatives",
-    "dedup_simhash_pairs",
-    # dedup_edit_distance's and dedup_ngram_jaccard's re-evidence
-    # slots went to the r10-built retrieval pair (bm25_topk /
-    # hybrid_retrieval_rrf — new code outranks best-effort freshness);
-    # both join the r11 rotation cohort, which the r11 dedup.py
-    # refactor re-pins regardless.
+    # dedup_edit_distance's, dedup_ngram_jaccard's and
+    # dedup_simhash_pairs' re-evidence slots went to r10-built
+    # registrations (bm25_topk / hybrid_retrieval_rrf /
+    # label_skew_report — new code outranks best-effort freshness);
+    # all three join the r11 rotation cohort, which the r11
+    # dedup-family rotation re-pins regardless.
 ]
 
 
@@ -198,6 +204,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         drift,
         hybrid,
         incremental,
+        labelskew,
         leakage,
         lm_score,
         mirrors,
@@ -286,6 +293,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         bm25,
         hybrid,
         tempmix,
+        labelskew,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
