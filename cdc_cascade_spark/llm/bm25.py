@@ -128,6 +128,26 @@ def eval_query_terms(base: DataFrame) -> DataFrame:
     )
 
 
+def term_weight_ppb() -> F.Column:
+    """The per-(term, unit) BM25 weight as an exact ppb BIGINT —
+    reads columns ``n_docs, df, tf, dl, sum_dl`` of the enclosing
+    frame. ONE expression tree shared by every consumer (the ad-hoc
+    face, the index probe via :func:`topk_from_postings`, and the
+    chunk-retrieval eval in llm/chunkeval.py, whose index units are
+    chunks), so the scorers provably cannot drift."""
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    tf_part = (tf_d * F.lit(K1_PLUS_1)) / (
+        tf_d
+        + F.lit(K1) * (F.lit(ONE_MINUS_B) + (F.lit(B) * dl_d) / avgdl)
+    )
+    return F.round((idf * tf_part) * F.lit(PPB), 0).cast("long")
+
+
 def topk_from_postings(
     tf: DataFrame, qterms: DataFrame, stats: DataFrame
 ) -> DataFrame:
@@ -144,17 +164,7 @@ def topk_from_postings(
     """
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    n_d = F.col("n_docs").cast("double")
-    df_d = F.col("df").cast("double")
-    tf_d = F.col("tf").cast("double")
-    dl_d = F.col("dl").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / n_d
-    idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
-    tf_part = (tf_d * F.lit(K1_PLUS_1)) / (
-        tf_d
-        + F.lit(K1) * (F.lit(ONE_MINUS_B) + (F.lit(B) * dl_d) / avgdl)
-    )
-    term_ppb = F.round((idf * tf_part) * F.lit(PPB), 0).cast("long")
+    term_ppb = term_weight_ppb()
 
     scored = (
         tf.join(F.broadcast(qterms), "term")
@@ -202,6 +212,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "list_filter(" + TOKENS_SQL.format(x="text") + ", t -> t <> '')"
 
+
+def weight_sql(n_docs: str, df: str, tf: str, dl: str, sum_dl: str) -> str:
+    """The oracle-side twin of :func:`term_weight_ppb` — the same
+    constants interpolated from the same Python floats, parameterized
+    over the unit relation's column references so the chunk-eval
+    oracle (llm/chunkeval.py) reuses it verbatim."""
+    return f"""CAST(ROUND(
+           ((((CAST({n_docs} AS DOUBLE) - CAST({df} AS DOUBLE)) + 0.5)
+             / (CAST({df} AS DOUBLE) + 0.5))
+            * ((CAST({tf} AS DOUBLE) * {K1_PLUS_1!r})
+               / (CAST({tf} AS DOUBLE)
+                  + {K1!r} * ({ONE_MINUS_B!r}
+                              + ({B!r} * CAST({dl} AS DOUBLE))
+                                / (CAST({sum_dl} AS DOUBLE)
+                                   / CAST({n_docs} AS DOUBLE))))))
+           * {PPB!r}, 0) AS BIGINT)"""
+
+
 ORACLE_BM25 = f"""
 WITH base AS (
   SELECT doc_id, {_TOKS} AS toks, len({_TOKS})::BIGINT AS dl
@@ -229,16 +257,8 @@ tf AS (
 dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT q.qid, tf.doc_id,
-         CAST(ROUND(
-           ((((CAST(s.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)) + 0.5)
-             / (CAST(dfr.df AS DOUBLE) + 0.5))
-            * ((CAST(tf.tf AS DOUBLE) * {K1_PLUS_1!r})
-               / (CAST(tf.tf AS DOUBLE)
-                  + {K1!r} * ({ONE_MINUS_B!r}
-                              + ({B!r} * CAST(tf.dl AS DOUBLE))
-                                / (CAST(s.sum_dl AS DOUBLE)
-                                   / CAST(s.n_docs AS DOUBLE))))))
-           * {PPB!r}, 0) AS BIGINT) AS term_ppb
+         {weight_sql("s.n_docs", "dfr.df", "tf.tf", "tf.dl", "s.sum_dl")}
+           AS term_ppb
   FROM tf
   JOIN q ON tf.term = q.term AND tf.doc_id <> q.qid
   JOIN dfr ON dfr.term = tf.term

@@ -161,6 +161,13 @@ CHECK_FIRST: list[str] = [
     # trimming CHECK_NEXT's last entry (dedup_simhash_pairs → r11
     # debt, which the r11 dedup-family rotation re-pins anyway).
     "label_skew_report",
+    # chunked-vs-whole-document retrieval eval (llm/chunkeval.py,
+    # built+registered r10, late session): overlap@k of chunk-indexed
+    # BM25 (doc_chunks windows as index units, best-chunk max-pooling)
+    # against the verified bm25_topk ground truth. Slot traded from
+    # CHECK_NEXT's dedup_cluster_representatives (same r11-debt
+    # reasoning as the other late registrations).
+    "chunk_retrieval_eval",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -182,13 +189,12 @@ CHECK_NEXT: list[str] = [
     "cdc_latest_state",
     "cdc_scd2_history",
     "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    # dedup_edit_distance's, dedup_ngram_jaccard's and
-    # dedup_simhash_pairs' re-evidence slots went to r10-built
-    # registrations (bm25_topk / hybrid_retrieval_rrf /
-    # label_skew_report — new code outranks best-effort freshness);
-    # all three join the r11 rotation cohort, which the r11
-    # dedup-family rotation re-pins regardless.
+    # dedup_edit_distance's, dedup_ngram_jaccard's, dedup_simhash_
+    # pairs' and dedup_cluster_representatives' re-evidence slots went
+    # to r10-built registrations (bm25_topk / hybrid_retrieval_rrf /
+    # label_skew_report / chunk_retrieval_eval — new code outranks
+    # best-effort freshness); all four join the r11 rotation cohort,
+    # which the r11 dedup-family rotation re-pins regardless.
 ]
 
 
@@ -197,6 +203,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     from cdc_cascade_spark.llm import (
         bm25,
         bpe,
+        chunkeval,
         clusterprof,
         curation,
         dedup,
@@ -294,6 +301,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         hybrid,
         tempmix,
         labelskew,
+        chunkeval,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

@@ -177,6 +177,11 @@ def test_plan_lint_all_registered_queries(spark):
         "bm25_topk": {"bnlj"},
         # inherits bm25_topk's stats broadcast verbatim (sparse side)
         "hybrid_retrieval_rrf": {"bnlj"},
+        # both retrieval sides carry the 1-row stats broadcast: the
+        # whole-doc side embeds bm25_topk verbatim, the chunk side
+        # broadcasts its own 1-row (n_units, Σ chunk length) frame
+        # into the chunk weight (plan pinned in test_chunkeval)
+        "chunk_retrieval_eval": {"bnlj"},
         # 1-row n_sources frame broadcast into the per-source quota
         # arithmetic (plan is source-cardinality-sized; the sample
         # inherits the plan subtree verbatim)
