@@ -198,8 +198,16 @@ def bm25_topk_frame(docs: DataFrame) -> DataFrame:
     # BEFORE the tf aggregation — the inverted-index probe shape.
     tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
     postings = tok.join(F.broadcast(qterm_set), "term")
-    tf = postings.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # snapshot: topk_from_postings consumes tf twice (df derivation +
+    # scoring), and without it the corpus explode+filter subtree is
+    # re-planned per consumer. Postings are query-workload-sized (the
+    # relation the persistent index materializes to parquet); the
+    # index-probe path stays un-snapshotted — its tf IS already a
+    # materialized pruned scan, and its plan pins read the scan.
+    tf = (
+        postings.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     return topk_from_postings(tf, qterms, stats)
 

@@ -429,6 +429,64 @@ def curate_from_state(state: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot persistence: the maintained (state, pairs) across restarts
+# ---------------------------------------------------------------------------
+
+
+def save_curation_snapshot(
+    state: DataFrame, pairs: DataFrame, root: str, batch_id: int
+) -> None:
+    """Persist one (state, pairs) snapshot under
+    ``{root}/{state,pairs}/batch_id=N``. ``mode("overwrite")`` into the
+    per-batch directory makes a crash-replay of the same micro-batch
+    rewrite identical content (the established quarantine/monitor
+    idempotency idiom), so at-least-once delivery cannot corrupt the
+    store; the per-batch layout keeps every snapshot addressable (the
+    audit/time-travel face the deployment wants anyway)."""
+    state.write.mode("overwrite").parquet(f"{root}/state/batch_id={batch_id}")
+    pairs.write.mode("overwrite").parquet(f"{root}/pairs/batch_id={batch_id}")
+
+
+def load_latest_curation_snapshot(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Resume point: the newest batch_id with a COMPLETE (_SUCCESS in
+    both tables) snapshot — an interrupted write of either half is
+    ignored, so restart always reads a consistent pair. Listing goes
+    through the Hadoop FileSystem API, so the store can live on any
+    Spark-reachable filesystem, not just local disk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def complete_ids(sub: str) -> set[int]:
+        path = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return set()
+        out = set()
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), "_SUCCESS"
+            )
+            if fs.exists(marker):
+                out.add(int(name.split("=", 1)[1]))
+        return out
+
+    both = complete_ids("state") & complete_ids("pairs")
+    if not both:
+        raise FileNotFoundError(f"no complete curation snapshot under {root}")
+    latest = max(both)
+    return (
+        spark.read.parquet(f"{root}/state/batch_id={latest}"),
+        spark.read.parquet(f"{root}/pairs/batch_id={latest}"),
+        latest,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming face: a diff stream drives the same engine
 # ---------------------------------------------------------------------------
 
@@ -440,6 +498,7 @@ def start_incremental_curation_stream(
     initial_pairs: DataFrame,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    state_root: str | None = None,
 ):
     """Consume a stream of corpus-diff envelopes-with-payload rows
     (``doc_id, op, text, lang, source`` — text/lang/source NULL for
@@ -457,10 +516,24 @@ def start_incremental_curation_stream(
     foreachBatch discipline — a lazily cached frame first touched
     under streaming's AQE-off planning pins streaming partitioning
     and can break later batch consumers).
+
+    ``state_root``: when given, every micro-batch's (state, pairs) is
+    persisted via :func:`save_curation_snapshot` AFTER the in-memory
+    snapshot is advanced — the deployment's durable store. A restart
+    passes :func:`load_latest_curation_snapshot`'s frames as the
+    initials with the SAME ``checkpoint_dir``: the file source's
+    offset log skips already-consumed files, the snapshot store holds
+    their effects — together they make the pipeline resume exactly
+    (pinned by tests/test_incremental.py's restart test). The two
+    stores commit independently (snapshot first, source offset at
+    batch end), so a crash between them replays one batch into an
+    overwrite-idempotent snapshot — at-least-once composes to
+    exactly-once state, the reference's offset-commit semantics
+    (SURVEY §A10) applied to the capstone.
     """
     holder = {"state": initial_state, "pairs": initial_pairs}
 
-    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         payload = batch_df.filter(F.col("op").isin("c", "u")).select(
             "doc_id", "text", "lang", "source"
         )
@@ -470,6 +543,10 @@ def start_incremental_curation_stream(
         )
         holder["state"] = state2.localCheckpoint(eager=True)
         holder["pairs"] = pairs2.localCheckpoint(eager=True)
+        if state_root is not None:
+            save_curation_snapshot(
+                holder["state"], holder["pairs"], state_root, batch_id
+            )
 
     reader = (
         spark.readStream.schema(

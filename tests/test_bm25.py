@@ -144,9 +144,12 @@ def test_plan_is_broadcast_inverted_index_probe(spark):
     from cdc_cascade_spark.plans.explain import physical_plan
 
     plan = physical_plan(bm25_topk(spark, SF))
-    # query-term set, qterms, dfr and the stats scalar all broadcast;
-    # nothing corpus-sized on the build side of any join
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    # qterms and dfr broadcast into the snapshotted postings; the
+    # qterm-set probe join lives BELOW the postings snapshot (not in
+    # this plan) and is broadcast by an explicit hint in the code —
+    # Catalyst always honors broadcast() on an equi-join, so it
+    # cannot silently regress. Nothing corpus-sized on any build side.
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]  # 1-row stats
     assert "SortMergeJoin" not in plan, plan[:2000]
 

@@ -190,7 +190,10 @@ def test_plan_is_broadcast_inverted_index_probe(spark):
     plan = physical_plan(
         chunked_topk_frame(load_table(spark, SF, "documents"))
     )
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    # qterms + dfr broadcast above the postings snapshot (the chunk
+    # probe join below it is broadcast by explicit hint — always
+    # honored on an equi-join)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     # the full report adds only Q_CAP-row joins on top (left-outer
     # merges of the per-qid count frames — bounded by the fixed query
@@ -198,4 +201,4 @@ def test_plan_is_broadcast_inverted_index_probe(spark):
     # never meet in a sort-merge, which would mark a corpus-sized
     # join having escaped the broadcast probe shape
     full = physical_plan(chunk_retrieval_eval(spark, SF))
-    assert full.count("BroadcastHashJoin") >= 6, full[:3000]
+    assert full.count("BroadcastHashJoin") >= 4, full[:3000]

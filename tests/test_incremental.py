@@ -309,3 +309,82 @@ def test_real_corpus_has_live_cascade_cases(spark):
         "a loser whose rep was invalidated must be re-elected out of "
         f"loser status; cascade={sorted(cascade)}, v2_losers={sorted(v2_losers)}"
     )
+
+
+def test_stream_restart_resumes_from_persisted_snapshot(spark, tmp_path):
+    """Durability: run the diff stream with a snapshot store, stop it
+    mid-diff, restart a FRESH stream from the persisted (state, pairs)
+    with the same checkpoint dir, feed the rest of the diff — the
+    final corpus must equal the one-shot application. Proves the
+    offset-log + overwrite-idempotent snapshot pair composes to
+    exactly-once state across process boundaries (the deployment's
+    crash-restart path; in-memory holders do not survive it)."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import incremental as inc
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v2 = inc._v2_full(docs)
+    diff = inc.corpus_diff_frame(
+        docs.select("doc_id", "text"), v2.select("doc_id", "text")
+    )
+    rows = (
+        diff.join(v2, "doc_id", "left")
+        .select("doc_id", "op", "text", "lang", "source")
+        .withColumn("slice", F.pmod(F.col("doc_id"), F.lit(3)))
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "diff_stream")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "snapshots")
+
+    state = inc.doc_state_frame(docs).localCheckpoint(eager=True)
+    pairs = inc.pairs_from_state(state).localCheckpoint(eager=True)
+
+    # phase 1: one slice arrives; the stream persists its snapshot
+    rows.filter(F.col("slice") == 0).drop("slice").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q1, h1 = inc.start_incremental_curation_stream(
+        spark, src, state, pairs, ckpt, state_root=store
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # the persisted snapshot IS the in-memory one
+    s_disk, p_disk, latest = inc.load_latest_curation_snapshot(spark, store)
+    cols = sorted(h1["state"].columns)
+    assert _rows(s_disk.select(*cols)) == _rows(h1["state"].select(*cols))
+    assert _rows(p_disk) == _rows(h1["pairs"])
+
+    # phase 2: the rest of the diff arrives; a FRESH stream resumes
+    # from the DISK snapshot (not the holder) + the same checkpoint,
+    # so already-consumed files are skipped, their effects loaded
+    rows.filter(F.col("slice") != 0).drop("slice").repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q2, h2 = inc.start_incremental_curation_stream(
+        spark, src, s_disk, p_disk, ckpt, state_root=store
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    resumed = inc.curate_from_state(h2["state"], h2["pairs"])
+
+    # equals the one-shot application of the whole diff
+    payload = v2.join(
+        diff.filter(F.col("op").isin("c", "u")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    removed = diff.filter(F.col("op").isin("d", "u")).select("doc_id")
+    s_one, p_one = inc.apply_diff(state, pairs, payload, removed)
+    assert _rows(resumed) == _rows(inc.curate_from_state(s_one, p_one))
+    assert _rows(h2["state"].select(*cols)) == _rows(s_one.select(*cols))
+    # and the store advanced past the phase-1 snapshot
+    _s3, _p3, latest2 = inc.load_latest_curation_snapshot(spark, store)
+    assert latest2 > latest
