@@ -447,35 +447,39 @@ def save_curation_snapshot(
     pairs.write.mode("overwrite").parquet(f"{root}/pairs/batch_id={batch_id}")
 
 
+def _snapshot_ids(
+    spark: SparkSession, root: str, sub: str, complete_only: bool = True
+) -> set[int]:
+    """batch_ids present under ``{root}/{sub}`` — by default only
+    COMPLETE ones (_SUCCESS written). Listing goes through the Hadoop
+    FileSystem API, so the store can live on any Spark-reachable
+    filesystem, not just local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    out = set()
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if complete_only and not fs.exists(marker):
+            continue
+        out.add(int(name.split("=", 1)[1]))
+    return out
+
+
 def load_latest_curation_snapshot(
     spark: SparkSession, root: str
 ) -> tuple[DataFrame, DataFrame, int]:
     """Resume point: the newest batch_id with a COMPLETE (_SUCCESS in
     both tables) snapshot — an interrupted write of either half is
-    ignored, so restart always reads a consistent pair. Listing goes
-    through the Hadoop FileSystem API, so the store can live on any
-    Spark-reachable filesystem, not just local disk."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def complete_ids(sub: str) -> set[int]:
-        path = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}")
-        fs = path.getFileSystem(conf)
-        if not fs.exists(path):
-            return set()
-        out = set()
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            marker = jvm.org.apache.hadoop.fs.Path(
-                st.getPath(), "_SUCCESS"
-            )
-            if fs.exists(marker):
-                out.add(int(name.split("=", 1)[1]))
-        return out
-
-    both = complete_ids("state") & complete_ids("pairs")
+    ignored, so restart always reads a consistent pair."""
+    both = _snapshot_ids(spark, root, "state") & _snapshot_ids(
+        spark, root, "pairs"
+    )
     if not both:
         raise FileNotFoundError(f"no complete curation snapshot under {root}")
     latest = max(both)
@@ -484,6 +488,42 @@ def load_latest_curation_snapshot(
         spark.read.parquet(f"{root}/pairs/batch_id={latest}"),
         latest,
     )
+
+
+def vacuum_curation_snapshots(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[int]:
+    """Retention for the snapshot store: keep the newest ``keep_last``
+    COMPLETE snapshots, delete every older batch directory in both
+    tables — including incomplete crash debris older than the cut
+    (in-flight writes NEWER than the cut are left alone). Returns the
+    deleted batch_ids. The store otherwise grows one corpus-state copy
+    per micro-batch, which at deployment scale is the dominant storage
+    line — retention is what makes per-batch snapshots affordable, and
+    addressable history (time travel back ``keep_last`` batches) is
+    what the per-batch layout buys."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    complete = sorted(
+        _snapshot_ids(spark, root, "state") & _snapshot_ids(spark, root, "pairs")
+    )
+    if len(complete) <= keep_last:
+        return []
+    cutoff = complete[-keep_last]  # oldest id that survives
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    deleted: set[int] = set()
+    for sub in ("state", "pairs"):
+        victims = {
+            b
+            for b in _snapshot_ids(spark, root, sub, complete_only=False)
+            if b < cutoff
+        }
+        for b in sorted(victims):
+            p = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}/batch_id={b}")
+            p.getFileSystem(conf).delete(p, True)
+            deleted.add(b)
+    return sorted(deleted)
 
 
 # ---------------------------------------------------------------------------

@@ -388,3 +388,36 @@ def test_stream_restart_resumes_from_persisted_snapshot(spark, tmp_path):
     # and the store advanced past the phase-1 snapshot
     _s3, _p3, latest2 = inc.load_latest_curation_snapshot(spark, store)
     assert latest2 > latest
+
+
+def test_snapshot_vacuum_keeps_newest_and_clears_debris(spark, tmp_path):
+    """Retention: vacuum deletes all but the newest keep_last complete
+    snapshots plus any incomplete crash debris older than the cut,
+    leaves in-flight dirs newer than the cut alone, and the store
+    still loads its latest snapshot afterwards."""
+    import os
+
+    from cdc_cascade_spark.llm import incremental as inc
+
+    root = str(tmp_path / "store")
+    state = spark.createDataFrame([(1, "x")], "doc_id long, t string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    for b in (0, 1, 2):
+        inc.save_curation_snapshot(state, pairs, root, b)
+    # crash debris: an OLD state dir without _SUCCESS (interrupted
+    # write) and an in-flight NEW one — only the old one may go
+    os.makedirs(f"{root}/state/batch_id=-5")
+    os.makedirs(f"{root}/state/batch_id=9")
+
+    deleted = inc.vacuum_curation_snapshots(spark, root, keep_last=2)
+    assert deleted == [-5, 0]
+    _s, _p, latest = inc.load_latest_curation_snapshot(spark, root)
+    assert latest == 2
+    assert sorted(os.listdir(f"{root}/state")) == [
+        "batch_id=1",
+        "batch_id=2",
+        "batch_id=9",
+    ]
+    assert sorted(os.listdir(f"{root}/pairs")) == ["batch_id=1", "batch_id=2"]
+    # idempotent: nothing else to delete at the same retention
+    assert inc.vacuum_curation_snapshots(spark, root, keep_last=2) == []

@@ -107,3 +107,33 @@ def test_plan_is_one_corpus_aggregation(spark):
     # consumer re-scans the parquet inputs
     assert plan.count("documents.parquet") == 0, plan[:2000]
     assert plan.count("embeddings.parquet") == 0, plan[:2000]
+
+
+def test_invariant_to_partitioning_and_order(spark):
+    """All outputs are integer sums and floor-divisions with totally
+    ordered tie-breaks, so the report is a pure function of the row
+    SET — identical across file order and partition layout."""
+    from pyspark.sql import functions as F
+
+    from cdc_cascade_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    labels = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    layouts = {
+        "fwd": (docs.orderBy("doc_id").coalesce(1), labels.coalesce(1)),
+        "rev": (
+            docs.orderBy(F.desc("doc_id")).repartition(13),
+            labels.orderBy(F.desc("doc_id")).repartition(5),
+        ),
+        "hash": (docs.repartition(7, "source"), labels.repartition(3, "label")),
+    }
+    results = {
+        name: sorted(tuple(r) for r in label_skew_frame(d, l).collect())
+        for name, (d, l) in layouts.items()
+    }
+    assert results["fwd"] == results["rev"] == results["hash"]
+    assert results["fwd"]
