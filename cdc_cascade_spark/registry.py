@@ -71,17 +71,18 @@ CHECK_FIRST: list[str] = [
     # rework, text.py/curation.py frame-level refactors backing the
     # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
     # sampling per r9 verdict #4, hopping.py constant derivation per
-    # r9 advice) + 5 new registrations (the r9 verdict #2 capstone
+    # r9 advice) + 7 new registrations (the r9 verdict #2 capstone
     # pair: curate_corpus_incremental and its invalidation-audit
     # face; the r10-built retrieval pair: bm25_topk and
-    # hybrid_retrieval_rrf; the temperature mix) = 43 hard pins.
-    # CHECK_NEXT carries 7 r8-green re-evidence slots (join/plan-risk
-    # first; its last two entries were traded to the retrieval
-    # registrations), total 50 — deliberately FLUSH against the
-    # window, the r9 advice's documented option (b): a one-short
+    # hybrid_retrieval_rrf; the temperature mix; the late-session
+    # pair: label_skew_report and chunk_retrieval_eval) = 45 hard
+    # pins. CHECK_NEXT carries 5 r8-green re-evidence slots
+    # (join/plan-risk first; its last four entries were traded to
+    # the new registrations), total 50 — deliberately FLUSH against
+    # the window, the r9 advice's documented option (b): a one-short
     # driver window costs only the LAST best-effort re-evidence row
-    # (dedup_simhash_pairs), never a new or changed query. The
-    # remaining 38 r8-green queries are fingerprint-frozen at 2
+    # (dedup_minhash_lsh), never a new or changed query. The
+    # remaining 40 r8-green queries are fingerprint-frozen at 2
     # reports stale after this round and are r11's rotation debt
     # (ledger in BUILD_NOTES.md).
     # --- r7-green staleness-budget rotations: text family (9) ---
