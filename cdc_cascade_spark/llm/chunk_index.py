@@ -1,0 +1,168 @@
+"""Persistent chunk-postings index: build → append → probe at CHUNK
+granularity.
+
+llm/chunkeval.py's ad-hoc chunked retrieval re-chunks and re-explodes
+the corpus per query batch; its scale note promises the standing-
+workload layout — "a deployment persists the chunk postings bucketed
+by term with (doc_id, chunk_id) unit keys". This module IS that
+layout: the llm/bm25_index.py design (term-hash Hive buckets,
+mergeable stats delta rows, O(batch) append, partition-pruned probes)
+with chunks as the index units, which is how production RAG indexes
+are actually keyed.
+
+Layout under ``out_path``:
+
+- ``postings/bucket=<k>/part-*.parquet`` — one row per (chunk, term):
+  ``(term, doc_id, chunk_id, dl, tf)`` with ``dl`` the CHUNK length,
+  Hive-partitioned by ``bucket = pmod(token_hash(term), N_BUCKETS)``.
+  A term's postings live in exactly one bucket, so probes partition-
+  prune and per-term chunk-df is derivable inside the pruned scan.
+- ``stats/part-*.parquet`` — mergeable ``(n_docs, sum_dl)`` delta
+  rows over CHUNKS (the scorer's corpus scalars); readers SUM.
+
+Append ≡ rebuild: postings rows are per-chunk (disjoint across
+document batches — chunking is per-document, so a batch's chunks
+never interleave another batch's), bucket is a pure function of the
+term, stats sum associatively. Probe ≡ direct: the probe feeds the
+SAME scorer (chunkeval.chunk_topk_from_postings) the same integer
+inputs. Both pinned by tests/test_chunk_index.py.
+
+Scale (100 TB): identical to the doc-level index — build is one scan
++ one shuffle on (chunk, term) (the chunk explode is map-side,
+~CHUNK_SIZE/CHUNK_STRIDE row growth before tf aggregation); probes
+read |query terms| buckets regardless of corpus size; small-files
+accretion under streaming ingest is the same problem with the same
+fix (bm25_index.compact_postings_index's rewrite — layout-only,
+probe-invisible — applies verbatim to this layout).
+
+Oracle-gate exclusion: path-dependent physical layout (the standing
+reasoning of the four sibling index modules); the correctness gate is
+row-level probe ≡ the chunkeval face whose eval query is
+driver-checked, plus append ≡ rebuild and pruning plan pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.functions.hashing import token_hash
+from cdc_cascade_spark.llm.bm25 import eval_query_terms, tokenized_base
+from cdc_cascade_spark.llm.chunkeval import (
+    chunk_topk_from_postings,
+    chunk_units_frame,
+)
+
+# Same layout constant (and reasoning) as the doc-level index.
+N_BUCKETS = 16
+
+
+def _chunk_postings_frame(docs: DataFrame) -> DataFrame:
+    """Full (term, doc_id, chunk_id, dl, tf, bucket) chunk postings
+    for a document batch."""
+    units = chunk_units_frame(tokenized_base(docs))
+    tok = units.select(
+        "doc_id",
+        "chunk_id",
+        F.col("cdl").alias("dl"),
+        F.explode("ctoks").alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "chunk_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.select(
+        "term",
+        "doc_id",
+        "chunk_id",
+        "dl",
+        "tf",
+        F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def _write_batch(docs: DataFrame, out_path: str, mode: str) -> None:
+    post = _chunk_postings_frame(docs)
+    (
+        post.repartition("bucket")
+        .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{out_path}/postings")
+    )
+    stats = chunk_units_frame(tokenized_base(docs)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("cdl"), F.lit(0)).alias("sum_dl"),
+    )
+    stats.coalesce(1).write.mode(
+        "overwrite" if mode == "overwrite" else "append"
+    ).parquet(f"{out_path}/stats")
+
+
+def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Build the chunk index from the catalog's ``documents`` table."""
+    _write_batch(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        out_path,
+        "overwrite",
+    )
+
+
+def append_chunk_index(docs_batch: DataFrame, out_path: str) -> None:
+    """O(batch) ingest: append the batch's chunk postings into the
+    bucket directories and one stats delta row."""
+    _write_batch(docs_batch.select("doc_id", "text"), out_path, "append")
+
+
+def probe_chunk_index(
+    spark: SparkSession, qterms: DataFrame, out_path: str
+) -> DataFrame:
+    """Answer an arbitrary ``(qid, term)`` workload from the index:
+    top-``TOPK`` DOCUMENTS per query by best-chunk BM25.
+
+    Probed bucket ids are a bounded driver-side collect (≤ the
+    workload's term count — the shared index-probe discipline) so the
+    ``bucket IN (…)`` predicate partition-prunes the scan."""
+    qterm_set = qterms.select("term").distinct().withColumn(
+        "bucket",
+        F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
+    )
+    buckets = [
+        int(r.bucket) for r in qterm_set.select("bucket").distinct().collect()
+    ]
+    # stats is the authoritative emptiness gate (the bm25_index
+    # reasoning: a partitioned write of zero postings emits no part
+    # files, so the postings dir cannot even be schema-inferred).
+    # Gate on sum_dl, NOT n_docs: an all-empty-documents corpus still
+    # has one zero-length chunk per doc (n_docs > 0) but zero
+    # postings rows — sum_dl == 0 ⟺ no tokens ⟺ no part files.
+    stats = spark.read.parquet(f"{out_path}/stats").agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+    )
+    if not buckets or stats.collect()[0]["sum_dl"] == 0:
+        return spark.createDataFrame(
+            [], "qid bigint, doc_id bigint, best_ppb bigint, rank int"
+        )
+    post = spark.read.parquet(f"{out_path}/postings")
+    pruned = post.filter(F.col("bucket").isin(buckets))
+    tf = pruned.join(
+        F.broadcast(qterm_set.select("term")), "term"
+    ).select("doc_id", "chunk_id", "dl", "term", "tf")
+    return chunk_topk_from_postings(tf, qterms, stats)
+
+
+def chunked_against_index(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """The probe under the same eval workload as the registered
+    ``chunk_retrieval_eval``'s chunked side — returns the identical
+    ``(qid, doc_id, best_ppb, rank)`` rows (pinned by test)."""
+    qterms = eval_query_terms(
+        tokenized_base(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+    return probe_chunk_index(spark, qterms, out_path)

@@ -110,6 +110,44 @@ def chunk_units_frame(base: DataFrame) -> DataFrame:
     )
 
 
+def chunk_topk_from_postings(
+    tf: DataFrame, qterms: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """The shared chunk-level scorer: rank ``TOPK`` DOCUMENTS per
+    query from a chunk postings relation — the
+    :func:`~cdc_cascade_spark.llm.bm25.topk_from_postings` analogue
+    with (doc, chunk) index units and best-chunk max-pooling.
+
+    ``tf`` must hold one row per (chunk, query term) the chunk
+    contains — ``(doc_id, chunk_id, dl, term, tf)`` with ``dl`` the
+    CHUNK length — covering every corpus chunk with the term (df is
+    the per-term row count); ``stats`` is the 1-row
+    ``(n_docs, sum_dl)`` frame over chunks. Both the ad-hoc face
+    (:func:`chunked_topk_frame`) and the persistent-index probe
+    (llm/chunk_index.py) feed this one function, which is what makes
+    probe ≡ direct provable row-for-row."""
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", "chunk_id", term_weight_ppb().alias("term_ppb"))
+    )
+    per_chunk = scored.groupBy("qid", "doc_id", "chunk_id").agg(
+        F.sum("term_ppb").alias("score_ppb")
+    )
+    per_doc = per_chunk.groupBy("qid", "doc_id").agg(
+        F.max("score_ppb").alias("best_ppb")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("best_ppb"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "doc_id", "best_ppb", "rank")
+    )
+
+
 def chunked_topk_frame(docs: DataFrame) -> DataFrame:
     """Chunk-indexed BM25 document top-k: score chunks as index units,
     max-pool to documents — ``(qid, doc_id, best_ppb, rank)``."""
@@ -139,27 +177,7 @@ def chunked_topk_frame(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .filter(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(dfr), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("qid", "doc_id", "chunk_id", term_weight_ppb().alias("term_ppb"))
-    )
-    per_chunk = scored.groupBy("qid", "doc_id", "chunk_id").agg(
-        F.sum("term_ppb").alias("score_ppb")
-    )
-    per_doc = per_chunk.groupBy("qid", "doc_id").agg(
-        F.max("score_ppb").alias("best_ppb")
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("best_ppb"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "doc_id", "best_ppb", "rank")
-    )
+    return chunk_topk_from_postings(tf, qterms, stats)
 
 
 def chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

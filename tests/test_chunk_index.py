@@ -1,0 +1,124 @@
+"""Persistent chunk-postings index (llm/chunk_index.py): probe ≡ the
+ad-hoc chunked face, append ≡ rebuild, bucket partition pruning, and
+the empty-index guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted((r.qid, r.doc_id, r.best_ppb, r.rank) for r in df.collect())
+
+
+def test_index_probe_matches_direct(spark, tmp_path):
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.chunk_index import (
+        chunked_against_index,
+        write_chunk_index,
+    )
+    from cdc_cascade_spark.llm.chunkeval import chunked_topk_frame
+
+    idx = str(tmp_path / "cidx")
+    write_chunk_index(spark, SF, idx)
+    got = _rows(chunked_against_index(spark, SF, idx))
+    want = _rows(chunked_topk_frame(load_table(spark, SF, "documents")))
+    assert got == want and got
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.chunk_index import (
+        _write_batch,
+        append_chunk_index,
+        chunked_against_index,
+        write_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    full = str(tmp_path / "full")
+    write_chunk_index(spark, SF, full)
+
+    inc = str(tmp_path / "inc")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), inc, "overwrite")
+    append_chunk_index(docs.filter(F.col("doc_id") % 2 == 1), inc)
+
+    got = _rows(chunked_against_index(spark, SF, inc))
+    want = _rows(chunked_against_index(spark, SF, full))
+    assert got == want and got
+    # mergeable stats deltas sum to the full-corpus chunk scalars
+    f = spark.read.parquet(f"{full}/stats").agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).collect()[0]
+    i = spark.read.parquet(f"{inc}/stats").agg(
+        F.sum("n_docs"), F.sum("sum_dl")
+    ).collect()[0]
+    assert tuple(f) == tuple(i)
+    assert spark.read.parquet(f"{inc}/stats").count() == 2
+
+
+def test_probe_partition_prunes_to_query_buckets(spark, tmp_path):
+    from cdc_cascade_spark.functions.hashing import token_hash
+    from cdc_cascade_spark.llm.chunk_index import (
+        N_BUCKETS,
+        _write_batch,
+        probe_chunk_index,
+    )
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 7 + j) % 200}" for j in range(40)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cidx")
+    _write_batch(docs, idx, "overwrite")
+
+    qterms = spark.createDataFrame(
+        [(0, "tok0"), (0, "tok7"), (1, "tok14")], "qid long, term string"
+    )
+    df = probe_chunk_index(spark, qterms, idx)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    assert df.count() > 0
+    probed = {
+        int(r.bucket)
+        for r in qterms.select(
+            F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS))
+            .cast("int")
+            .alias("bucket")
+        ).collect()
+    }
+    assert len(probed) < N_BUCKETS  # pruning is real, not vacuous
+
+
+def test_empty_index_and_empty_workload_guards(spark, tmp_path):
+    from cdc_cascade_spark.llm.chunk_index import (
+        _write_batch,
+        probe_chunk_index,
+    )
+
+    # all-empty-documents corpus: chunks exist (one zero-length chunk
+    # per doc) but there are NO postings part files — the sum_dl gate
+    # must short-circuit instead of failing schema inference
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "cidx")
+    _write_batch(docs, idx, "overwrite")
+    qterms = spark.createDataFrame([(0, "tok0")], "qid long, term string")
+    out = probe_chunk_index(spark, qterms, idx)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "qid", "doc_id", "best_ppb", "rank",
+    ]
+    # empty workload against a real index
+    real = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    idx2 = str(tmp_path / "cidx2")
+    _write_batch(real, idx2, "overwrite")
+    empty_q = qterms.filter(F.lit(False))
+    assert probe_chunk_index(spark, empty_q, idx2).count() == 0

@@ -421,3 +421,26 @@ def test_snapshot_vacuum_keeps_newest_and_clears_debris(spark, tmp_path):
     assert sorted(os.listdir(f"{root}/pairs")) == ["batch_id=1", "batch_id=2"]
     # idempotent: nothing else to delete at the same retention
     assert inc.vacuum_curation_snapshots(spark, root, keep_last=2) == []
+
+
+def test_snapshot_load_ignores_incomplete_halves(spark, tmp_path):
+    """Consistency gate: a snapshot whose state OR pairs half is
+    missing/incomplete must be invisible to the loader — a crash
+    between the two writes (or mid-write) can never serve a torn
+    pair."""
+    import os
+
+    from cdc_cascade_spark.llm import incremental as inc
+
+    root = str(tmp_path / "store")
+    state = spark.createDataFrame([(1, "x")], "doc_id long, t string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    inc.save_curation_snapshot(state, pairs, root, 0)
+    # batch 1 crashed after the state half: pairs dir never written
+    state.write.mode("overwrite").parquet(f"{root}/state/batch_id=1")
+    # batch 2 crashed mid-write: dirs exist, no _SUCCESS markers
+    os.makedirs(f"{root}/state/batch_id=2")
+    os.makedirs(f"{root}/pairs/batch_id=2")
+
+    _s, _p, latest = inc.load_latest_curation_snapshot(spark, root)
+    assert latest == 0
