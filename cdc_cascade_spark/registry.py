@@ -104,7 +104,12 @@ CHECK_FIRST: list[str] = [
     "quality_floor_filter",
     # --- relational/window/timeseries suites (10) ---
     "q13_sessionize_events",
-    "q14_pivot_status",
+    # q14_pivot_status moved to CHECK_NEXT's FIRST slot (late r10):
+    # the margin guard caps hard pins at 45, the calibration
+    # registration needed the slot, and q14 is the cohort's only
+    # no-join single-table reshape — fingerprint-frozen, so CHECK_NEXT
+    # is legitimate for it; leading the tier, it loses its row only if
+    # the driver checks ≤46 entries (never observed; 50 every round).
     "q15_outer_join_part_activity",
     "q17_tumbling_hourly",
     "q18_price_percentiles",
@@ -169,6 +174,15 @@ CHECK_FIRST: list[str] = [
     # CHECK_NEXT's dedup_cluster_representatives (same r11-debt
     # reasoning as the other late registrations).
     "chunk_retrieval_eval",
+    # quality-score calibration audit (llm/calibration.py,
+    # built+registered r10, late session): per quality decile, the
+    # near-dup incidence and curation survival — composes the
+    # verified SimHash pair set and curate_corpus verbatim. Slot
+    # traded from CHECK_NEXT's dedup_minhash_lsh (the last best-
+    # effort re-evidence trade this round; the CDC family keeps its
+    # four slots — the reference's core semantics outrank everything
+    # else in the re-evidence queue).
+    "quality_calibration_report",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -185,17 +199,23 @@ CHECK_FIRST: list[str] = [
 # deferred dedup.py candidate-verification refactor, whose re-pins
 # overlap this cohort almost entirely.
 CHECK_NEXT: list[str] = [
+    # leads the tier: its staleness deadline is this round (see the
+    # CHECK_FIRST note) — ahead of the CDC re-evidence so a one-short
+    # driver window costs re-evidence, never the deadline row
+    "q14_pivot_status",
     "cdc_op_routing",
     "cdc_invalidation_summary",
     "cdc_latest_state",
     "cdc_scd2_history",
-    "dedup_minhash_lsh",
-    # dedup_edit_distance's, dedup_ngram_jaccard's, dedup_simhash_
-    # pairs' and dedup_cluster_representatives' re-evidence slots went
-    # to r10-built registrations (bm25_topk / hybrid_retrieval_rrf /
-    # label_skew_report / chunk_retrieval_eval — new code outranks
-    # best-effort freshness); all four join the r11 rotation cohort,
-    # which the r11 dedup-family rotation re-pins regardless.
+    # The heavy-dedup re-evidence slots (dedup_edit_distance,
+    # dedup_ngram_jaccard, dedup_simhash_pairs,
+    # dedup_cluster_representatives, dedup_minhash_lsh) all went to
+    # r10-built registrations (bm25_topk / hybrid_retrieval_rrf /
+    # label_skew_report / chunk_retrieval_eval /
+    # quality_calibration_report — new code outranks best-effort
+    # freshness); all five join the r11 rotation cohort, which the
+    # r11 dedup-family rotation re-pins regardless. The CDC family
+    # keeps its four slots.
 ]
 
 
@@ -204,6 +224,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     from cdc_cascade_spark.llm import (
         bm25,
         bpe,
+        calibration,
         chunkeval,
         clusterprof,
         curation,
@@ -303,6 +324,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         tempmix,
         labelskew,
         chunkeval,
+        calibration,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

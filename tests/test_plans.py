@@ -214,6 +214,13 @@ def test_plan_lint_all_registered_queries(spark):
         # global windows over the ~80-row month aggregate; safety pinned
         # by test_q09_windows_see_only_preaggregated_input.
         "q09_monthly_revenue_window": {"single-part-window"},
+        # the decile map's cumulative window runs over the per-VALUE
+        # aggregate (≤ |distinct q_milli| rows, never the corpus — the
+        # quantile_histogram shape); the 1-row corpus-count frame
+        # broadcasts into the decile arithmetic (bigram_lift shape),
+        # and the composed curate_corpus kept-set carries its 1-row
+        # threshold broadcast
+        "quality_calibration_report": {"single-part-window", "bnlj"},
     }
     bad = {}
     for name, fn in sorted(queries().items()):
