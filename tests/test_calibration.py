@@ -128,3 +128,47 @@ def test_value_atomic_deciles_are_contiguous_and_ordered(spark):
         assert a.hi_milli < b.lo_milli
     assert by_d[-1].decile == N_DECILES  # the top decile always exists
     assert sum(r.n_docs for r in by_d) == 500
+
+
+# random corpora: small alphabet forces q_milli collisions (value
+# groups spanning decile boundaries), short docs exercise the n<100
+# regime, empty docs the q_milli=0 floor
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _doc = st.tuples(
+        st.integers(0, 60),
+        st.lists(st.sampled_from([f"w{i}" for i in range(6)]), max_size=8),
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(_doc, min_size=1, max_size=20, unique_by=lambda d: d[0]),
+        st.sets(st.integers(0, 60), max_size=5),
+        st.sets(st.integers(0, 60), max_size=5),
+    )
+    def test_matches_python_model_on_random_corpora(
+        spark, docs, dup_ids, kept_ids
+    ):
+        rows = [(did, " ".join(ts)) for did, ts in docs]
+        frame = spark.createDataFrame(rows, "doc_id long, text string")
+        dup = spark.createDataFrame(
+            [(i,) for i in dup_ids] or [], "doc_id long"
+        )
+        kept = spark.createDataFrame(
+            [(i,) for i in kept_ids] or [], "doc_id long"
+        )
+        got = {
+            r.decile: (
+                r.n_docs, r.dup_docs, r.dup_ppm, r.kept_docs, r.kept_ppm,
+                r.lo_milli, r.hi_milli,
+            )
+            for r in quality_calibration_frame(frame, dup, kept).collect()
+        }
+        assert got == _python_model(rows, dup_ids, kept_ids)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
