@@ -31,9 +31,9 @@ Scale (100 TB): identical to the doc-level index — build is one scan
 + one shuffle on (chunk, term) (the chunk explode is map-side,
 ~CHUNK_SIZE/CHUNK_STRIDE row growth before tf aggregation); probes
 read |query terms| buckets regardless of corpus size; small-files
-accretion under streaming ingest is the same problem with the same
-fix (bm25_index.compact_postings_index's rewrite — layout-only,
-probe-invisible — applies verbatim to this layout).
+accretion under append ingest is the same problem with the same fix
+(:func:`compact_chunk_index` — layout-only, probe-invisible, the
+bm25_index compaction over the chunk schema).
 
 Oracle-gate exclusion: path-dependent physical layout (the standing
 reasoning of the four sibling index modules); the correctness gate is
@@ -166,3 +166,39 @@ def chunked_against_index(
         )
     )
     return probe_chunk_index(spark, qterms, out_path)
+
+
+def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
+    """Rewrite the chunk index in place to one sorted file set per
+    bucket and a single summed stats row — the bm25_index compaction
+    (see its docstring for the small-files rationale and the 100 TB
+    per-bucket variant) over the chunk schema. Pure layout: postings
+    rows are per-chunk facts and stats sum associatively, so probes
+    cannot observe the rewrite (pinned by test)."""
+    import shutil
+
+    post = spark.read.parquet(f"{out_path}/postings").localCheckpoint(
+        eager=True
+    )
+    stats = (
+        spark.read.parquet(f"{out_path}/stats")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tmp_post = f"{out_path}/postings.compact"
+    (
+        post.repartition("bucket")
+        .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_post)
+    )
+    tmp_stats = f"{out_path}/stats.compact"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
+    shutil.rmtree(f"{out_path}/postings")
+    shutil.move(tmp_post, f"{out_path}/postings")
+    shutil.rmtree(f"{out_path}/stats")
+    shutil.move(tmp_stats, f"{out_path}/stats")

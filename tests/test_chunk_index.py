@@ -122,3 +122,32 @@ def test_empty_index_and_empty_workload_guards(spark, tmp_path):
     _write_batch(real, idx2, "overwrite")
     empty_q = qterms.filter(F.lit(False))
     assert probe_chunk_index(spark, empty_q, idx2).count() == 0
+
+
+def test_compaction_is_probe_invisible_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.chunk_index import (
+        _write_batch,
+        append_chunk_index,
+        chunked_against_index,
+        compact_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "cidx")
+    # 4 appended slices → 4 file groups per touched bucket, 4 stats rows
+    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite")
+    for k in (1, 2, 3):
+        append_chunk_index(docs.filter(F.col("doc_id") % 4 == k), idx)
+    before = _rows(chunked_against_index(spark, SF, idx))
+    n_files_before = len(glob.glob(f"{idx}/postings/bucket=*/part-*"))
+    assert spark.read.parquet(f"{idx}/stats").count() == 4
+
+    compact_chunk_index(spark, idx)
+
+    assert _rows(chunked_against_index(spark, SF, idx)) == before and before
+    n_files_after = len(glob.glob(f"{idx}/postings/bucket=*/part-*"))
+    assert n_files_after < n_files_before
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
