@@ -151,3 +151,48 @@ def test_compaction_is_probe_invisible_and_shrinks_files(spark, tmp_path):
     n_files_after = len(glob.glob(f"{idx}/postings/bucket=*/part-*"))
     assert n_files_after < n_files_before
     assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+
+def test_probe_answers_arbitrary_workloads(spark, tmp_path):
+    """Bucket pruning must never LOSE postings: for a workload the
+    index has never seen (multi-query, terms spanning several buckets,
+    one term absent from the corpus, one query that is all-absent),
+    the pruned probe must equal scoring the FULL unpruned postings
+    relation through the same scorer."""
+    from cdc_cascade_spark.llm.chunk_index import (
+        _chunk_postings_frame,
+        _write_batch,
+        probe_chunk_index,
+    )
+    from cdc_cascade_spark.llm.chunkeval import chunk_topk_from_postings
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 11 + j) % 60}" for j in range(50)))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cidx")
+    _write_batch(docs, idx, "overwrite")
+
+    qterms = spark.createDataFrame(
+        [(7, "tok1"), (7, "tok2"), (7, "ghost-term"),
+         (8, "tok30"), (8, "tok59"),
+         (9, "never-a"), (9, "never-b")],  # all-absent query
+        "qid long, term string",
+    )
+    got = sorted(
+        tuple(r) for r in probe_chunk_index(spark, qterms, idx).collect()
+    )
+
+    full = _chunk_postings_frame(docs).join(
+        qterms.select("term").distinct(), "term"
+    ).select("doc_id", "chunk_id", "dl", "term", "tf")
+    stats = spark.read.parquet(f"{idx}/stats")
+    want = sorted(
+        tuple(r)
+        for r in chunk_topk_from_postings(full, qterms, stats).collect()
+    )
+    assert got == want and got
+    qids = {r[0] for r in got}
+    assert 7 in qids and 8 in qids  # partial-hit queries answered
+    assert 9 not in qids  # all-absent query returns no rows
