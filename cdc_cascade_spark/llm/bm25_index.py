@@ -12,7 +12,7 @@ probed terms' partitions.
 Layout under ``out_path``:
 
 - ``postings/bucket=<k>/part-*.parquet`` — one row per (doc, term):
-  ``(term, doc_id, dl, tf)``, Hive-partitioned by
+  ``(term, doc_id, dl, tf, batch_id)``, Hive-partitioned by
   ``bucket = pmod(token_hash(term), N_BUCKETS)``. Every posting of a
   term lands in exactly one bucket directory, so a probe's
   ``bucket IN (…)`` predicate is PARTITION PRUNING (only the probed
@@ -20,13 +20,26 @@ Layout under ``out_path``:
   derivable inside the pruned scan — no separate df table to keep
   consistent.
 - ``stats/part-*.parquet`` — mergeable corpus scalars: each
-  build/append writes one ``(n_docs, sum_dl)`` delta row; readers SUM
-  the rows. Appends never rewrite anything.
+  build/append writes one ``(n_docs, sum_dl, batch_id)`` delta row;
+  readers SUM the rows. Appends never rewrite anything.
 
 Append ≡ rebuild holds because every artifact is a pure function of
 the document set: postings rows are per-doc (disjoint across
 batches), the bucket of a term is fixed by its hash, and stats rows
 sum associatively — pinned by test.
+
+At-least-once replay safety (r10 advice #1): every row — postings AND
+stats — carries the ``batch_id`` that wrote it, and readers dedup on
+it before anything is counted (stats rows on ``batch_id``; postings
+rows on ``(batch_id, term, doc_id)``, which a byte-identical replayed
+file duplicates exactly). A replayed micro-batch therefore re-appends
+files whose rows are already present and changes NOTHING a probe can
+observe — pinned by the double-replay test. Caller contract: a
+``batch_id`` names ONE logical document batch (the streaming path
+passes the foreachBatch epoch id, which Structured Streaming keeps
+stable across replays; ad-hoc appends must pick unique non-negative
+ids). ``BUILD_BATCH_ID = -1`` is reserved for the initial build and
+the compaction squash row — never a stream epoch.
 
 Probe ≡ direct holds because the probe feeds the SAME scorer
 (``bm25.py::topk_from_postings``) with the same integer inputs
@@ -49,6 +62,8 @@ tests/test_bm25_index.py.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +79,11 @@ from cdc_cascade_spark.llm.bm25 import (
 # local test layout readable; a production index raises it (the probe
 # cost is |query terms| buckets regardless).
 N_BUCKETS = 16
+
+# Reserved batch id for the initial build and the compaction squash —
+# stream epochs (the foreachBatch batch ids) are non-negative, so the
+# reserved id can never collide with a replayed epoch's rows.
+BUILD_BATCH_ID = -1
 
 
 def _postings_frame(docs: DataFrame) -> DataFrame:
@@ -85,8 +105,12 @@ def _postings_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_batch(docs: DataFrame, out_path: str, mode: str) -> None:
-    post = _postings_frame(docs)
+def _write_batch(
+    docs: DataFrame, out_path: str, mode: str, batch_id: int
+) -> None:
+    post = _postings_frame(docs).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
     (
         post.repartition("bucket")
         .sortWithinPartitions("bucket", "term", "doc_id")
@@ -97,7 +121,7 @@ def _write_batch(docs: DataFrame, out_path: str, mode: str) -> None:
     stats = tokenized_base(docs).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
-    )
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(f"{out_path}/stats")
@@ -111,13 +135,31 @@ def write_postings_index(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         out_path,
         "overwrite",
+        BUILD_BATCH_ID,
     )
 
 
-def append_postings_index(docs_batch: DataFrame, out_path: str) -> None:
+def append_postings_index(
+    docs_batch: DataFrame, out_path: str, batch_id: int
+) -> None:
     """O(batch) ingest: append the batch's postings into the bucket
-    directories and one stats delta row. No rebuild, no rewrite."""
-    _write_batch(docs_batch.select("doc_id", "text"), out_path, "append")
+    directories and one stats delta row. No rebuild, no rewrite.
+
+    ``batch_id`` must uniquely name the logical batch (non-negative;
+    the streaming path passes the foreachBatch epoch id): readers
+    dedup on it, which is what makes an at-least-once replay of the
+    same batch invisible (see the module docstring)."""
+    _write_batch(
+        docs_batch.select("doc_id", "text"), out_path, "append", batch_id
+    )
+
+
+def _dedup_stats(stats_raw: DataFrame) -> DataFrame:
+    """Replay-safe corpus scalars: one delta row per batch_id, summed."""
+    return stats_raw.dropDuplicates(["batch_id"]).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+    )
 
 
 def probe_postings_index(
@@ -142,10 +184,9 @@ def probe_postings_index(
     # parts) and the dir cannot even be schema-inferred — short-circuit
     # to the typed empty contract frame (an empty daily partition is a
     # normal pipeline state), likewise for an empty probe workload.
-    stats = spark.read.parquet(f"{out_path}/stats").agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
-    )
+    # dropDuplicates(batch_id) first: an at-least-once replay appends a
+    # second identical delta row that must not double-count.
+    stats = _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
     # sum_dl == 0 ⟺ zero tokens ⟺ zero postings rows ⟺ no part files
     # (covers both the empty corpus and the all-empty-documents corpus)
     if not buckets or stats.collect()[0]["sum_dl"] == 0:
@@ -156,9 +197,17 @@ def probe_postings_index(
         )
     post = spark.read.parquet(f"{out_path}/postings")
     pruned = post.filter(F.col("bucket").isin(buckets))
-    tf = pruned.join(
-        F.broadcast(qterm_set.select("term")), "term"
-    ).select("doc_id", "dl", "term", "tf")
+    # replay dedup AFTER pruning + the query-term filter, so the extra
+    # exchange runs on the workload-sized postings, never the index:
+    # a replayed batch's rows are byte-identical including batch_id,
+    # so (batch_id, term, doc_id) removes exactly the replays (df is
+    # derived downstream as a per-term row count and must not see
+    # them).
+    tf = (
+        pruned.join(F.broadcast(qterm_set.select("term")), "term")
+        .dropDuplicates(["batch_id", "term", "doc_id"])
+        .select("doc_id", "dl", "term", "tf")
+    )
     return topk_from_postings(tf, qterms, stats)
 
 
@@ -183,34 +232,96 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
     whole-index variant: one shuffled partitioned rewrite + the stats
     squash, which doubles as the equivalence spec the per-bucket path
     must preserve.
-    """
-    import shutil
 
-    post = spark.read.parquet(f"{out_path}/postings").localCheckpoint(
-        eager=True
-    )
-    stats = (
-        spark.read.parquet(f"{out_path}/stats")
-        .agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
-        )
+    Compaction also SQUASHES replay residue permanently: postings
+    dedup on (batch_id, term, doc_id) and the stats rows collapse to
+    one ``BUILD_BATCH_ID`` row, so probes after compaction skip the
+    read-side dedup work. Run it only with ingest quiesced (stream
+    stopped AND its checkpoint committed) — the swap below requires
+    exclusive access anyway, and squashing while a batch could still
+    replay would let that batch's rows in twice.
+    """
+    recover_compaction(out_path)
+    post = (
+        spark.read.parquet(f"{out_path}/postings")
+        .dropDuplicates(["batch_id", "term", "doc_id"])
+        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
         .localCheckpoint(eager=True)
     )
-    tmp_post = f"{out_path}/postings.compact"
+    stats = (
+        _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
+        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     (
         post.repartition("bucket")
         .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(tmp_post)
+        .parquet(f"{out_path}/postings.compact")
     )
-    tmp_stats = f"{out_path}/stats.compact"
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
-    shutil.rmtree(f"{out_path}/postings")
-    shutil.move(tmp_post, f"{out_path}/postings")
-    shutil.rmtree(f"{out_path}/stats")
-    shutil.move(tmp_stats, f"{out_path}/stats")
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_path}/stats.compact"
+    )
+    _swap_compacted(out_path, "postings")
+    _swap_compacted(out_path, "stats")
+
+
+def _swap_compacted(out_path: str, name: str) -> None:
+    """Crash-safe in-place swap of ``<name>.compact`` over ``<name>``
+    (r10 advice #2: the old rmtree-then-move sequence deleted the live
+    directory BEFORE its replacement was in place — a crash inside
+    that window lost the index outright). Order here: (1) clear any
+    ``<name>.old`` left by a prior crash, (2) rename the live dir
+    aside to ``.old``, (3) rename the compacted dir in, (4) delete
+    ``.old``. Renames are atomic on a same-filesystem path and no
+    data is ever deleted before its replacement exists, so every crash
+    point leaves a state :func:`recover_compaction` repairs."""
+    import shutil
+
+    live = Path(out_path) / name
+    tmp = Path(out_path) / f"{name}.compact"
+    old = Path(out_path) / f"{name}.old"
+    if old.exists():
+        shutil.rmtree(old)
+    live.rename(old)
+    tmp.rename(live)
+    shutil.rmtree(old)
+
+
+def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> None:
+    """Repair the index layout after a crash anywhere inside a
+    compaction run. Idempotent, and a no-op on a clean layout — called
+    at the top of every compact so an operator can simply re-run it.
+
+    Per artifact directory, exactly one of these crash states exists:
+
+    - live present: any ``.compact``/``.old`` residue is stale (a
+      crash before the swap started, or after it finished) — clear it.
+    - live absent, ``.compact`` + ``.old`` present: crash between the
+      two swap renames; the compacted copy was fully written before
+      the swap began — promote it and clear ``.old``.
+    - live absent, only ``.old`` present: defensive (the swap's rename
+      pair cannot leave this, but a manual intervention might) —
+      restore ``.old``.
+    """
+    import shutil
+
+    for name in names:
+        live = Path(out_path) / name
+        tmp = Path(out_path) / f"{name}.compact"
+        old = Path(out_path) / f"{name}.old"
+        if live.exists():
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            if old.exists():
+                shutil.rmtree(old)
+        elif tmp.exists():
+            tmp.rename(live)
+            if old.exists():
+                shutil.rmtree(old)
+        elif old.exists():
+            old.rename(live)
 
 
 def start_postings_ingest_stream(
@@ -228,17 +339,19 @@ def start_postings_ingest_stream(
 
     foreachBatch rather than a streaming sink because the append is a
     two-artifact transaction (postings dirs + stats row) against a
-    layout a plain ``writeStream.parquet`` cannot partition-and-merge;
-    at-least-once replay of a batch would double its stats row —
-    production puts the batch id in the stats row and dedups on read
-    (the IdempotentBatchSink discipline in streaming/sinks.py); the
-    lifecycle test here drives each batch exactly once.
+    layout a plain ``writeStream.parquet`` cannot partition-and-merge.
+    At-least-once replay is safe: every appended row (postings AND
+    stats) carries the epoch's ``batch_id`` — stable across replays
+    because Structured Streaming replays a failed epoch under the SAME
+    id — and readers dedup on it (the IdempotentBatchSink discipline
+    in streaming/sinks.py, applied to both artifacts; pinned by the
+    double-replay test).
     """
 
-    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_postings_index(batch_df, out_path)
+        append_postings_index(batch_df, out_path, batch_id)
 
     reader = (
         spark.readStream.schema("doc_id long, text string")

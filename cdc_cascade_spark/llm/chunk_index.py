@@ -13,12 +13,13 @@ are actually keyed.
 Layout under ``out_path``:
 
 - ``postings/bucket=<k>/part-*.parquet`` — one row per (chunk, term):
-  ``(term, doc_id, chunk_id, dl, tf)`` with ``dl`` the CHUNK length,
-  Hive-partitioned by ``bucket = pmod(token_hash(term), N_BUCKETS)``.
+  ``(term, doc_id, chunk_id, dl, tf, batch_id)`` with ``dl`` the CHUNK
+  length, Hive-partitioned by
+  ``bucket = pmod(token_hash(term), N_BUCKETS)``.
   A term's postings live in exactly one bucket, so probes partition-
   prune and per-term chunk-df is derivable inside the pruned scan.
-- ``stats/part-*.parquet`` — mergeable ``(n_docs, sum_dl)`` delta
-  rows over CHUNKS (the scorer's corpus scalars); readers SUM.
+- ``stats/part-*.parquet`` — mergeable ``(n_docs, sum_dl, batch_id)``
+  delta rows over CHUNKS (the scorer's corpus scalars); readers SUM.
 
 Append ≡ rebuild: postings rows are per-chunk (disjoint across
 document batches — chunking is per-document, so a batch's chunks
@@ -26,6 +27,13 @@ never interleave another batch's), bucket is a pure function of the
 term, stats sum associatively. Probe ≡ direct: the probe feeds the
 SAME scorer (chunkeval.chunk_topk_from_postings) the same integer
 inputs. Both pinned by tests/test_chunk_index.py.
+
+At-least-once replay safety and crash-safe compaction swaps follow
+llm/bm25_index.py exactly (r10 advice #1/#2 — see its module
+docstring): every row carries its writing ``batch_id``, readers dedup
+on it (postings on ``(batch_id, term, doc_id, chunk_id)``), and the
+compaction swap renames the live dir aside before promoting the
+compacted copy (``recover_compaction`` repairs any crash point).
 
 Scale (100 TB): identical to the doc-level index — build is one scan
 + one shuffle on (chunk, term) (the chunk explode is map-side,
@@ -49,6 +57,12 @@ from pyspark.sql import functions as F
 from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.functions.hashing import token_hash
 from cdc_cascade_spark.llm.bm25 import eval_query_terms, tokenized_base
+from cdc_cascade_spark.llm.bm25_index import (
+    BUILD_BATCH_ID,
+    _dedup_stats,
+    _swap_compacted,
+    recover_compaction,
+)
 from cdc_cascade_spark.llm.chunkeval import (
     chunk_topk_from_postings,
     chunk_units_frame,
@@ -83,8 +97,12 @@ def _chunk_postings_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_batch(docs: DataFrame, out_path: str, mode: str) -> None:
-    post = _chunk_postings_frame(docs)
+def _write_batch(
+    docs: DataFrame, out_path: str, mode: str, batch_id: int
+) -> None:
+    post = _chunk_postings_frame(docs).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
     (
         post.repartition("bucket")
         .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
@@ -95,7 +113,7 @@ def _write_batch(docs: DataFrame, out_path: str, mode: str) -> None:
     stats = chunk_units_frame(tokenized_base(docs)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("cdl"), F.lit(0)).alias("sum_dl"),
-    )
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(f"{out_path}/stats")
@@ -107,13 +125,21 @@ def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         out_path,
         "overwrite",
+        BUILD_BATCH_ID,
     )
 
 
-def append_chunk_index(docs_batch: DataFrame, out_path: str) -> None:
+def append_chunk_index(
+    docs_batch: DataFrame, out_path: str, batch_id: int
+) -> None:
     """O(batch) ingest: append the batch's chunk postings into the
-    bucket directories and one stats delta row."""
-    _write_batch(docs_batch.select("doc_id", "text"), out_path, "append")
+    bucket directories and one stats delta row. ``batch_id`` must
+    uniquely name the logical batch (streaming callers pass the
+    foreachBatch epoch id) — readers dedup on it, which is what makes
+    at-least-once replay invisible."""
+    _write_batch(
+        docs_batch.select("doc_id", "text"), out_path, "append", batch_id
+    )
 
 
 def probe_chunk_index(
@@ -138,19 +164,23 @@ def probe_chunk_index(
     # Gate on sum_dl, NOT n_docs: an all-empty-documents corpus still
     # has one zero-length chunk per doc (n_docs > 0) but zero
     # postings rows — sum_dl == 0 ⟺ no tokens ⟺ no part files.
-    stats = spark.read.parquet(f"{out_path}/stats").agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
-    )
+    # dropDuplicates(batch_id) first: replay-appended delta rows must
+    # not double-count (the bm25_index replay discipline).
+    stats = _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
     if not buckets or stats.collect()[0]["sum_dl"] == 0:
         return spark.createDataFrame(
             [], "qid bigint, doc_id bigint, best_ppb bigint, rank int"
         )
     post = spark.read.parquet(f"{out_path}/postings")
     pruned = post.filter(F.col("bucket").isin(buckets))
-    tf = pruned.join(
-        F.broadcast(qterm_set.select("term")), "term"
-    ).select("doc_id", "chunk_id", "dl", "term", "tf")
+    # replay dedup after pruning + the query-term filter (workload-
+    # sized): a replayed batch's rows are byte-identical including
+    # batch_id, so the chunk-unit key removes exactly the replays.
+    tf = (
+        pruned.join(F.broadcast(qterm_set.select("term")), "term")
+        .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
+        .select("doc_id", "chunk_id", "dl", "term", "tf")
+    )
     return chunk_topk_from_postings(tf, qterms, stats)
 
 
@@ -171,34 +201,32 @@ def chunked_against_index(
 def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
     """Rewrite the chunk index in place to one sorted file set per
     bucket and a single summed stats row — the bm25_index compaction
-    (see its docstring for the small-files rationale and the 100 TB
-    per-bucket variant) over the chunk schema. Pure layout: postings
+    (see its docstring for the small-files rationale, the 100 TB
+    per-bucket variant, the replay-residue squash, and the quiesced-
+    ingest requirement) over the chunk schema. Pure layout: postings
     rows are per-chunk facts and stats sum associatively, so probes
     cannot observe the rewrite (pinned by test)."""
-    import shutil
-
-    post = spark.read.parquet(f"{out_path}/postings").localCheckpoint(
-        eager=True
-    )
-    stats = (
-        spark.read.parquet(f"{out_path}/stats")
-        .agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
-        )
+    recover_compaction(out_path)
+    post = (
+        spark.read.parquet(f"{out_path}/postings")
+        .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
+        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
         .localCheckpoint(eager=True)
     )
-    tmp_post = f"{out_path}/postings.compact"
+    stats = (
+        _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
+        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     (
         post.repartition("bucket")
         .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(tmp_post)
+        .parquet(f"{out_path}/postings.compact")
     )
-    tmp_stats = f"{out_path}/stats.compact"
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
-    shutil.rmtree(f"{out_path}/postings")
-    shutil.move(tmp_post, f"{out_path}/postings")
-    shutil.rmtree(f"{out_path}/stats")
-    shutil.move(tmp_stats, f"{out_path}/stats")
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_path}/stats.compact"
+    )
+    _swap_compacted(out_path, "postings")
+    _swap_compacted(out_path, "stats")

@@ -48,8 +48,8 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     # build from the even half, append the odd half
     from cdc_cascade_spark.llm.bm25_index import _write_batch
 
-    _write_batch(first, inc, "overwrite")
-    append_postings_index(second, inc)
+    _write_batch(first, inc, "overwrite", -1)
+    append_postings_index(second, inc, batch_id=1)
 
     got = _rows(bm25_against_index(spark, SF, inc))
     want = _rows(bm25_against_index(spark, SF, full))
@@ -122,9 +122,9 @@ def test_compaction_is_probe_invisible_and_shrinks_files(spark, tmp_path):
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     idx = str(tmp_path / "bm25")
-    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite")
+    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite", -1)
     for k in (1, 2, 3):
-        append_postings_index(docs.filter(F.col("doc_id") % 4 == k), idx)
+        append_postings_index(docs.filter(F.col("doc_id") % 4 == k), idx, batch_id=k)
 
     before_rows = _rows(bm25_against_index(spark, SF, idx))
     files_before = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
@@ -154,7 +154,7 @@ def test_empty_corpus_index_probes_to_typed_empty(spark, tmp_path):
 
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     idx = str(tmp_path / "bm25")
-    _write_batch(empty_docs, idx, "overwrite")
+    _write_batch(empty_docs, idx, "overwrite", -1)
     qterms = spark.createDataFrame([(0, "tok0")], "qid long, term string")
     # non-empty workload against the file-less postings dir must
     # short-circuit: there is nothing to read, so Spark must not try
@@ -173,7 +173,7 @@ def test_empty_corpus_index_probes_to_typed_empty(spark, tmp_path):
         [(1, ""), (2, "   ")], "doc_id long, text string"
     )
     idx2 = str(tmp_path / "blank")
-    _write_batch(blank, idx2, "overwrite")
+    _write_batch(blank, idx2, "overwrite", -1)
     assert probe_postings_index(spark, qterms, idx2).count() == 0
 
 
@@ -196,7 +196,7 @@ def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "bm25")
-    _write_batch(docs, idx, "overwrite")
+    _write_batch(docs, idx, "overwrite", -1)
 
     qterms = spark.createDataFrame(
         [(0, "tok0"), (0, "tok7"), (1, "tok14")], "qid long, term string"
@@ -224,3 +224,94 @@ def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
     )
     n_total_files = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
     assert 0 < n_probed_files < n_total_files
+
+
+def test_replayed_micro_batch_is_invisible(spark, tmp_path):
+    """At-least-once replay (r10 advice #1): re-appending the SAME
+    logical batch under the SAME batch_id — exactly what a foreachBatch
+    replay does after a crash between the append and the checkpoint
+    commit — must change nothing a probe can observe (stats must not
+    double-count, df must not see duplicate postings rows), and
+    compaction must squash the replay residue permanently."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    append_postings_index(odd, idx, batch_id=7)
+    want = _rows(bm25_against_index(spark, SF, idx))
+    n_post_rows = spark.read.parquet(f"{idx}/postings").dropDuplicates(
+        ["batch_id", "term", "doc_id"]
+    ).count()
+
+    append_postings_index(odd, idx, batch_id=7)  # replay
+    append_postings_index(odd, idx, batch_id=7)  # replay again
+
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+    # the replays DID append files/rows (at-least-once is real) …
+    assert spark.read.parquet(f"{idx}/stats").count() == 4
+    assert spark.read.parquet(f"{idx}/postings").count() > n_post_rows
+    # … and compaction squashes them permanently
+    compact_postings_index(spark, idx)
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    assert spark.read.parquet(f"{idx}/postings").count() == n_post_rows
+
+
+def test_compaction_swap_is_crash_recoverable(spark, tmp_path):
+    """r10 advice #2: the old rmtree-then-move swap had a window with
+    NO live directory — a crash there lost the index. The new swap
+    renames the live dir aside first; recover_compaction must restore
+    a probing index from every crash state, and compact itself must
+    succeed when re-run over one."""
+    import shutil
+    from pathlib import Path
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        bm25_against_index,
+        compact_postings_index,
+        recover_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    # state A — crash after writing the compacted copies, before the
+    # swap: live + .compact both present. Recover drops the residue.
+    shutil.copytree(f"{idx}/postings", f"{idx}/postings.compact")
+    shutil.copytree(f"{idx}/stats", f"{idx}/stats.compact")
+    recover_compaction(idx)
+    assert not Path(f"{idx}/postings.compact").exists()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # state B — crash BETWEEN the two swap renames: live renamed aside,
+    # compacted copy not yet promoted. No live dir exists — the state
+    # the old sequence lost outright. Recover promotes the copy.
+    shutil.copytree(f"{idx}/postings", f"{idx}/postings.compact")
+    Path(f"{idx}/postings").rename(f"{idx}/postings.old")
+    recover_compaction(idx)
+    assert Path(f"{idx}/postings").exists()
+    assert not Path(f"{idx}/postings.old").exists()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # state C — only the aside dir survives (manual intervention shape).
+    Path(f"{idx}/stats").rename(f"{idx}/stats.old")
+    recover_compaction(idx)
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # and compact re-run over a crash state recovers then compacts
+    shutil.copytree(f"{idx}/postings", f"{idx}/postings.compact")
+    Path(f"{idx}/postings").rename(f"{idx}/postings.old")
+    compact_postings_index(spark, idx)
+    assert _rows(bm25_against_index(spark, SF, idx)) == want

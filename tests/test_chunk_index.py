@@ -42,8 +42,8 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     write_chunk_index(spark, SF, full)
 
     inc = str(tmp_path / "inc")
-    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), inc, "overwrite")
-    append_chunk_index(docs.filter(F.col("doc_id") % 2 == 1), inc)
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), inc, "overwrite", -1)
+    append_chunk_index(docs.filter(F.col("doc_id") % 2 == 1), inc, batch_id=1)
 
     got = _rows(chunked_against_index(spark, SF, inc))
     want = _rows(chunked_against_index(spark, SF, full))
@@ -74,7 +74,7 @@ def test_probe_partition_prunes_to_query_buckets(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "cidx")
-    _write_batch(docs, idx, "overwrite")
+    _write_batch(docs, idx, "overwrite", -1)
 
     qterms = spark.createDataFrame(
         [(0, "tok0"), (0, "tok7"), (1, "tok14")], "qid long, term string"
@@ -107,7 +107,7 @@ def test_empty_index_and_empty_workload_guards(spark, tmp_path):
         [(1, ""), (2, "   ")], "doc_id long, text string"
     )
     idx = str(tmp_path / "cidx")
-    _write_batch(docs, idx, "overwrite")
+    _write_batch(docs, idx, "overwrite", -1)
     qterms = spark.createDataFrame([(0, "tok0")], "qid long, term string")
     out = probe_chunk_index(spark, qterms, idx)
     assert out.count() == 0
@@ -119,7 +119,7 @@ def test_empty_index_and_empty_workload_guards(spark, tmp_path):
         [(1, "alpha beta gamma")], "doc_id long, text string"
     )
     idx2 = str(tmp_path / "cidx2")
-    _write_batch(real, idx2, "overwrite")
+    _write_batch(real, idx2, "overwrite", -1)
     empty_q = qterms.filter(F.lit(False))
     assert probe_chunk_index(spark, empty_q, idx2).count() == 0
 
@@ -138,9 +138,9 @@ def test_compaction_is_probe_invisible_and_shrinks_files(spark, tmp_path):
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     idx = str(tmp_path / "cidx")
     # 4 appended slices → 4 file groups per touched bucket, 4 stats rows
-    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite")
+    _write_batch(docs.filter(F.col("doc_id") % 4 == 0), idx, "overwrite", -1)
     for k in (1, 2, 3):
-        append_chunk_index(docs.filter(F.col("doc_id") % 4 == k), idx)
+        append_chunk_index(docs.filter(F.col("doc_id") % 4 == k), idx, batch_id=k)
     before = _rows(chunked_against_index(spark, SF, idx))
     n_files_before = len(glob.glob(f"{idx}/postings/bucket=*/part-*"))
     assert spark.read.parquet(f"{idx}/stats").count() == 4
@@ -172,7 +172,7 @@ def test_probe_answers_arbitrary_workloads(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "cidx")
-    _write_batch(docs, idx, "overwrite")
+    _write_batch(docs, idx, "overwrite", -1)
 
     qterms = spark.createDataFrame(
         [(7, "tok1"), (7, "tok2"), (7, "ghost-term"),
@@ -196,3 +196,31 @@ def test_probe_answers_arbitrary_workloads(spark, tmp_path):
     qids = {r[0] for r in got}
     assert 7 in qids and 8 in qids  # partial-hit queries answered
     assert 9 not in qids  # all-absent query returns no rows
+
+
+def test_chunk_replayed_batch_is_invisible(spark, tmp_path):
+    """The bm25_index replay discipline over the chunk schema: a
+    replayed append under the same batch_id changes nothing a probe
+    observes, and compaction squashes the residue."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.chunk_index import (
+        _write_batch,
+        append_chunk_index,
+        chunked_against_index,
+        compact_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "chunkidx")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    append_chunk_index(odd, idx, batch_id=3)
+    want = _rows(chunked_against_index(spark, SF, idx))
+
+    append_chunk_index(odd, idx, batch_id=3)  # replay
+
+    assert _rows(chunked_against_index(spark, SF, idx)) == want and want
+    assert spark.read.parquet(f"{idx}/stats").count() == 3
+    compact_chunk_index(spark, idx)
+    assert _rows(chunked_against_index(spark, SF, idx)) == want
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
