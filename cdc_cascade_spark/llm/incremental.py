@@ -160,6 +160,15 @@ def _simhash64_frame_long(docs: DataFrame) -> DataFrame:
     )
 
 
+# Growth valve for the maintained state's partition count
+# (:func:`apply_diff`): one partition per this many state rows, so a
+# long-running stream whose corpus grows gains parallelism instead of
+# staying pinned at its bootstrap partition count. State rows are
+# compact (ids, integer features, a fingerprint, a bounded shingle
+# set — no raw text), so 100k rows is a few tens of MB per task.
+STATE_ROWS_PER_PARTITION = 100_000
+
+
 def doc_state_frame(docs: DataFrame) -> DataFrame:
     """Featurize ``(doc_id, text, lang, source)`` rows into the
     per-document curation state:
@@ -298,6 +307,7 @@ def apply_diff(
     pairs: DataFrame,
     changed_payload: DataFrame,
     removed_ids: DataFrame,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
 ) -> tuple[DataFrame, DataFrame]:
     """Advance (state, pairs) across one diff batch.
 
@@ -330,15 +340,34 @@ def apply_diff(
     state2 = state.join(invalid, "doc_id", "left_anti").unionByName(fresh)
     # The new state feeds five consumers (pair probe sides, floor
     # election, contamination, budget): snapshot so featurization and
-    # the anti-join run once. Coalesce back to the INPUT state's
-    # partition count first — the union appends the payload's
-    # partitions, so without this every batch grows the state by its
-    # own partition count (partition creep: after K batches each
-    # downstream stage schedules K× the tasks over the same rows —
-    # measured 3× slower elections at sf0.1 from one 33-partition
-    # union).
-    state2 = state2.coalesce(
-        max(1, state.rdd.getNumPartitions())
+    # the anti-join run once. Coalesce first — the union appends the
+    # payload's partitions, so without this every batch grows the
+    # state by its own partition count (partition creep: after K
+    # batches each downstream stage schedules K× the tasks over the
+    # same rows — measured 3× slower elections at sf0.1 from one
+    # 33-partition union). The partition TARGET is re-derived from the
+    # state's row count each batch (r10 advice #3): pinning it to the
+    # input frame's partition count — the previous fix — froze a
+    # long-running stream at its bootstrap parallelism forever, the
+    # inverse problem for a corpus that grows. The counts are cheap by
+    # the maintenance contract (``state`` is the PREVIOUS batch's
+    # checkpointed output — the stream checkpoints it eagerly — and
+    # ``changed_payload`` was just snapshotted for its five consumers).
+    # The floor never drops below the input's partition count; when the
+    # grown row count demands MORE partitions than the union naturally
+    # carries, that growth is worth a one-off shuffle — every
+    # downstream election stage of every later batch inherits the
+    # parallelism — so repartition there instead of letting coalesce
+    # silently cap it.
+    n_rows = state.count() + changed_payload.count()  # ≥ |new state|
+    target = max(
+        max(1, state.rdd.getNumPartitions()),
+        -(-n_rows // max(1, rows_per_partition)),
+    )
+    natural = max(1, state2.rdd.getNumPartitions())
+    state2 = (
+        state2.coalesce(target) if target <= natural
+        else state2.repartition(target)
     ).localCheckpoint(eager=False)
     return state2, maintain_pairs(state2, pairs, invalid)
 

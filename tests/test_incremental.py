@@ -444,3 +444,49 @@ def test_snapshot_load_ignores_incomplete_halves(spark, tmp_path):
 
     _s, _p, latest = inc.load_latest_curation_snapshot(spark, root)
     assert latest == 0
+
+
+def test_apply_diff_partition_count_tracks_state_growth(spark):
+    """r10 advice #3: the maintained state's partition count must be
+    re-derived from its ROW count each batch. The previous fix pinned
+    it to the input frame's count, so a stream whose corpus grows
+    stayed at bootstrap parallelism forever; with the valve, a batch
+    that pushes rows past rows_per_partition raises the count (and a
+    small steady-state batch still coalesces the union's appended
+    partitions away — the original creep fix)."""
+    from cdc_cascade_spark.llm import incremental as inc
+
+    rows = [(i, f"tok{i}a tok{i}b tok{i}c", "en", "src0") for i in range(3, 19)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # bootstrap state squeezed to ONE partition — the pinned regime
+    state = (
+        inc.doc_state_frame(docs).coalesce(1).localCheckpoint(eager=True)
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    no_removed = spark.createDataFrame([], "doc_id long")
+
+    growth = spark.createDataFrame(
+        [(i, f"tok{i}x tok{i}y tok{i}z", "en", "src0") for i in range(100, 132)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # default valve (100k rows/partition): 48 rows stay at 1 partition
+    s_default, _ = inc.apply_diff(state, pairs, growth, no_removed)
+    assert s_default.rdd.getNumPartitions() == 1
+    # tight valve: 16 + 32 rows at 8 rows/partition → ceil(48/8) = 6
+    s_grown, _ = inc.apply_diff(
+        state, pairs, growth, no_removed, rows_per_partition=8
+    )
+    got = s_grown.rdd.getNumPartitions()
+    assert got == 6, got
+    assert s_grown.count() == 48
+    # the valve can never exceed what the union naturally carries
+    # (coalesce cannot grow past it) nor drop below the input's count
+    s_floor, _ = inc.apply_diff(
+        state.repartition(4).localCheckpoint(eager=True),
+        pairs,
+        growth,
+        no_removed,
+    )
+    assert s_floor.rdd.getNumPartitions() == 4
