@@ -213,14 +213,12 @@ def chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CHUNK_EVAL = f"""
-WITH whole_full AS (
-  {ORACLE_BM25}
-),
-whole AS (
-  SELECT qid, doc_id FROM whole_full
-),
-cbase AS (
+# Standalone chunked top-k document list — ``(qid, doc_id, rank)`` —
+# the oracle twin of :func:`chunked_topk_frame`, exposed separately so
+# composing oracles (llm/retrieval_summary.py) state the SAME chunked
+# list this eval was verified against.
+CHUNKED_LIST_SQL = f"""
+WITH cbase AS (
   SELECT doc_id, {_TOKS} AS toks, len({_TOKS})::BIGINT AS dl
   FROM documents
 ),
@@ -282,13 +280,24 @@ cchunk AS (
 cdoc AS (
   SELECT qid, doc_id, MAX(score_ppb)::BIGINT AS best_ppb
   FROM cchunk GROUP BY 1, 2
+)
+SELECT qid, doc_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT qid, doc_id, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY best_ppb DESC, doc_id ASC) AS rnk
+  FROM cdoc
+) WHERE rnk <= {TOPK}
+"""
+
+
+ORACLE_CHUNK_EVAL = f"""
+WITH whole_full AS (
+  {ORACLE_BM25}
+),
+whole AS (
+  SELECT qid, doc_id FROM whole_full
 ),
 chunked AS (
-  SELECT qid, doc_id FROM (
-    SELECT qid, doc_id, ROW_NUMBER() OVER (
-      PARTITION BY qid ORDER BY best_ppb DESC, doc_id ASC) AS rnk
-    FROM cdoc
-  ) WHERE rnk <= {TOPK}
+  SELECT qid, doc_id FROM ({CHUNKED_LIST_SQL})
 ),
 tn AS (SELECT qid, COUNT(*)::BIGINT AS n_whole FROM whole GROUP BY qid),
 an AS (SELECT qid, COUNT(*)::BIGINT AS n_chunked FROM chunked GROUP BY qid),

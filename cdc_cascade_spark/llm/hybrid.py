@@ -135,6 +135,26 @@ def _rrf_sql(rank_expr: str) -> str:
     )
 
 
+# Standalone dense top-k list — ``(qid, item_id, dense_rank)`` — the
+# oracle twin of :func:`_dense_topk`, exposed separately so composing
+# oracles (llm/retrieval_summary.py) state the SAME dense list this
+# query was verified against.
+ORACLE_DENSE_LIST = f"""
+WITH dq AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * Q_CAP}
+)
+SELECT qid, vec_id AS item_id, dense_rank FROM (
+  SELECT dq.qid, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY dq.qid
+           ORDER BY {_cosine_sql('e.embedding', 'dq.qvec')} DESC,
+                    e.vec_id ASC) AS dense_rank
+  FROM embeddings e, dq WHERE e.vec_id <> dq.qid
+) WHERE dense_rank <= {TOPK}
+"""
+
+
 ORACLE_HYBRID = f"""
 WITH sparse_full AS (
   {ORACLE_BM25}
@@ -142,19 +162,8 @@ WITH sparse_full AS (
 sparse AS (
   SELECT qid, doc_id AS item_id, rank AS sparse_rank FROM sparse_full
 ),
-dq AS (
-  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_MOD * Q_CAP}
-),
 dense AS (
-  SELECT qid, vec_id AS item_id, dense_rank FROM (
-    SELECT dq.qid, e.vec_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY dq.qid
-             ORDER BY {_cosine_sql('e.embedding', 'dq.qvec')} DESC,
-                      e.vec_id ASC) AS dense_rank
-    FROM embeddings e, dq WHERE e.vec_id <> dq.qid
-  ) WHERE dense_rank <= {TOPK}
+  {ORACLE_DENSE_LIST}
 ),
 fused AS (
   SELECT COALESCE(s.qid, d.qid) AS qid,

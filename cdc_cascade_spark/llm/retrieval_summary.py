@@ -1,0 +1,194 @@
+"""Retrieval-mode MRR summary: one row per retrieval modality, scored
+against the whole-document BM25 ground truth.
+
+Beyond-reference LLM-pipeline surface (SURVEY.md §2 extension) — the
+reporting face that closes the retrieval family's loop: with the
+sparse (llm/bm25.py), dense (llm/hybrid.py's cosine side), fused
+(llm/hybrid.py) and chunked (llm/chunkeval.py) top-k lists all
+registered and verified, the standing design question is WHICH list
+actually finds the known-relevant document, summarized as mean
+reciprocal rank. Relevance follows the chunkeval convention: the
+whole-document BM25 rank-1 result per query IS the relevant item, so
+the ``sparse`` row is a built-in harness check (MRR exactly 1.0 —
+every query finds its own top hit at rank 1) and the other rows
+measure real modality divergence.
+
+Output — ``(mode, n_queries, n_hits, sum_rr_ppb, mrr_ppb)``:
+
+- ``n_hits``: queries whose relevant doc appears anywhere in the
+  mode's top-``TOPK``.
+- ``sum_rr_ppb`` / ``mrr_ppb``: reciprocal ranks as exact ppb BIGINTs
+  (``1e9 div rank`` — the RRF idiom; 0 for a miss), summed and then
+  floor-divided by the query count. No floats anywhere.
+
+Every constituent list is stated VERBATIM by the composed oracle
+(ORACLE_BM25; ORACLE_DENSE_LIST and ORACLE_HYBRID from llm/hybrid.py;
+CHUNKED_LIST_SQL from llm/chunkeval.py), so a green driver row proves
+the summary sits on exactly the verified lists. The Spark side reuses
+the same frame functions, except the fused list, which is rebuilt
+from the session's ALREADY-COMPUTED sparse and dense frames with the
+same ``_rrf_ppb`` fusion expression (halving the two heaviest
+retrievals); the fingerprint closure covers llm/hybrid.py, so any
+fusion change re-pins this query into the check window where the
+oracle would catch drift.
+
+Determinism: every list cuts on integer total orders (verified in the
+constituent modules); reciprocal ranks, sums and the final mean are
+BIGINT integer arithmetic end to end.
+
+Scale shape (100 TB): above the constituent retrievals this adds only
+(Q·k)-row joins and 4 constant-key aggregations — driver-invisible at
+any corpus size; the dense-coverage asymmetry at sf0.1 (5000 docs,
+2000 vectors) is exactly the mid-backfill state the hybrid module
+documents, and it shows up here as the dense row's lower hit count
+rather than an error.
+
+Registered in r11, same round as built (the registration-pipeline
+discipline). tests/test_retrieval_summary.py pins oracle parity at
+two SFs, the sparse-row identity, and a pure-Python MRR model over
+the verified lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.bm25 import ORACLE_BM25, TOPK, bm25_topk
+from cdc_cascade_spark.llm.chunkeval import (
+    CHUNKED_LIST_SQL,
+    chunked_topk_frame,
+)
+from cdc_cascade_spark.llm.hybrid import (
+    ORACLE_DENSE_LIST,
+    ORACLE_HYBRID,
+    _dense_topk,
+    _rrf_ppb,
+)
+
+PPB_INT = 1_000_000_000
+
+
+def _mode_summary(mode: str, truth: DataFrame, lst: DataFrame) -> DataFrame:
+    """Aggregate one modality's list — ``(qid, item_id, rank)`` —
+    against the truth — ``(qid, item_id)`` — into its summary row."""
+    scored = truth.join(lst, ["qid", "item_id"], "left")
+    return (
+        scored.groupBy(F.lit(mode).alias("mode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.count("rank").cast("bigint").alias("n_hits"),
+            F.sum(
+                F.when(
+                    F.col("rank").isNotNull(),
+                    F.expr(f"{PPB_INT} div rank"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_rr_ppb"),
+        )
+        .withColumn(
+            "mrr_ppb", F.expr("sum_rr_ppb div n_queries").cast("bigint")
+        )
+    )
+
+
+def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k of each retrieval modality against the whole-document
+    BM25 rank-1 ground truth:
+    ``(mode, n_queries, n_hits, sum_rr_ppb, mrr_ppb)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    # (Q·k)-row lists; checkpoint the two that feed multiple consumers
+    # (sparse: truth + its own row + the fusion; dense: its row + the
+    # fusion) so the corpus-sized retrievals run once per list.
+    sparse = (
+        bm25_topk(spark, sf_dir)
+        .select("qid", F.col("doc_id").alias("item_id"), "rank")
+        .localCheckpoint(eager=False)
+    )
+    dense = (
+        _dense_topk(spark, sf_dir)
+        .withColumnRenamed("dense_rank", "rank")
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        sparse.filter(F.col("rank") == 1)
+        .select("qid", "item_id")
+        .localCheckpoint(eager=False)  # Q rows; truncates the shared
+        # lineage so the truth-vs-list self-joins stay clean
+    )
+    # fused list: the registered hybrid_retrieval_rrf plan over the
+    # checkpointed constituents (same _rrf_ppb expression and cuts)
+    fused = (
+        sparse.withColumnRenamed("rank", "sparse_rank")
+        .join(
+            dense.withColumnRenamed("rank", "dense_rank"),
+            ["qid", "item_id"],
+            "full_outer",
+        )
+        .select(
+            "qid",
+            "item_id",
+            (
+                F.coalesce(_rrf_ppb(F.col("sparse_rank")), F.lit(0))
+                + F.coalesce(_rrf_ppb(F.col("dense_rank")), F.lit(0))
+            ).alias("rrf_ppb"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rrf_ppb"), F.asc("item_id"))
+    hybrid = (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "item_id", "rank")
+    )
+    chunked = chunked_topk_frame(docs).select(
+        "qid", F.col("doc_id").alias("item_id"), "rank"
+    )
+    out = _mode_summary("sparse", truth, sparse)
+    for mode, lst in (
+        ("dense", dense),
+        ("hybrid", hybrid),
+        ("chunked", chunked),
+    ):
+        out = out.unionByName(_mode_summary(mode, truth, lst))
+    return out
+
+
+def _mode_sql(mode: str, list_sql: str) -> str:
+    return f"""
+SELECT '{mode}' AS mode,
+       COUNT(*)::BIGINT AS n_queries,
+       COUNT(l.rank)::BIGINT AS n_hits,
+       SUM(CASE WHEN l.rank IS NOT NULL
+                THEN {PPB_INT} // l.rank ELSE 0 END)::BIGINT AS sum_rr_ppb
+FROM truth t LEFT JOIN ({list_sql}) l
+  ON t.qid = l.qid AND t.item_id = l.item_id
+GROUP BY 1"""
+
+
+ORACLE_MRR = f"""
+WITH sparse_full AS (
+  {ORACLE_BM25}
+),
+truth AS (
+  SELECT qid, doc_id AS item_id FROM sparse_full WHERE rank = 1
+),
+modes AS (
+  {_mode_sql("sparse", "SELECT qid, doc_id AS item_id, rank FROM sparse_full")}
+  UNION ALL
+  {_mode_sql("dense", f"SELECT qid, item_id, dense_rank AS rank FROM ({ORACLE_DENSE_LIST})")}
+  UNION ALL
+  {_mode_sql("hybrid", f"SELECT qid, item_id, rank FROM ({ORACLE_HYBRID})")}
+  UNION ALL
+  {_mode_sql("chunked", f"SELECT qid, doc_id AS item_id, rank FROM ({CHUNKED_LIST_SQL})")}
+)
+SELECT mode, n_queries, n_hits, sum_rr_ppb,
+       (sum_rr_ppb // n_queries)::BIGINT AS mrr_ppb
+FROM modes
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "retrieval_mrr_summary": (retrieval_mrr_summary, ORACLE_MRR),
+}
