@@ -63,126 +63,98 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r10 window. CORRECTNESS_r09 was 50/50 green. Slot arithmetic:
-    # 27 r7-green staleness-budget rotations (the ledger in
-    # BUILD_NOTES.md — at exactly 2 reports stale, this round is their
-    # deadline per test_no_frozen_query_exceeds_the_staleness_budget)
-    # + 11 changed-fingerprint re-pins (pipeline.py segdedup-cache
-    # rework, text.py/curation.py frame-level refactors backing the
-    # incremental capstone, recall.py/dedup_eval.py fixed-Q eval
-    # sampling per r9 verdict #4, hopping.py constant derivation per
-    # r9 advice) + 7 new registrations (the r9 verdict #2 capstone
-    # pair: curate_corpus_incremental and its invalidation-audit
-    # face; the r10-built retrieval pair: bm25_topk and
-    # hybrid_retrieval_rrf; the temperature mix; the late-session
-    # pair: label_skew_report and chunk_retrieval_eval) = 45 hard
-    # pins. CHECK_NEXT carries 5 r8-green re-evidence slots
-    # (join/plan-risk first; its last four entries were traded to
-    # the new registrations), total 50 — deliberately FLUSH against
-    # the window, the r9 advice's documented option (b): a one-short
-    # driver window costs only the LAST best-effort re-evidence row
-    # (dedup_minhash_lsh), never a new or changed query. The
-    # remaining 40 r8-green queries are fingerprint-frozen at 2
-    # reports stale after this round and are r11's rotation debt
-    # (ledger in BUILD_NOTES.md).
-    # --- r7-green staleness-budget rotations: text family (9) ---
-    "text_stats",
-    "doc_repetition",
-    "bpe_merge_pairs",
-    "bpe_apply_top_merge",
-    "text_salient_terms",
-    "lang_id",
-    "doc_fingerprint",
-    "text_vocabulary",
-    "text_bigrams",
-    # --- curation stage operators (6) ---
-    "contamination_check",
-    "label_quality_profile",
-    "stratified_sample",
-    "stratified_sample_exact",
-    "pii_redaction",
-    "quality_floor_filter",
-    # --- relational/window/timeseries suites (10) ---
-    "q13_sessionize_events",
-    # q14_pivot_status moved to CHECK_NEXT's FIRST slot (late r10):
-    # the margin guard caps hard pins at 45, the calibration
-    # registration needed the slot, and q14 is the cohort's only
-    # no-join single-table reshape — fingerprint-frozen, so CHECK_NEXT
-    # is legitimate for it; leading the tier, it loses its row only if
-    # the driver checks ≤46 entries (never observed; 50 every round).
-    "q15_outer_join_part_activity",
-    "q17_tumbling_hourly",
-    "q18_price_percentiles",
-    "q19_cube_volume",
-    "q20_grouping_sets",
-    "q23_timeseries_rollup",
-    "q27_full_outer_join",
-    "q32_range_frame_window",
-    # --- drift + quality-rule reports (2) ---
-    "corpus_drift_report",
-    "gopher_quality_rules",
-    # --- changed-fingerprint re-pins (r10 edits) ---
-    # pipeline.py: shared segdedup survivors frame (r9 verdict #3)
-    "curate_corpus",
-    "curation_audit",
-    "curate_corpus_segmented",
-    "curation_audit_segmented",
-    # recall.py / dedup_eval.py: fixed-Q eval sampling (r9 verdict #4)
-    "ann_recall_report",
-    "minhash_banding_curve",
-    "dedup_index_probe",
-    # hopping.py: window arithmetic derived from constants (r9 advice)
-    "q33_hopping_windows",
-    # bpe family: text.py gained the frame-level text_stats refactor
-    # backing the incremental capstone (bpe.py imports text.py)
-    "bpe_train_k_merges",
-    "bpe_encode_corpus",
-    "bpe_fertility_by_lang",
-    # --- new r10 registrations (r9 verdict #2 capstone): incremental
-    # curation over a corpus diff (oracle = full rebuild over v2) and
-    # its invalidation-audit face (membership flips incl. NULL-op
-    # cascade rows — the corpus-level cdc_invalidation_summary)
+    # --- r11 window. CORRECTNESS_r10 was 50/50 green (the registry's
+    # first 50 exactly). Slot arithmetic, machine-counted from the
+    # committed CORRECTNESS files (the staleness ledger in
+    # BUILD_NOTES.md): 41 r8-green queries sit AT the 2-report
+    # staleness budget — this round is their hard deadline
+    # (test_no_frozen_query_exceeds_the_staleness_budget fires on the
+    # r11 suite if any misses the window). 38 of them take CHECK_FIRST
+    # slots; the 3 lowest-plan-risk members (the single-table
+    # expression suites q11/q25/q26 — no joins, no partitioning risk)
+    # lead CHECK_NEXT, where they still get rows at any window ≥ 48
+    # (the driver has checked exactly 50 every round). On top: 5
+    # changed-fingerprint re-pins — the incremental.py partition-valve
+    # fix (r10 advice #3) re-pins its 3-query closure
+    # (curate_corpus_incremental, curation_invalidation_report,
+    # quality_calibration_report), and the dense/chunked list-SQL
+    # extractions behind the new MRR face re-pin hybrid_retrieval_rrf
+    # and chunk_retrieval_eval — plus 2 same-round registrations
+    # (q34_session_window_stats, retrieval_mrr_summary) = 45 hard
+    # pins, AT the margin-guard cap. CHECK_NEXT's last 2 slots carry
+    # r9-green re-evidence (join/plan-risk first), pre-paying r12's
+    # 39-query rotation debt. The dedup.py prepared-cache repoint the
+    # r10 verdict conditioned on fit was AUDITED and DOES NOT fit:
+    # _module_closure(llm.dedup) re-pins 23 queries of which 14 are
+    # NOT in this round's debt — 41 + 14 + 7 > 50 (arithmetic recorded
+    # in BUILD_NOTES.md; the duplicate cache stays pinned-equal by
+    # tests/test_prepared.py).
+    # --- new r11 registrations (built + registered same round) ---
+    # native session-window face (operators/sessions.py): the
+    # streaming-capable sessionization primitive, batch-checked with a
+    # µs-precision oracle; streamed ≡ batch pinned in tests.
+    "q34_session_window_stats",
+    # retrieval-mode MRR summary (llm/retrieval_summary.py): closes
+    # the retrieval family's reporting loop over the verified
+    # sparse/dense/hybrid/chunked lists (r10 verdict #2 candidate b).
+    "retrieval_mrr_summary",
+    # --- changed-fingerprint re-pins (r11 edits) ---
+    # incremental.py: state partition count re-derived from row count
+    # each batch (r10 advice #3) — closure re-pins the capstone pair
+    # and the calibration report that composes curate_corpus.
     "curate_corpus_incremental",
     "curation_invalidation_report",
-    # sparse lexical retrieval (llm/bm25.py, built+registered r10):
-    # the BM25 counterpart to the dense ANN family. Its slot comes
-    # from trimming CHECK_NEXT's last re-evidence entry
-    # (dedup_ngram_jaccard → r11 debt, where the dedup family re-pins
-    # for the refactor anyway), keeping one slot of window margin.
-    "bm25_topk",
-    # hybrid retrieval (llm/hybrid.py, built+registered r10): RRF
-    # fusion of the sparse and dense top-k lists. Slot traded from
-    # CHECK_NEXT's dedup_edit_distance (same r11-debt reasoning).
-    "hybrid_retrieval_rrf",
-    # temperature (size^0.5) mixing over the lang strata
-    # (llm/tempmix.py, built+registered r10). This pin takes the last
-    # margin slot: the tier is DELIBERATELY FLUSH at 50 — the r9
-    # advice's documented option (b); a one-short driver window costs
-    # only the LAST best-effort re-evidence row, never a new or
-    # changed query.
-    "temperature_mixture_sample",
-    # per-stratum label concentration report (llm/labelskew.py,
-    # built+registered r10, late session): entropy-free HHI / top-share
-    # ppm over (lang|source) × embedding label. Its slot comes from
-    # trimming CHECK_NEXT's last entry (dedup_simhash_pairs → r11
-    # debt, which the r11 dedup-family rotation re-pins anyway).
-    "label_skew_report",
-    # chunked-vs-whole-document retrieval eval (llm/chunkeval.py,
-    # built+registered r10, late session): overlap@k of chunk-indexed
-    # BM25 (doc_chunks windows as index units, best-chunk max-pooling)
-    # against the verified bm25_topk ground truth. Slot traded from
-    # CHECK_NEXT's dedup_cluster_representatives (same r11-debt
-    # reasoning as the other late registrations).
-    "chunk_retrieval_eval",
-    # quality-score calibration audit (llm/calibration.py,
-    # built+registered r10, late session): per quality decile, the
-    # near-dup incidence and curation survival — composes the
-    # verified SimHash pair set and curate_corpus verbatim. Slot
-    # traded from CHECK_NEXT's dedup_minhash_lsh (the last best-
-    # effort re-evidence trade this round; the CDC family keeps its
-    # four slots — the reference's core semantics outrank everything
-    # else in the re-evidence queue).
     "quality_calibration_report",
+    # hybrid.py / chunkeval.py: dense + chunked list SQL extracted to
+    # standalone constants for the MRR face's composed oracle
+    # (semantics unchanged; re-verified this round by these pins).
+    "hybrid_retrieval_rrf",
+    "chunk_retrieval_eval",
+    # --- the 38 CHECK_FIRST members of the 41-query r8-green
+    # staleness cohort (deadline round; ledger in BUILD_NOTES.md) ---
+    # the heavy dedup family (band/self-join plan risk first)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_weighted",
+    "dedup_cluster_representatives",
+    "minhash_jaccard_estimate",
+    "segment_dedup",
+    # sketches + anomaly + reputation
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct",
+    "sketch_kmv_setops",
+    "events_rate_anomaly",
+    "source_reputation",
+    "lm_score_filter",
+    # multimodal family
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_dedup",
+    # packing + collocations + behavior
+    "pack_sequences",
+    "bigram_lift",
+    "cohort_retention",
+    "funnel_conversion",
+    # relational/window suites
+    "q06_customers_without_orders",
+    "q07_rollup_sales",
+    "q08_topk_customers_per_segment",
+    "q09_monthly_revenue_window",
+    "q10_set_operations",
+    "q12_json_extraction",
+    "q16_distinct_stats",
+    "q21_above_segment_average",
+    "q22_in_subquery",
+    "q24_explode_lateral",
+    "q28_window_suite",
+    "q29_array_functions",
+    "q30_null_semantics",
+    "q31_unpivot_metrics",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -190,32 +162,24 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r10: nine r8-green queries, two
-# rounds past their last row, join/plan-risk first — the CDC family
-# (JSON envelope round-trip + LSN windows) and the heavy dedup
-# self-join family (band joins, skew guards, connected components).
-# The other 36 r8-green queries are fingerprint-frozen and form r11's
-# rotation debt (BUILD_NOTES.md); r11 is also the round for the
-# deferred dedup.py candidate-verification refactor, whose re-pins
-# overlap this cohort almost entirely.
+# never for changed or new code. r11: the 3 staleness-deadline
+# overflow queries lead the tier (the 45 hard-pin cap forced them
+# out of CHECK_FIRST; chosen as the cohort's only no-join
+# single-table expression suites — the q14 precedent — they lose
+# their deadline rows only if the driver checks ≤ 47 entries, never
+# observed at 50 every round; if that ever happens the staleness
+# alarm fires in the r12 suite and forces the pin — the designed
+# self-healing path). The last 2 slots pre-pay r12's rotation debt:
+# the r9-green cohort is 39 queries against ~45 free r12 slots, so
+# re-evidencing its two highest-plan-risk members now (the banded
+# LSH + exact-verify vector dedup; the near-dup × hash-split
+# leakage join) keeps r12's arithmetic comfortable.
 CHECK_NEXT: list[str] = [
-    # leads the tier: its staleness deadline is this round (see the
-    # CHECK_FIRST note) — ahead of the CDC re-evidence so a one-short
-    # driver window costs re-evidence, never the deadline row
-    "q14_pivot_status",
-    "cdc_op_routing",
-    "cdc_invalidation_summary",
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    # The heavy-dedup re-evidence slots (dedup_edit_distance,
-    # dedup_ngram_jaccard, dedup_simhash_pairs,
-    # dedup_cluster_representatives, dedup_minhash_lsh) all went to
-    # r10-built registrations (bm25_topk / hybrid_retrieval_rrf /
-    # label_skew_report / chunk_retrieval_eval /
-    # quality_calibration_report — new code outranks best-effort
-    # freshness); all five join the r11 rotation cohort, which the
-    # r11 dedup-family rotation re-pins regardless. The CDC family
-    # keeps its four slots.
+    "q11_scalar_functions",
+    "q25_datetime_functions",
+    "q26_string_functions",
+    "dedup_embedding_cosine",
+    "split_leakage_pairs",
 ]
 
 
@@ -246,6 +210,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         profile,
         quality_rules,
         recall,
+        retrieval_summary,
         segdedup,
         selection,
         similarity,
@@ -269,6 +234,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         quantiles,
         ranges,
         relational,
+        sessions,
         sketches,
         timeseries,
         window_frames,
@@ -325,6 +291,8 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         labelskew,
         chunkeval,
         calibration,
+        sessions,
+        retrieval_summary,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

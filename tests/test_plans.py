@@ -177,6 +177,13 @@ def test_plan_lint_all_registered_queries(spark):
         "bm25_topk": {"bnlj"},
         # inherits bm25_topk's stats broadcast verbatim (sparse side)
         "hybrid_retrieval_rrf": {"bnlj"},
+        # composes three list plans that each carry exactly that
+        # 1-row-stats-broadcast shape: sparse (bm25_topk verbatim),
+        # chunked (the chunk_retrieval_eval chunk side), and the
+        # fused list built over the checkpointed sparse/dense frames;
+        # every corpus-sized join underneath is a BroadcastHashJoin
+        # (pinned in the constituent modules' plan tests)
+        "retrieval_mrr_summary": {"bnlj"},
         # both retrieval sides carry the 1-row stats broadcast: the
         # whole-doc side embeds bm25_topk verbatim, the chunk side
         # broadcasts its own 1-row (n_units, Σ chunk length) frame
