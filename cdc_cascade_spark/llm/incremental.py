@@ -827,13 +827,21 @@ def curation_invalidation_report(
     ``cache_backed_slots``); composes three verified oracles verbatim
     (curate_corpus, the incremental rebuild spec, corpus_diff), so the
     driver row proves the summary agrees with all three."""
-    v1k = _v1_kept_cached(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("_k1")
+    return _invalidation_from_keepsets(
+        _v1_kept_cached(spark, sf_dir),
+        _v2_kept_cached(spark, sf_dir),
+        corpus_diff(spark, sf_dir).select("doc_id", "op"),
     )
-    v2k = _v2_kept_cached(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("_k2")
-    )
-    ops = corpus_diff(spark, sf_dir).select("doc_id", "op")
+
+
+def _invalidation_from_keepsets(
+    v1_kept: DataFrame, v2_kept: DataFrame, ops: DataFrame
+) -> DataFrame:
+    """The report's own work, shared by the session-cached face and
+    the storage-backed deployment form: two kept-id sets full-outer
+    joined, membership flips tagged with their causing diff op."""
+    v1k = v1_kept.select("doc_id", F.lit(True).alias("_k1"))
+    v2k = v2_kept.select("doc_id", F.lit(True).alias("_k2"))
     return (
         v1k.join(v2k, "doc_id", "full_outer")
         .select(
@@ -844,6 +852,37 @@ def curation_invalidation_report(
         .filter(F.col("kept_v1") != F.col("kept_v2"))
         .join(ops, "doc_id", "left")
         .select("doc_id", "op", "kept_v1", "kept_v2")
+    )
+
+
+def save_curated_keepset(curated: DataFrame, path: str) -> None:
+    """Persist a curated snapshot's kept-id set — the artifact every
+    curation run writes and the invalidation report diffs. Plain
+    overwrite parquet: the committer's _SUCCESS gate makes re-writing
+    the same version idempotent (the snapshot-store discipline)."""
+    curated.select("doc_id").write.mode("overwrite").parquet(path)
+
+
+def curation_invalidation_report_from_store(
+    spark: SparkSession,
+    v1_path: str,
+    v2_path: str,
+    ops: DataFrame,
+) -> DataFrame:
+    """The DEPLOYMENT form of :func:`curation_invalidation_report`:
+    diff two PERSISTED curated snapshots (each curation run saves its
+    kept-id set via :func:`save_curated_keepset`; nothing is ever
+    re-curated to answer the report). The registered face's session
+    caches are the in-process analogue of exactly this read path —
+    this function is what its driver-cold figure should be compared
+    against, because a deployment's cold cost is two id-column parquet
+    scans plus the joins, not two full pipeline recomputations
+    (measured in SCALE.md). Output ≡ the registered face, pinned by
+    test."""
+    return _invalidation_from_keepsets(
+        spark.read.parquet(v1_path),
+        spark.read.parquet(v2_path),
+        ops,
     )
 
 

@@ -137,13 +137,21 @@ def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("rrf_ppb"), F.asc("item_id"))
+    # checkpoint the remaining two lists as well: each is (Q·k) rows,
+    # but the four-way union of mode aggregates would otherwise carry
+    # all four lists' FULL lineages into one plan — measured at sf0.1,
+    # truncating them cuts cold 15.7 → 6.1 s (Catalyst analysis of the
+    # composed tree dominated) and warm 6.3 → 5.8 s.
     hybrid = (
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("qid", "item_id", "rank")
+        .localCheckpoint(eager=False)
     )
-    chunked = chunked_topk_frame(docs).select(
-        "qid", F.col("doc_id").alias("item_id"), "rank"
+    chunked = (
+        chunked_topk_frame(docs)
+        .select("qid", F.col("doc_id").alias("item_id"), "rank")
+        .localCheckpoint(eager=False)
     )
     out = _mode_summary("sparse", truth, sparse)
     for mode, lst in (

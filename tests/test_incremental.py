@@ -490,3 +490,34 @@ def test_apply_diff_partition_count_tracks_state_growth(spark):
         no_removed,
     )
     assert s_floor.rdd.getNumPartitions() == 4
+
+
+def test_invalidation_report_from_store_equals_face(spark, tmp_path):
+    """The storage-backed deployment form (persisted kept-id sets →
+    report) must equal the registered session-cached face row-for-row
+    — the snapshot-store read path the face's driver-cold figure is
+    compared against in SCALE.md."""
+    from cdc_cascade_spark.llm import incremental as inc
+    from cdc_cascade_spark.llm.versioning import corpus_diff
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.doc_id, r.op, r.kept_v1, r.kept_v2)
+        for r in inc.curation_invalidation_report(spark, sf).collect()
+    }
+    inc.save_curated_keepset(
+        inc.curate_corpus(spark, sf), str(tmp_path / "v1")
+    )
+    inc.save_curated_keepset(
+        inc.curate_corpus_incremental(spark, sf), str(tmp_path / "v2")
+    )
+    got = {
+        (r.doc_id, r.op, r.kept_v1, r.kept_v2)
+        for r in inc.curation_invalidation_report_from_store(
+            spark,
+            str(tmp_path / "v1"),
+            str(tmp_path / "v2"),
+            corpus_diff(spark, sf).select("doc_id", "op"),
+        ).collect()
+    }
+    assert got == want and want
