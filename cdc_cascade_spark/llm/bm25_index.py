@@ -324,6 +324,45 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
             old.rename(live)
 
 
+def compact_hot_buckets(
+    spark: SparkSession,
+    out_path: str,
+    min_files_per_bucket: int = 8,
+) -> dict:
+    """The 100 TB compaction path the whole-index variant's docstring
+    promises: every ``bucket=<k>`` directory is an independent unit of
+    the layout, so this pass compacts ONLY the buckets whose file
+    count crossed ``min_files_per_bucket`` — each via the shuffle-free
+    ``sources.io.compact_table`` rewrite (coalesce sized from on-disk
+    bytes, rename-aside atomic swap per directory) — and leaves every
+    other bucket's files byte-untouched. At scale this is the nightly
+    maintenance job: cost proportional to the buckets the day's ingest
+    actually touched, never the index.
+
+    Scope notes: layout-only — rows are preserved INCLUDING any
+    replayed duplicates (read-side dedup still applies; only the
+    whole-index :func:`compact_postings_index` squashes replay residue
+    and the stats rows, which are not bucket-local). Quiesce ingest
+    around it (the per-directory swap reasoning).
+
+    Returns ``{bucket_dir_name: {files_before, files_after, bytes}}``
+    for the buckets rewritten."""
+    import glob as _glob
+
+    from cdc_cascade_spark.sources.io import compact_table
+
+    done: dict = {}
+    for bdir in sorted(_glob.glob(f"{out_path}/postings/bucket=*")):
+        n_files = sum(
+            1
+            for f in _glob.glob(f"{bdir}/*")
+            if not Path(f).name.startswith(("_", "."))
+        )
+        if n_files >= min_files_per_bucket:
+            done[Path(bdir).name] = compact_table(spark, bdir)
+    return done
+
+
 def start_postings_ingest_stream(
     spark: SparkSession,
     docs_dir: str,

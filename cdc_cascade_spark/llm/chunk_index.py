@@ -184,6 +184,39 @@ def probe_chunk_index(
     return chunk_topk_from_postings(tf, qterms, stats)
 
 
+def start_chunk_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming ingest into the chunk index — the production RAG
+    ingest loop: consume ``(doc_id, text)`` document batches from a
+    file stream and append each micro-batch's chunk postings + stats
+    delta. The index stays probe-consistent after every batch because
+    append ≡ rebuild (chunking is per-document, so batches never
+    interleave), and at-least-once replay is safe because every row
+    carries the epoch's ``batch_id`` and readers dedup on it (the
+    bm25_index ingest contract, same foreachBatch reasoning)."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_chunk_index(batch_df, out_path, batch_id)
+
+    reader = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def chunked_against_index(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> DataFrame:

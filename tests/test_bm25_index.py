@@ -315,3 +315,79 @@ def test_compaction_swap_is_crash_recoverable(spark, tmp_path):
     Path(f"{idx}/postings").rename(f"{idx}/postings.old")
     compact_postings_index(spark, idx)
     assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+
+def test_hot_bucket_compaction_touches_only_crossed_buckets(spark, tmp_path):
+    """Per-bucket threshold compaction (the 100 TB maintenance pass):
+    a bucket hammered by many small appends collapses to few files; a
+    bucket below the threshold keeps its files byte-identical; probes
+    cannot observe the rewrite; stats rows are untouched."""
+    import glob as g
+    from pathlib import Path
+
+    from cdc_cascade_spark.functions.hashing import token_hash
+    from cdc_cascade_spark.llm.bm25_index import (
+        N_BUCKETS,
+        _write_batch,
+        append_postings_index,
+        compact_hot_buckets,
+        probe_postings_index,
+    )
+
+    # two terms in DIFFERENT buckets: "hot" rides every append, "cold"
+    # only the build — so the threshold genuinely splits the buckets
+    def bucket_of(term):
+        return spark.range(1).select(
+            F.pmod(token_hash(F.lit(term)), F.lit(N_BUCKETS)).cast("int")
+        ).collect()[0][0]
+
+    hot = "alpha"
+    cold = next(
+        t for t in ("beta", "gamma", "delta", "epsilon")
+        if bucket_of(t) != bucket_of(hot)
+    )
+    idx = str(tmp_path / "bm25")
+    base = spark.createDataFrame(
+        [(1, f"{hot} {cold}"), (2, cold)], "doc_id long, text string"
+    )
+    _write_batch(base, idx, "overwrite", -1)
+    for k in range(1, 5):
+        append_postings_index(
+            spark.createDataFrame(
+                [(10 + k, f"{hot} {hot} filler{k}")],
+                "doc_id long, text string",
+            ),
+            idx,
+            batch_id=k,
+        )
+
+    qterms = spark.createDataFrame(
+        [(1, hot), (2, cold)], "qid long, term string"
+    )
+    want = sorted(map(tuple, probe_postings_index(spark, qterms, idx).collect()))
+
+    def files_by_bucket():
+        return {
+            Path(b).name: sorted(
+                (Path(f).name, Path(f).stat().st_size)
+                for f in g.glob(f"{b}/*")
+                if not Path(f).name.startswith(("_", "."))
+            )
+            for b in g.glob(f"{idx}/postings/bucket=*")
+        }
+
+    before = files_by_bucket()
+    hot_dir, cold_dir = f"bucket={bucket_of(hot)}", f"bucket={bucket_of(cold)}"
+    assert len(before[hot_dir]) >= 4 > len(before[cold_dir])
+
+    done = compact_hot_buckets(spark, idx, min_files_per_bucket=4)
+    after = files_by_bucket()
+
+    assert hot_dir in done and cold_dir not in done
+    assert len(after[hot_dir]) < len(before[hot_dir])
+    assert after[cold_dir] == before[cold_dir], "cold bucket changed"
+    got = sorted(map(tuple, probe_postings_index(spark, qterms, idx).collect()))
+    assert got == want and want
+    # stats rows untouched (not bucket-local; whole-index compaction
+    # owns them)
+    assert spark.read.parquet(f"{idx}/stats").count() == 5

@@ -224,3 +224,44 @@ def test_chunk_replayed_batch_is_invisible(spark, tmp_path):
     compact_chunk_index(spark, idx)
     assert _rows(chunked_against_index(spark, SF, idx)) == want
     assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+
+def test_chunk_streaming_ingest_converges_to_batch_build(spark, tmp_path):
+    """File-stream the corpus into the chunk index as micro-batches;
+    the probe must answer identically to the one-shot build — the
+    production RAG ingest lifecycle."""
+    import glob
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.chunk_index import (
+        chunked_against_index,
+        start_chunk_ingest_stream,
+        write_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "doc_stream")
+    docs.withColumn("slice", F.pmod(F.col("doc_id"), F.lit(3))).repartition(
+        3, "slice"
+    ).drop("slice").write.mode("overwrite").parquet(src)
+
+    inc = str(tmp_path / "inc")
+    q = start_chunk_ingest_stream(spark, src, inc, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full")
+    write_chunk_index(spark, SF, full)
+    got = _rows(chunked_against_index(spark, SF, inc))
+    want = _rows(chunked_against_index(spark, SF, full))
+    assert got == want and got
+    # one mergeable stats row per non-empty micro-batch
+    import pyarrow.parquet as pq
+
+    n_nonempty = sum(
+        1 for f in glob.glob(f"{src}/part-*.parquet")
+        if pq.ParquetFile(f).metadata.num_rows > 0
+    )
+    assert 1 < spark.read.parquet(f"{inc}/stats").count() == n_nonempty
