@@ -304,7 +304,18 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
     - live absent, only ``.old`` present: defensive (the swap's rename
       pair cannot leave this, but a manual intervention might) —
       restore ``.old``.
+
+    It also sweeps PER-BUCKET residue from a crashed
+    :func:`compact_hot_buckets` run: that pass rewrites individual
+    ``bucket=<k>`` directories via ``sources.io.compact_table``, whose
+    transient ``<dir>._compact_tmp`` / ``<dir>._compact_bak`` siblings
+    live INSIDE ``postings/`` — left behind by a crash they would
+    poison partition discovery (a ``bucket=7._compact_bak`` directory
+    parses as the STRING partition value ``7._compact_bak``, flipping
+    the bucket column to string and blanking every pruned probe), so
+    they must be promoted/cleared before any read.
     """
+    import glob as _glob
     import shutil
 
     for name in names:
@@ -322,6 +333,17 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
                 shutil.rmtree(old)
         elif old.exists():
             old.rename(live)
+    # per-bucket compaction residue (compact_table naming): a bak whose
+    # live dir vanished is the data — promote it; everything else is
+    # droppable (tmp is pre-swap, bak-with-live is post-swap debris).
+    for bak in _glob.glob(f"{out_path}/postings/bucket=*._compact_bak"):
+        live_dir = Path(bak[: -len("._compact_bak")])
+        if live_dir.exists():
+            shutil.rmtree(bak)
+        else:
+            Path(bak).rename(live_dir)
+    for tmp_dir in _glob.glob(f"{out_path}/postings/bucket=*._compact_tmp"):
+        shutil.rmtree(tmp_dir)
 
 
 def compact_hot_buckets(
@@ -351,6 +373,9 @@ def compact_hot_buckets(
 
     from cdc_cascade_spark.sources.io import compact_table
 
+    # clear any crash residue first (incl. per-bucket tmp/bak dirs a
+    # prior crashed run left inside postings/ — see recover_compaction)
+    recover_compaction(out_path)
     done: dict = {}
     for bdir in sorted(_glob.glob(f"{out_path}/postings/bucket=*")):
         n_files = sum(

@@ -61,6 +61,10 @@ from cdc_cascade_spark.llm.bm25_index import (
     BUILD_BATCH_ID,
     _dedup_stats,
     _swap_compacted,
+    compact_hot_buckets,  # noqa: F401 — re-export: the per-bucket pass
+    # is unit-agnostic (it only rewrites bucket dirs), so it applies to
+    # the chunk layout verbatim; recover_compaction likewise sweeps its
+    # per-bucket crash residue here.
     recover_compaction,
 )
 from cdc_cascade_spark.llm.chunkeval import (

@@ -391,3 +391,45 @@ def test_hot_bucket_compaction_touches_only_crossed_buckets(spark, tmp_path):
     # stats rows untouched (not bucket-local; whole-index compaction
     # owns them)
     assert spark.read.parquet(f"{idx}/stats").count() == 5
+
+
+def test_recover_clears_per_bucket_compaction_residue(spark, tmp_path):
+    """Crash residue from the per-bucket pass is INSIDE postings/ —
+    a lingering bucket=K._compact_bak would parse as a STRING
+    partition value and silently blank every pruned probe — so
+    recover_compaction must promote/clear it before any read."""
+    import shutil
+    from pathlib import Path
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        bm25_against_index,
+        compact_hot_buckets,
+        recover_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    buckets = sorted(
+        p for p in Path(f"{idx}/postings").iterdir() if p.name.startswith("bucket=")
+    )
+    b0, b1 = buckets[0], buckets[1]
+    # crash state A: bak present, live gone (mid-swap crash)
+    b0.rename(Path(f"{b0}._compact_bak"))
+    # crash state B: tmp written, live intact (pre-swap crash)
+    shutil.copytree(b1, f"{b1}._compact_tmp")
+
+    recover_compaction(idx)
+    assert b0.exists() and not Path(f"{b0}._compact_bak").exists()
+    assert not Path(f"{b1}._compact_tmp").exists()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+
+    # and compact_hot_buckets over a crash state recovers first
+    b0.rename(Path(f"{b0}._compact_bak"))
+    compact_hot_buckets(spark, idx, min_files_per_bucket=10_000)
+    assert b0.exists()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
