@@ -130,3 +130,75 @@ def test_q34_plan_single_exchange(spark):
     assert "MergingSessions" in plan
     # map-side partial count before the one exchange
     assert "partial_count" in plan
+
+
+# --- hypothesis: random event streams vs a pure-Python sessionizer ---
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user, offset-seconds) event sets with offsets clustered around the
+# 1800 s gap so boundary cases (diff == gap, gap ± 1 s) occur often
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=4).flatmap(
+            lambda k: st.integers(
+                min_value=k * 1800 - 2, max_value=k * 1800 + 2
+            )
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _python_sessions(rows):
+    """The gap rule in plain Python: same session iff diff <= 1800 s."""
+    out = {}
+    by_user = {}
+    for u, off in rows:
+        by_user.setdefault(u, []).append(off)
+    for u, offs in by_user.items():
+        sessions = []
+        for off in sorted(offs):
+            if sessions and off - sessions[-1][-1] <= 1800:
+                sessions[-1].append(off)
+            else:
+                sessions.append([off])
+        out[u] = sessions
+    return out
+
+
+@given(events_strategy)
+@_SETTINGS
+def test_session_frame_matches_python_model(spark, rows):
+    from cdc_cascade_spark.operators.sessions import session_frame
+
+    t0 = dt.datetime(2024, 6, 1)
+    ev = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=off)) for u, off in rows],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.user_id, r.start_us, r.last_us, r.n_events)
+        for r in session_frame(ev).collect()
+    }
+    base_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    want = set()
+    for u, sessions in _python_sessions(rows).items():
+        for s in sessions:
+            want.add(
+                (
+                    u,
+                    base_us + s[0] * 1_000_000,
+                    base_us + s[-1] * 1_000_000,
+                    len(s),
+                )
+            )
+    assert got == want
