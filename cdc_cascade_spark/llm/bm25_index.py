@@ -41,6 +41,16 @@ stable across replays; ad-hoc appends must pick unique non-negative
 ids). ``BUILD_BATCH_ID = -1`` is reserved for the initial build and
 the compaction squash row — never a stream epoch.
 
+Operational hardening (r11 advice): the compaction squash row carries
+``squashed_through`` — the highest epoch id it absorbed — and both
+appends and readers reject epochs at or below it, so a batch replayed
+AFTER its squash can never double-count; compaction holds a
+``_COMPACTING`` lock sentinel that appends and probes refuse to pass
+(quiesce-ingest/reads as a checked invariant, not a docstring); and
+probes run :func:`recover_compaction`'s cheap directory checks first,
+so crash residue is repaired at read time instead of silently
+blanking results until the next maintenance run.
+
 Probe ≡ direct holds because the probe feeds the SAME scorer
 (``bm25.py::topk_from_postings``) with the same integer inputs
 (tf, dl per posting; df = per-term row count, complete because a
@@ -85,6 +95,42 @@ N_BUCKETS = 16
 # reserved id can never collide with a replayed epoch's rows.
 BUILD_BATCH_ID = -1
 
+# Compaction lock sentinel (r11 verdict #5: "quiesce ingest/reads
+# around compaction" was a documented contract only — this makes it
+# mechanical). Compaction holds the sentinel for its whole run;
+# appends and probes raise while it exists, so a concurrent writer or
+# reader fails LOUDLY instead of racing the per-directory swaps. A
+# sentinel with no live compactor is crash debris —
+# :func:`recover_compaction` clears it along with the directory
+# residue (it must only run when no compaction is in progress, which
+# was already its contract).
+_COMPACTING_SENTINEL = "_COMPACTING"
+
+
+def _sentinel(out_path: str) -> Path:
+    return Path(out_path) / _COMPACTING_SENTINEL
+
+
+def _check_not_compacting(out_path: str) -> None:
+    if _sentinel(out_path).exists():
+        raise RuntimeError(
+            f"index at {out_path} is being compacted (or a compaction "
+            "crashed): refusing to read/write past the "
+            f"{_COMPACTING_SENTINEL} sentinel. If no compaction is "
+            "running, repair with recover_compaction(out_path)."
+        )
+
+
+def _acquire_compaction_lock(out_path: str) -> None:
+    # exclusive create: a second compactor (or one racing crash repair)
+    # fails here instead of interleaving per-directory swaps
+    with open(_sentinel(out_path), "x", encoding="utf-8") as f:
+        f.write("compaction in progress\n")
+
+
+def _release_compaction_lock(out_path: str) -> None:
+    _sentinel(out_path).unlink(missing_ok=True)
+
 
 def _postings_frame(docs: DataFrame) -> DataFrame:
     """Full (term, doc_id, dl, tf, bucket) postings for a document
@@ -118,10 +164,18 @@ def _write_batch(
         .partitionBy("bucket")
         .parquet(f"{out_path}/postings")
     )
-    stats = tokenized_base(docs).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
-    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    stats = (
+        tokenized_base(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        # squash watermark (r11 advice #2): delta rows squash nothing;
+        # only the compaction squash row carries the max epoch id it
+        # absorbed, and readers drop any batch_id at or below it.
+        .withColumn("squashed_through", F.lit(-1).cast("long"))
+    )
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(f"{out_path}/stats")
@@ -131,6 +185,7 @@ def write_postings_index(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> None:
     """Build the index from the catalog's ``documents`` table."""
+    _check_not_compacting(out_path)
     _write_batch(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         out_path,
@@ -148,17 +203,68 @@ def append_postings_index(
     ``batch_id`` must uniquely name the logical batch (non-negative;
     the streaming path passes the foreachBatch epoch id): readers
     dedup on it, which is what makes an at-least-once replay of the
-    same batch invisible (see the module docstring)."""
+    same batch invisible (see the module docstring). An epoch at or
+    below the compaction squash watermark is such a replay arriving
+    AFTER its rows were squashed to ``BUILD_BATCH_ID`` — the append is
+    skipped outright (writing it would leave junk only the watermark
+    filter hides), and refused entirely while a compaction holds the
+    lock sentinel."""
+    _check_not_compacting(out_path)
+    spark = docs_batch.sparkSession
+    if batch_id != BUILD_BATCH_ID and Path(f"{out_path}/stats").exists():
+        if batch_id <= _squash_watermark(_stats_raw(spark, out_path)):
+            return
     _write_batch(
         docs_batch.select("doc_id", "text"), out_path, "append", batch_id
     )
 
 
-def _dedup_stats(stats_raw: DataFrame) -> DataFrame:
-    """Replay-safe corpus scalars: one delta row per batch_id, summed."""
-    return stats_raw.dropDuplicates(["batch_id"]).agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+def _stats_raw(spark: SparkSession, out_path: str) -> DataFrame:
+    """The stats delta rows with the ``squashed_through`` column
+    guaranteed (indexes written before the watermark existed read as
+    ``-1`` = nothing squashed)."""
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_path}/stats"
+    )
+    if "squashed_through" not in raw.columns:
+        raw = raw.withColumn("squashed_through", F.lit(-1).cast("long"))
+    return raw.withColumn(
+        "squashed_through",
+        F.coalesce(F.col("squashed_through"), F.lit(-1)).cast("long"),
+    )
+
+
+def _squash_watermark(stats_raw: DataFrame) -> int:
+    """Highest epoch id absorbed by a compaction squash (-1 if never
+    compacted): rows at or below it are replays of already-squashed
+    batches and must be invisible to every reader (r11 advice #2 — the
+    quiesce-before-compact contract as a checked invariant rather than
+    a docstring)."""
+    row = stats_raw.agg(
+        F.coalesce(F.max("squashed_through"), F.lit(-1)).alias("wm")
+    ).collect()[0]
+    return int(row["wm"])
+
+
+def _live_batches(df: DataFrame, watermark: int) -> DataFrame:
+    """Drop rows replayed from epochs a squash already absorbed; the
+    squash row itself (``BUILD_BATCH_ID``) always survives."""
+    return df.filter(
+        (F.col("batch_id") == BUILD_BATCH_ID)
+        | (F.col("batch_id") > F.lit(int(watermark)))
+    )
+
+
+def _dedup_stats(stats_raw: DataFrame, watermark: int = -1) -> DataFrame:
+    """Replay-safe corpus scalars: one delta row per live batch_id,
+    summed."""
+    return (
+        _live_batches(stats_raw, watermark)
+        .dropDuplicates(["batch_id"])
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
     )
 
 
@@ -170,7 +276,18 @@ def probe_postings_index(
     The probed bucket ids are a bounded driver-side collect (≤ the
     workload's term count — the eval budget, never corpus-sized;
     the ivf_index probe-cell discipline) so the ``bucket IN (…)``
-    predicate is a literal list Spark turns into partition pruning."""
+    predicate is a literal list Spark turns into partition pruning.
+
+    Reads refuse while a compaction holds the lock sentinel (the
+    per-directory swaps have reader-visible instants), and otherwise
+    self-repair first (r11 advice #1: crash residue used to sit until
+    the NEXT compaction while probes silently returned wrong results —
+    now :func:`recover_compaction`'s cheap directory checks run before
+    every probe, so a crashed compaction is either repaired here or,
+    if it died holding the sentinel, surfaces as a loud error instead
+    of blank rows)."""
+    _check_not_compacting(out_path)
+    recover_compaction(out_path)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -184,9 +301,12 @@ def probe_postings_index(
     # parts) and the dir cannot even be schema-inferred — short-circuit
     # to the typed empty contract frame (an empty daily partition is a
     # normal pipeline state), likewise for an empty probe workload.
-    # dropDuplicates(batch_id) first: an at-least-once replay appends a
-    # second identical delta row that must not double-count.
-    stats = _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
+    # Watermark first, then dropDuplicates(batch_id): an at-least-once
+    # replay appends a second identical delta row — or, post-squash, a
+    # row the squash already absorbed — that must not double-count.
+    raw_stats = _stats_raw(spark, out_path)
+    wm = _squash_watermark(raw_stats)
+    stats = _dedup_stats(raw_stats, wm)
     # sum_dl == 0 ⟺ zero tokens ⟺ zero postings rows ⟺ no part files
     # (covers both the empty corpus and the all-empty-documents corpus)
     if not buckets or stats.collect()[0]["sum_dl"] == 0:
@@ -202,9 +322,12 @@ def probe_postings_index(
     # a replayed batch's rows are byte-identical including batch_id,
     # so (batch_id, term, doc_id) removes exactly the replays (df is
     # derived downstream as a per-term row count and must not see
-    # them).
+    # them). Epochs at or below the squash watermark replayed AFTER
+    # compaction duplicate rows that now carry BUILD_BATCH_ID — the
+    # watermark filter removes those.
     tf = (
-        pruned.join(F.broadcast(qterm_set.select("term")), "term")
+        _live_batches(pruned, wm)
+        .join(F.broadcast(qterm_set.select("term")), "term")
         .dropDuplicates(["batch_id", "term", "doc_id"])
         .select("doc_id", "dl", "term", "tf")
     )
@@ -235,36 +358,55 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
 
     Compaction also SQUASHES replay residue permanently: postings
     dedup on (batch_id, term, doc_id) and the stats rows collapse to
-    one ``BUILD_BATCH_ID`` row, so probes after compaction skip the
-    read-side dedup work. Run it only with ingest quiesced (stream
-    stopped AND its checkpoint committed) — the swap below requires
-    exclusive access anyway, and squashing while a batch could still
-    replay would let that batch's rows in twice.
+    one ``BUILD_BATCH_ID`` row carrying ``squashed_through`` = the
+    highest epoch id absorbed, so probes after compaction skip the
+    read-side dedup work AND an epoch replayed after its squash (the
+    uncommitted-checkpoint race the quiesce contract guards) is
+    rejected by the watermark rather than double-counted (r11 advice
+    #2). Ingest quiescing itself is mechanical now: the run holds the
+    ``_COMPACTING`` sentinel, which every append/probe refuses to pass.
     """
     recover_compaction(out_path)
-    post = (
-        spark.read.parquet(f"{out_path}/postings")
-        .dropDuplicates(["batch_id", "term", "doc_id"])
-        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    stats = (
-        _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
-        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    (
-        post.repartition("bucket")
-        .sortWithinPartitions("bucket", "term", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{out_path}/postings.compact")
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_path}/stats.compact"
-    )
-    _swap_compacted(out_path, "postings")
-    _swap_compacted(out_path, "stats")
+    _acquire_compaction_lock(out_path)
+    try:
+        raw_stats = _stats_raw(spark, out_path)
+        old_wm = _squash_watermark(raw_stats)
+        # everything squashed here is watermarked: the max live epoch
+        # id (and any prior squash's watermark, whichever is higher)
+        new_wm = int(
+            raw_stats.agg(
+                F.greatest(
+                    F.coalesce(F.max("batch_id"), F.lit(-1)),
+                    F.coalesce(F.max("squashed_through"), F.lit(-1)),
+                ).alias("wm")
+            ).collect()[0]["wm"]
+        )
+        post = (
+            _live_batches(spark.read.parquet(f"{out_path}/postings"), old_wm)
+            .dropDuplicates(["batch_id", "term", "doc_id"])
+            .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            _dedup_stats(raw_stats, old_wm)
+            .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+            .withColumn("squashed_through", F.lit(new_wm).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        (
+            post.repartition("bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_path}/postings.compact")
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_path}/stats.compact"
+        )
+        _swap_compacted(out_path, "postings")
+        _swap_compacted(out_path, "stats")
+    finally:
+        _release_compaction_lock(out_path)
 
 
 def _swap_compacted(out_path: str, name: str) -> None:
@@ -308,12 +450,17 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
     It also sweeps PER-BUCKET residue from a crashed
     :func:`compact_hot_buckets` run: that pass rewrites individual
     ``bucket=<k>`` directories via ``sources.io.compact_table``, whose
-    transient ``<dir>._compact_tmp`` / ``<dir>._compact_bak`` siblings
-    live INSIDE ``postings/`` — left behind by a crash they would
-    poison partition discovery (a ``bucket=7._compact_bak`` directory
-    parses as the STRING partition value ``7._compact_bak``, flipping
-    the bucket column to string and blanking every pruned probe), so
-    they must be promoted/cleared before any read.
+    transient siblings live INSIDE ``postings/``. They are dot-hidden
+    now (``.bucket=7._compact_bak`` — Spark's listing skips them, so
+    leftover debris can no longer flip the bucket partition column to
+    string and blank pruned probes; r11 advice #1/#3), but a bak whose
+    live directory vanished mid-swap still holds the only copy of that
+    bucket and must be promoted before any read — which is why probes
+    call this function first. The legacy visible-name forms
+    (``bucket=7._compact_bak``) are swept too, for layouts written
+    before the rename. Finally the ``_COMPACTING`` lock sentinel is
+    cleared: repair implies the crashed compactor is gone (this
+    function's standing contract is that no compaction is running).
     """
     import glob as _glob
     import shutil
@@ -333,17 +480,28 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
                 shutil.rmtree(old)
         elif old.exists():
             old.rename(live)
-    # per-bucket compaction residue (compact_table naming): a bak whose
-    # live dir vanished is the data — promote it; everything else is
-    # droppable (tmp is pre-swap, bak-with-live is post-swap debris).
-    for bak in _glob.glob(f"{out_path}/postings/bucket=*._compact_bak"):
-        live_dir = Path(bak[: -len("._compact_bak")])
-        if live_dir.exists():
-            shutil.rmtree(bak)
-        else:
-            Path(bak).rename(live_dir)
-    for tmp_dir in _glob.glob(f"{out_path}/postings/bucket=*._compact_tmp"):
-        shutil.rmtree(tmp_dir)
+    # per-bucket compaction residue (compact_table naming, hidden form
+    # ".bucket=K._compact_bak" plus the legacy visible form): a bak
+    # whose live dir vanished is the data — promote it; everything else
+    # is droppable (tmp is pre-swap, bak-with-live is post-swap debris).
+    for pattern, strip_dot in (
+        (f"{out_path}/postings/.bucket=*._compact_bak", True),
+        (f"{out_path}/postings/bucket=*._compact_bak", False),
+    ):
+        for bak in _glob.glob(pattern):
+            leaf = Path(bak).name[: -len("._compact_bak")]
+            live_dir = Path(bak).parent / (leaf[1:] if strip_dot else leaf)
+            if live_dir.exists():
+                shutil.rmtree(bak)
+            else:
+                Path(bak).rename(live_dir)
+    for pattern in (
+        f"{out_path}/postings/.bucket=*._compact_tmp",
+        f"{out_path}/postings/bucket=*._compact_tmp",
+    ):
+        for tmp_dir in _glob.glob(pattern):
+            shutil.rmtree(tmp_dir)
+    _release_compaction_lock(out_path)
 
 
 def compact_hot_buckets(
@@ -364,8 +522,12 @@ def compact_hot_buckets(
     Scope notes: layout-only — rows are preserved INCLUDING any
     replayed duplicates (read-side dedup still applies; only the
     whole-index :func:`compact_postings_index` squashes replay residue
-    and the stats rows, which are not bucket-local). Quiesce ingest
-    around it (the per-directory swap reasoning).
+    and the stats rows, which are not bucket-local). Ingest AND reads
+    are quiesced mechanically: the run holds the ``_COMPACTING``
+    sentinel (each bucket's swap has an instant with no live
+    directory, which a concurrent probe would read as a silently
+    missing bucket — r11 advice #3), and appends/probes refuse to pass
+    it.
 
     Returns ``{bucket_dir_name: {files_before, files_after, bytes}}``
     for the buckets rewritten."""
@@ -376,15 +538,19 @@ def compact_hot_buckets(
     # clear any crash residue first (incl. per-bucket tmp/bak dirs a
     # prior crashed run left inside postings/ — see recover_compaction)
     recover_compaction(out_path)
+    _acquire_compaction_lock(out_path)
     done: dict = {}
-    for bdir in sorted(_glob.glob(f"{out_path}/postings/bucket=*")):
-        n_files = sum(
-            1
-            for f in _glob.glob(f"{bdir}/*")
-            if not Path(f).name.startswith(("_", "."))
-        )
-        if n_files >= min_files_per_bucket:
-            done[Path(bdir).name] = compact_table(spark, bdir)
+    try:
+        for bdir in sorted(_glob.glob(f"{out_path}/postings/bucket=*")):
+            n_files = sum(
+                1
+                for f in _glob.glob(f"{bdir}/*")
+                if not Path(f).name.startswith(("_", "."))
+            )
+            if n_files >= min_files_per_bucket:
+                done[Path(bdir).name] = compact_table(spark, bdir)
+    finally:
+        _release_compaction_lock(out_path)
     return done
 
 

@@ -51,6 +51,8 @@ driver-checked, plus append ≡ rebuild and pruning plan pins.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,12 +61,19 @@ from cdc_cascade_spark.functions.hashing import token_hash
 from cdc_cascade_spark.llm.bm25 import eval_query_terms, tokenized_base
 from cdc_cascade_spark.llm.bm25_index import (
     BUILD_BATCH_ID,
+    _acquire_compaction_lock,
+    _check_not_compacting,
     _dedup_stats,
+    _live_batches,
+    _release_compaction_lock,
+    _squash_watermark,
+    _stats_raw,
     _swap_compacted,
     compact_hot_buckets,  # noqa: F401 — re-export: the per-bucket pass
     # is unit-agnostic (it only rewrites bucket dirs), so it applies to
     # the chunk layout verbatim; recover_compaction likewise sweeps its
-    # per-bucket crash residue here.
+    # per-bucket crash residue here, and the _COMPACTING lock sentinel
+    # plus the squash watermark (r11 advice) apply unchanged.
     recover_compaction,
 )
 from cdc_cascade_spark.llm.chunkeval import (
@@ -114,10 +123,16 @@ def _write_batch(
         .partitionBy("bucket")
         .parquet(f"{out_path}/postings")
     )
-    stats = chunk_units_frame(tokenized_base(docs)).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("cdl"), F.lit(0)).alias("sum_dl"),
-    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    stats = (
+        chunk_units_frame(tokenized_base(docs))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("cdl"), F.lit(0)).alias("sum_dl"),
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        # squash watermark (r11 advice #2; the bm25_index discipline)
+        .withColumn("squashed_through", F.lit(-1).cast("long"))
+    )
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(f"{out_path}/stats")
@@ -125,6 +140,7 @@ def _write_batch(
 
 def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Build the chunk index from the catalog's ``documents`` table."""
+    _check_not_compacting(out_path)
     _write_batch(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         out_path,
@@ -140,7 +156,14 @@ def append_chunk_index(
     bucket directories and one stats delta row. ``batch_id`` must
     uniquely name the logical batch (streaming callers pass the
     foreachBatch epoch id) — readers dedup on it, which is what makes
-    at-least-once replay invisible."""
+    at-least-once replay invisible. Epochs at or below the squash
+    watermark are skipped outright, and the append refuses while a
+    compaction holds the lock sentinel (the bm25_index contract)."""
+    _check_not_compacting(out_path)
+    spark = docs_batch.sparkSession
+    if batch_id != BUILD_BATCH_ID and Path(f"{out_path}/stats").exists():
+        if batch_id <= _squash_watermark(_stats_raw(spark, out_path)):
+            return
     _write_batch(
         docs_batch.select("doc_id", "text"), out_path, "append", batch_id
     )
@@ -154,7 +177,13 @@ def probe_chunk_index(
 
     Probed bucket ids are a bounded driver-side collect (≤ the
     workload's term count — the shared index-probe discipline) so the
-    ``bucket IN (…)`` predicate partition-prunes the scan."""
+    ``bucket IN (…)`` predicate partition-prunes the scan.
+
+    Reads refuse while a compaction holds the lock sentinel and
+    otherwise self-repair crash residue first (r11 advice #1; the
+    bm25_index probe contract)."""
+    _check_not_compacting(out_path)
+    recover_compaction(out_path)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -168,9 +197,12 @@ def probe_chunk_index(
     # Gate on sum_dl, NOT n_docs: an all-empty-documents corpus still
     # has one zero-length chunk per doc (n_docs > 0) but zero
     # postings rows — sum_dl == 0 ⟺ no tokens ⟺ no part files.
-    # dropDuplicates(batch_id) first: replay-appended delta rows must
+    # watermark first, then dropDuplicates(batch_id): replay-appended
+    # delta rows — and post-squash replays of squashed epochs — must
     # not double-count (the bm25_index replay discipline).
-    stats = _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
+    raw_stats = _stats_raw(spark, out_path)
+    wm = _squash_watermark(raw_stats)
+    stats = _dedup_stats(raw_stats, wm)
     if not buckets or stats.collect()[0]["sum_dl"] == 0:
         return spark.createDataFrame(
             [], "qid bigint, doc_id bigint, best_ppb bigint, rank int"
@@ -179,9 +211,11 @@ def probe_chunk_index(
     pruned = post.filter(F.col("bucket").isin(buckets))
     # replay dedup after pruning + the query-term filter (workload-
     # sized): a replayed batch's rows are byte-identical including
-    # batch_id, so the chunk-unit key removes exactly the replays.
+    # batch_id, so the chunk-unit key removes exactly the replays;
+    # the watermark filter removes epochs a squash already absorbed.
     tf = (
-        pruned.join(F.broadcast(qterm_set.select("term")), "term")
+        _live_batches(pruned, wm)
+        .join(F.broadcast(qterm_set.select("term")), "term")
         .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
         .select("doc_id", "chunk_id", "dl", "term", "tf")
     )
@@ -239,31 +273,49 @@ def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
     """Rewrite the chunk index in place to one sorted file set per
     bucket and a single summed stats row — the bm25_index compaction
     (see its docstring for the small-files rationale, the 100 TB
-    per-bucket variant, the replay-residue squash, and the quiesced-
-    ingest requirement) over the chunk schema. Pure layout: postings
-    rows are per-chunk facts and stats sum associatively, so probes
-    cannot observe the rewrite (pinned by test)."""
+    per-bucket variant, the replay-residue squash, the squash
+    watermark, and the lock-sentinel quiescing) over the chunk schema.
+    Pure layout: postings rows are per-chunk facts and stats sum
+    associatively, so probes cannot observe the rewrite (pinned by
+    test)."""
     recover_compaction(out_path)
-    post = (
-        spark.read.parquet(f"{out_path}/postings")
-        .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
-        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    stats = (
-        _dedup_stats(spark.read.parquet(f"{out_path}/stats"))
-        .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    (
-        post.repartition("bucket")
-        .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{out_path}/postings.compact")
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_path}/stats.compact"
-    )
-    _swap_compacted(out_path, "postings")
-    _swap_compacted(out_path, "stats")
+    _acquire_compaction_lock(out_path)
+    try:
+        raw_stats = _stats_raw(spark, out_path)
+        old_wm = _squash_watermark(raw_stats)
+        new_wm = int(
+            raw_stats.agg(
+                F.greatest(
+                    F.coalesce(F.max("batch_id"), F.lit(-1)),
+                    F.coalesce(F.max("squashed_through"), F.lit(-1)),
+                ).alias("wm")
+            ).collect()[0]["wm"]
+        )
+        post = (
+            _live_batches(
+                spark.read.parquet(f"{out_path}/postings"), old_wm
+            )
+            .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
+            .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            _dedup_stats(raw_stats, old_wm)
+            .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
+            .withColumn("squashed_through", F.lit(new_wm).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        (
+            post.repartition("bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_path}/postings.compact")
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_path}/stats.compact"
+        )
+        _swap_compacted(out_path, "postings")
+        _swap_compacted(out_path, "stats")
+    finally:
+        _release_compaction_lock(out_path)

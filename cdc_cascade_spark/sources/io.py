@@ -100,6 +100,20 @@ def compact_table(
       never destroys the source (the swap is two renames — at 100 TB
       run per-partition swaps so the window is per-partition).
 
+    The transient siblings are DOT-PREFIXED (``.{leaf}._compact_tmp``
+    / ``.{leaf}._compact_bak``) so Spark's file listing ignores them
+    (r11 advice: when the compacted directory is one Hive partition of
+    a larger table — ``…/postings/bucket=7`` — a crash used to leave a
+    visible ``bucket=7._compact_bak`` sibling INSIDE the partitioned
+    root, which parses as the STRING partition value
+    ``7._compact_bak``, flips the partition column's inferred type and
+    silently blanks every typed pruned probe; a hidden name is debris
+    no reader can observe). The only reader-visible window left is the
+    instant between the two swap renames when the live directory is
+    absent — callers compacting live-queried partitioned tables must
+    quiesce reads for the swap (the index modules enforce this with a
+    lock sentinel; see llm/bm25_index.py).
+
     Returns {files_before, files_after, bytes}.
     """
     jvm = spark.sparkContext._jvm
@@ -123,10 +137,12 @@ def compact_table(
     n_out = max(1, (total_bytes + target_bytes - 1) // target_bytes)
 
     df = read_table(spark, path, fmt=fmt, schema=schema)
-    tmp = path.rstrip("/") + "._compact_tmp"
+    head, _, leaf = path.rstrip("/").rpartition("/")
+    prefix = f"{head}/.{leaf}" if head else f".{leaf}"
+    tmp = prefix + "._compact_tmp"
     df.coalesce(int(n_out)).write.format(fmt).mode("overwrite").save(tmp)
 
-    bak = path.rstrip("/") + "._compact_bak"
+    bak = prefix + "._compact_bak"
     bak_path = jvm.org.apache.hadoop.fs.Path(bak)
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     if fs.exists(bak_path):

@@ -433,3 +433,161 @@ def test_recover_clears_per_bucket_compaction_residue(spark, tmp_path):
     compact_hot_buckets(spark, idx, min_files_per_bucket=10_000)
     assert b0.exists()
     assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+
+def test_compaction_lock_blocks_appends_and_probes(spark, tmp_path):
+    """r11 verdict #5: the quiesce-ingest/reads contract is mechanical
+    now — while a compaction holds the _COMPACTING sentinel, appends
+    and probes raise loudly instead of racing the per-directory swaps;
+    recover_compaction clears a crashed run's sentinel."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_compaction_lock,
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        recover_compaction,
+        write_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    _acquire_compaction_lock(idx)  # a compaction is (claimed) running
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_postings_index(batch, idx, batch_id=1)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        bm25_against_index(spark, SF, idx)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        write_postings_index(spark, SF, idx)
+    # a second compactor cannot take the lock either
+    with pytest.raises(FileExistsError):
+        _acquire_compaction_lock(idx)
+
+    # crash repair clears the sentinel; reads and writes resume
+    recover_compaction(idx)
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+    append_postings_index(batch, idx, batch_id=1)
+
+
+def test_post_squash_replay_is_rejected_by_watermark(spark, tmp_path):
+    """r11 advice #2: compaction squashes every epoch to BUILD_BATCH_ID;
+    an uncommitted streaming epoch replayed AFTER the squash used to be
+    permanently double-counted. The squash row now records the highest
+    absorbed epoch id (squashed_through) and (a) append skips epochs at
+    or below it, (b) the read side drops any such rows that bypassed
+    the append guard, (c) the next compaction removes them for good."""
+    import glob as g
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    append_postings_index(odd, idx, batch_id=3)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    compact_postings_index(spark, idx)  # squashes epoch 3; watermark=3
+    s = spark.read.parquet(f"{idx}/stats").collect()
+    assert len(s) == 1 and s[0].squashed_through == 3
+
+    # (a) the replayed epoch is skipped outright: no new files anywhere
+    files_before = sorted(g.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    append_postings_index(odd, idx, batch_id=3)
+    assert sorted(g.glob(f"{idx}/postings/bucket=*/*.parquet")) == files_before
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+    # a FRESH epoch above the watermark still appends normally
+    append_postings_index(odd.limit(0), idx, batch_id=4)
+    assert spark.read.parquet(f"{idx}/stats").count() == 2
+
+    # (b) rows that bypassed the guard (a replay racing the squash)
+    # are invisible to probes via the read-side watermark filter
+    _write_batch(odd, idx, "append", 3)
+    assert spark.read.parquet(f"{idx}/stats").count() == 3
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # (c) and the next compaction drops them permanently — the postings
+    # row count equals a clean full build's (no double-counted rows)
+    compact_postings_index(spark, idx)
+    n_after = spark.read.parquet(f"{idx}/postings").count()
+    full = str(tmp_path / "full")
+    _write_batch(docs, full, "overwrite", -1)
+    assert n_after == spark.read.parquet(f"{full}/postings").count()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+
+def test_probe_self_repairs_hidden_crash_residue(spark, tmp_path):
+    """r11 advice #1: a crashed per-bucket compaction must not leave
+    probes silently wrong until the next maintenance run. The transient
+    siblings are dot-hidden now (Spark listing skips them — no more
+    partition-type poisoning), and the probe itself promotes a bak
+    whose live bucket vanished mid-swap, so the very next read is
+    already correct with no operator action."""
+    import shutil
+    from pathlib import Path
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        bm25_against_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    buckets = sorted(
+        p for p in Path(f"{idx}/postings").iterdir()
+        if p.name.startswith("bucket=")
+    )
+    b0, b1 = buckets[0], buckets[1]
+    # crash state A: live bucket renamed aside to the HIDDEN bak form
+    # (compact_table crashed between its two renames)
+    b0.rename(b0.parent / f".{b0.name}._compact_bak")
+    # crash state B: hidden tmp fully written, live intact (pre-swap)
+    shutil.copytree(b1, b1.parent / f".{b1.name}._compact_tmp")
+
+    # NO explicit recover_compaction: the probe repairs first
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+    assert b0.exists()
+    assert not (b0.parent / f".{b0.name}._compact_bak").exists()
+    assert not (b1.parent / f".{b1.name}._compact_tmp").exists()
+
+
+def test_compact_table_transients_are_invisible_to_spark(spark, tmp_path):
+    """The r11 advice's discovery-poisoning scenario, pinned at the
+    source: hidden-form residue inside a Hive-partitioned root must not
+    flip the partition column to string or change a typed pruned read
+    (the old visible naming did both)."""
+    import shutil
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(64)], "v long, bucket int"
+    )
+    root = str(tmp_path / "tbl")
+    df.write.partitionBy("bucket").parquet(root)
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(root)
+        .filter(F.col("bucket") == 2).collect()
+    )
+    # hidden residue of a crashed compact_table over bucket=1
+    shutil.copytree(f"{root}/bucket=1", f"{root}/.bucket=1._compact_bak")
+    shutil.copytree(f"{root}/bucket=1", f"{root}/.bucket=1._compact_tmp")
+
+    got_df = spark.read.parquet(root).filter(F.col("bucket") == 2)
+    assert dict(got_df.dtypes)["bucket"] == "int"  # type not poisoned
+    assert sorted(tuple(r) for r in got_df.collect()) == want and want

@@ -265,3 +265,49 @@ def test_chunk_streaming_ingest_converges_to_batch_build(spark, tmp_path):
         if pq.ParquetFile(f).metadata.num_rows > 0
     )
     assert 1 < spark.read.parquet(f"{inc}/stats").count() == n_nonempty
+
+
+def test_chunk_lock_and_squash_watermark(spark, tmp_path):
+    """The bm25_index operational contract applies to the chunk layout
+    verbatim: the _COMPACTING sentinel blocks appends/probes, and an
+    epoch replayed after its compaction squash is skipped by the append
+    guard and invisible to the read side (r11 advice #2 / verdict #5)."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_compaction_lock,
+        recover_compaction,
+    )
+    from cdc_cascade_spark.llm.chunk_index import (
+        _write_batch,
+        append_chunk_index,
+        chunked_against_index,
+        compact_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "chunks")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    append_chunk_index(odd, idx, batch_id=5)
+    want = _rows(chunked_against_index(spark, SF, idx))
+
+    _acquire_compaction_lock(idx)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_chunk_index(odd, idx, batch_id=6)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        chunked_against_index(spark, SF, idx)
+    recover_compaction(idx)
+
+    compact_chunk_index(spark, idx)  # squash; watermark = 5
+    s = spark.read.parquet(f"{idx}/stats").collect()
+    assert len(s) == 1 and s[0].squashed_through == 5
+
+    # replayed squashed epoch: append skips; probe unchanged
+    append_chunk_index(odd, idx, batch_id=5)
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+    assert _rows(chunked_against_index(spark, SF, idx)) == want and want
+    # a raced replay that bypassed the guard is read-side invisible
+    _write_batch(odd, idx, "append", 5)
+    assert _rows(chunked_against_index(spark, SF, idx)) == want

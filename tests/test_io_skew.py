@@ -104,7 +104,10 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert stats["files_after"] == 1  # tiny table -> one target-size file
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert after == before
-    import pathlib
+    # transient siblings gone on success — and they are dot-prefixed so
+    # a crash could never leave reader-visible debris either
+    assert not (tmp_path / ".t._compact_tmp").exists()
+    assert not (tmp_path / ".t._compact_bak").exists()
     assert not (tmp_path / "t._compact_tmp").exists()
     assert not (tmp_path / "t._compact_bak").exists()
 
