@@ -155,6 +155,12 @@ def main() -> None:
                         "curation_audit_segmented",
                         "curate_corpus_incremental",
                         "curation_invalidation_report",
+                        # probe-path MRR: the cold pass builds the
+                        # session's persistent postings + chunk
+                        # indexes (the deployment's one-time build);
+                        # warm passes probe the built layout, which is
+                        # the standing-workload figure
+                        "retrieval_mrr_indexed",
                     )
                     if n in warm
                 },

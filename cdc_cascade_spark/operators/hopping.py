@@ -64,6 +64,61 @@ def q33_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hopping_window_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema: str = "user_id long, ts timestamp",
+    watermark: str = "1 minute",
+    queryName: str = "hopping_windows",
+    max_files_per_trigger: int = 1,
+):
+    """q33's aggregation as a Structured Streaming query — the last
+    windowed-agg face to gain a streaming twin (tumbling: q17 +
+    test_late_data; sessions: q34 + test_sessions): native
+    ``window(ts, '2 hours', '1 hour')`` with TWO CHAINED stateful
+    aggregations — (window, user) partial counts, then the per-window
+    rollup — which is the exact-distinct shape that scales (state per
+    (window, user), map-side absorbable; a collect_set would hold
+    every user id in one row's buffer). Spark ≥3.4 supports the chain
+    in append mode; finalized windows (watermark passed their close)
+    append to the memory sink ``queryName``.
+    tests/test_hopping_stream.py pins streamed ≡ q33's batch face
+    row-for-row on a multi-micro-batch file stream with hop windows
+    spanning batches. Returns the started query."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    per_user = (
+        reader.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(
+                F.col("ts"), f"{WINDOW_HOURS} hours", "1 hour"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = (
+        per_user.groupBy("w")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_users"
+        )
+    )
+    return (
+        rolled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+
+
 _UNNEST_STARTS = ",\n                 ".join(
     f"date_trunc('hour', ts) - INTERVAL {o} HOUR"
     for o in reversed(_HOP_OFFSETS)

@@ -63,98 +63,73 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r11 window. CORRECTNESS_r10 was 50/50 green (the registry's
+    # --- r12 window. CORRECTNESS_r11 was 50/50 green (the registry's
     # first 50 exactly). Slot arithmetic, machine-counted from the
-    # committed CORRECTNESS files (the staleness ledger in
-    # BUILD_NOTES.md): 41 r8-green queries sit AT the 2-report
-    # staleness budget — this round is their hard deadline
-    # (test_no_frozen_query_exceeds_the_staleness_budget fires on the
-    # r11 suite if any misses the window). 38 of them take CHECK_FIRST
-    # slots; the 3 lowest-plan-risk members (the single-table
-    # expression suites q11/q25/q26 — no joins, no partitioning risk)
-    # lead CHECK_NEXT, where they still get rows at any window ≥ 48
-    # (the driver has checked exactly 50 every round). On top: 5
-    # changed-fingerprint re-pins — the incremental.py partition-valve
-    # fix (r10 advice #3) re-pins its 3-query closure
-    # (curate_corpus_incremental, curation_invalidation_report,
-    # quality_calibration_report), and the dense/chunked list-SQL
-    # extractions behind the new MRR face re-pin hybrid_retrieval_rrf
-    # and chunk_retrieval_eval — plus 2 same-round registrations
-    # (q34_session_window_stats, retrieval_mrr_summary) = 45 hard
-    # pins, AT the margin-guard cap. CHECK_NEXT's last 2 slots carry
-    # r9-green re-evidence (join/plan-risk first), pre-paying r12's
-    # 39-query rotation debt. The dedup.py prepared-cache repoint the
-    # r10 verdict conditioned on fit was AUDITED and DOES NOT fit:
-    # _module_closure(llm.dedup) re-pins 23 queries of which 14 are
-    # NOT in this round's debt — 41 + 14 + 7 > 50 (arithmetic recorded
-    # in BUILD_NOTES.md; the duplicate cache stays pinned-equal by
-    # tests/test_prepared.py).
-    # --- new r11 registrations (built + registered same round) ---
-    # native session-window face (operators/sessions.py): the
-    # streaming-capable sessionization primitive, batch-checked with a
-    # µs-precision oracle; streamed ≡ batch pinned in tests.
-    "q34_session_window_stats",
-    # retrieval-mode MRR summary (llm/retrieval_summary.py): closes
-    # the retrieval family's reporting loop over the verified
-    # sparse/dense/hybrid/chunked lists (r10 verdict #2 candidate b).
-    "retrieval_mrr_summary",
-    # --- changed-fingerprint re-pins (r11 edits) ---
-    # incremental.py: state partition count re-derived from row count
-    # each batch (r10 advice #3) — closure re-pins the capstone pair
-    # and the calibration report that composes curate_corpus.
-    "curate_corpus_incremental",
-    "curation_invalidation_report",
-    "quality_calibration_report",
-    # hybrid.py / chunkeval.py: dense + chunked list SQL extracted to
-    # standalone constants for the MRR face's composed oracle
-    # (semantics unchanged; re-verified this round by these pins).
-    "hybrid_retrieval_rrf",
-    "chunk_retrieval_eval",
-    # --- the 38 CHECK_FIRST members of the 41-query r8-green
-    # staleness cohort (deadline round; ledger in BUILD_NOTES.md) ---
-    # the heavy dedup family (band/self-join plan risk first)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_weighted",
-    "dedup_cluster_representatives",
-    "minhash_jaccard_estimate",
-    "segment_dedup",
-    # sketches + anomaly + reputation
-    "sketch_cms_heavy_hitters",
-    "sketch_kmv_distinct",
-    "sketch_kmv_setops",
-    "events_rate_anomaly",
-    "source_reputation",
-    "lm_score_filter",
-    # multimodal family
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_dedup",
-    # packing + collocations + behavior
-    "pack_sequences",
-    "bigram_lift",
-    "cohort_retention",
-    "funnel_conversion",
-    # relational/window suites
-    "q06_customers_without_orders",
-    "q07_rollup_sales",
-    "q08_topk_customers_per_segment",
-    "q09_monthly_revenue_window",
-    "q10_set_operations",
-    "q12_json_extraction",
-    "q16_distinct_stats",
-    "q21_above_segment_average",
-    "q22_in_subquery",
-    "q24_explode_lateral",
-    "q28_window_suite",
-    "q29_array_functions",
-    "q30_null_semantics",
-    "q31_unpivot_metrics",
+    # committed CORRECTNESS files: the 37-query r9-green cohort
+    # (r9 minus every query re-evidenced in r10/r11) hits the 2-report
+    # staleness deadline THIS round — all 37 take CHECK_FIRST slots.
+    # On top: 1 same-round registration (retrieval_mrr_indexed — the
+    # probe-path MRR face over the persistent postings/chunk indexes,
+    # r11 verdict #2) and 1 changed-fingerprint re-pin
+    # (q33_hopping_windows — hopping.py gained the streaming parity
+    # twin hopping_window_stream, r11 verdict #3; the batch face's
+    # semantics are untouched and re-verified by this pin) = 39 hard
+    # pins, under the 45-slot margin cap. The r11 hardening of
+    # bm25_index/chunk_index/sources.io (squash watermark, compaction
+    # lock, hidden compact-transient naming — r11 ADVICE) re-pins
+    # NOTHING: no previously registered query imports those modules
+    # (closure audit, BUILD_NOTES r12), and the new face now makes the
+    # index lifecycle driver-checked going forward. CHECK_NEXT's 11
+    # slots pre-pay r13's 45-query r10-green debt with its
+    # highest-plan-risk members, leaving that cohort at 33 — the first
+    # round the 3-round rotation has headroom again.
+    # --- new r12 registration (built + registered same round) ---
+    "retrieval_mrr_indexed",
+    # --- changed-fingerprint re-pin (r12 edit) ---
+    "q33_hopping_windows",
+    # --- the 37-query r9-green staleness cohort (deadline round;
+    # ledger in BUILD_NOTES.md) — ANN / join / plan-risk first ---
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multitable_topk",
+    "ann_lsh_topk",
+    "knn_join_topk",
+    "embedding_top_pairs",
+    "embedding_quantize",
+    "embedding_cluster_profile",
+    "embedding_quality_report",
+    "minhash_novelty",
+    "shingle_containment",
+    "source_dedup_matrix",
+    # as-of / range / overlap join family
+    "asof_latest_order",
+    "asof_prev_click_tolerance",
+    "range_join_signup_activity",
+    "overlap_join_order_windows",
+    # events / gap-fill / distribution suites
+    "events_gap_fill",
+    "events_gap_fill_segmented",
+    "events_hot_keys",
+    "quantile_histogram",
+    "dq_constraint_report",
+    # corpus curation / mixing / packing
+    "corpus_diff",
+    "corpus_mixture_plan",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_split",
+    "doc_chunks",
+    "packing_efficiency",
+    "token_budget_selection",
+    # relational suites
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_semi",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -162,24 +137,25 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r11: the 3 staleness-deadline
-# overflow queries lead the tier (the 45 hard-pin cap forced them
-# out of CHECK_FIRST; chosen as the cohort's only no-join
-# single-table expression suites — the q14 precedent — they lose
-# their deadline rows only if the driver checks ≤ 47 entries, never
-# observed at 50 every round; if that ever happens the staleness
-# alarm fires in the r12 suite and forces the pin — the designed
-# self-healing path). The last 2 slots pre-pay r12's rotation debt:
-# the r9-green cohort is 39 queries against ~45 free r12 slots, so
-# re-evidencing its two highest-plan-risk members now (the banded
-# LSH + exact-verify vector dedup; the near-dup × hash-split
-# leakage join) keeps r12's arithmetic comfortable.
+# never for changed or new code. r12: all 11 slots pre-pay r13's
+# 45-query r10-green rotation debt (q33 moved to CHECK_FIRST as a
+# changed pin), highest-plan-risk members first — the banded-curve /
+# index-probe pair, the recall eval's all-pairs truth side, the BM25
+# stats-broadcast plan, the four composed curation pipelines, and the
+# three multi-join reports. If the driver checks the usual 50, r13's
+# debt drops to 33 + these never re-enter before their deadline.
 CHECK_NEXT: list[str] = [
-    "q11_scalar_functions",
-    "q25_datetime_functions",
-    "q26_string_functions",
-    "dedup_embedding_cosine",
-    "split_leakage_pairs",
+    "minhash_banding_curve",
+    "dedup_index_probe",
+    "ann_recall_report",
+    "bm25_topk",
+    "curate_corpus",
+    "curate_corpus_segmented",
+    "curation_audit",
+    "curation_audit_segmented",
+    "contamination_check",
+    "corpus_drift_report",
+    "label_skew_report",
 ]
 
 
@@ -210,6 +186,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         profile,
         quality_rules,
         recall,
+        retrieval_indexed,
         retrieval_summary,
         segdedup,
         selection,
@@ -293,6 +270,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         calibration,
         sessions,
         retrieval_summary,
+        retrieval_indexed,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

@@ -177,6 +177,12 @@ def test_plan_lint_all_registered_queries(spark):
         "bm25_topk": {"bnlj"},
         # inherits bm25_topk's stats broadcast verbatim (sparse side)
         "hybrid_retrieval_rrf": {"bnlj"},
+        # the two persistent-index probes each broadcast their 1-row
+        # summed-stats frame into the shared BM25 weight (the bm25_topk
+        # shape); every corpus/index-sized join is a BroadcastHashJoin
+        # over the partition-pruned postings scan (pinned in
+        # test_bm25_index / test_chunk_index)
+        "retrieval_mrr_indexed": {"bnlj"},
         # composes three list plans that each carry exactly that
         # 1-row-stats-broadcast shape: sparse (bm25_topk verbatim),
         # chunked (the chunk_retrieval_eval chunk side), and the
