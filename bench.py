@@ -161,6 +161,9 @@ def main() -> None:
                         # warm passes probe the built layout, which is
                         # the standing-workload figure
                         "retrieval_mrr_indexed",
+                        # same policy: cold builds the partitioned
+                        # LSH layout, warm probes it
+                        "ann_lsh_indexed",
                     )
                     if n in warm
                 },

@@ -83,8 +83,13 @@ CHECK_FIRST: list[str] = [
     # slots pre-pay r13's 45-query r10-green debt with its
     # highest-plan-risk members, leaving that cohort at 33 — the first
     # round the 3-round rotation has headroom again.
-    # --- new r12 registration (built + registered same round) ---
+    # --- new r12 registrations (built + registered same round) ---
     "retrieval_mrr_indexed",
+    # dense twin: the bucket-partitioned LSH layout probed through
+    # partition pruning, against ann_lsh_topk's oracle verbatim —
+    # with this, every persistent index family has a driver-checked
+    # probe path (sparse/chunk via retrieval_mrr_indexed, dense here).
+    "ann_lsh_indexed",
     # --- changed-fingerprint re-pin (r12 edit) ---
     "q33_hopping_windows",
     # --- the 37-query r9-green staleness cohort (deadline round;
@@ -141,9 +146,11 @@ CHECK_FIRST: list[str] = [
 # 45-query r10-green rotation debt (q33 moved to CHECK_FIRST as a
 # changed pin), highest-plan-risk members first — the banded-curve /
 # index-probe pair, the recall eval's all-pairs truth side, the BM25
-# stats-broadcast plan, the four composed curation pipelines, and the
-# three multi-join reports. If the driver checks the usual 50, r13's
-# debt drops to 33 + these never re-enter before their deadline.
+# stats-broadcast plan, the four composed curation pipelines, and two
+# multi-join reports (label_skew_report yielded its slot to the
+# second r12 registration; it stays r13 debt). If the driver checks
+# the usual 50, r13's debt drops to 34 + these never re-enter before
+# their deadline.
 CHECK_NEXT: list[str] = [
     "minhash_banding_curve",
     "dedup_index_probe",
@@ -155,7 +162,6 @@ CHECK_NEXT: list[str] = [
     "curation_audit_segmented",
     "contamination_check",
     "corpus_drift_report",
-    "label_skew_report",
 ]
 
 
@@ -186,6 +192,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         profile,
         quality_rules,
         recall,
+        ann_indexed,
         retrieval_indexed,
         retrieval_summary,
         segdedup,
@@ -271,6 +278,7 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
         sessions,
         retrieval_summary,
         retrieval_indexed,
+        ann_indexed,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:

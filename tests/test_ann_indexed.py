@@ -1,0 +1,73 @@
+"""Probe-path dense ANN (llm/ann_indexed.py): oracle parity over the
+persistent bucket-partitioned layout, identity to the ad-hoc face,
+partition pruning, session layout reuse."""
+
+from __future__ import annotations
+
+import pytest
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _duck(sf_dir: str):
+    from cdc_cascade_spark.testing.parity import duckdb_connect
+
+    return duckdb_connect(sf_dir)
+
+
+def _rows(df):
+    return sorted(
+        (r.vec_id, r.label, int(r.bucket), r.cosine) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ann_indexed_oracle_agrees(spark, sf):
+    """The full lifecycle — partitioned build → pruned probe → rerank
+    — must reproduce ann_lsh_topk's declarative SQL spec exactly (the
+    oracle is ORACLE_LSH_TOPK verbatim)."""
+    from cdc_cascade_spark.llm.ann_indexed import (
+        ann_lsh_indexed,
+    )
+    from cdc_cascade_spark.llm.similarity import ORACLE_LSH_TOPK
+    from cdc_cascade_spark.testing.parity import compare
+
+    got = ann_lsh_indexed(spark, sf).toPandas()
+    want = _duck(sf).execute(ORACLE_LSH_TOPK).df()
+    r = compare("ann_lsh_indexed", got, want)
+    assert r.ok, r
+    assert len(got) > 0
+
+
+def test_ann_indexed_equals_adhoc_face(spark):
+    from cdc_cascade_spark.llm.ann_indexed import ann_lsh_indexed
+    from cdc_cascade_spark.llm.similarity import ann_lsh_topk
+
+    sf = SFS[0]
+    assert _rows(ann_lsh_indexed(spark, sf)) == _rows(
+        ann_lsh_topk(spark, sf)
+    )
+
+
+def test_ann_indexed_plan_partition_prunes(spark):
+    """The probe's scan must carry a bucket PartitionFilter — the
+    whole point of the persistent layout (only the probed bucket's
+    directory is read)."""
+    from cdc_cascade_spark.llm.ann_indexed import ann_lsh_indexed
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(ann_lsh_indexed(spark, SFS[0]))
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+
+
+def test_session_layout_cache_reuses_the_build(spark):
+    from cdc_cascade_spark.llm.ann_indexed import (
+        ann_lsh_indexed,
+        lsh_layout_dir,
+    )
+
+    sf = SFS[0]
+    assert lsh_layout_dir(spark, sf) == lsh_layout_dir(spark, sf)
+    a = _rows(ann_lsh_indexed(spark, sf))
+    b = _rows(ann_lsh_indexed(spark, sf))
+    assert a == b and a

@@ -177,6 +177,9 @@ def test_plan_lint_all_registered_queries(spark):
         "bm25_topk": {"bnlj"},
         # inherits bm25_topk's stats broadcast verbatim (sparse side)
         "hybrid_retrieval_rrf": {"bnlj"},
+        # 1-row query-vector broadcast over the partition-pruned bucket
+        # scan (the ann_cosine_topk shape on the persistent layout)
+        "ann_lsh_indexed": {"bnlj"},
         # the two persistent-index probes each broadcast their 1-row
         # summed-stats frame into the shared BM25 weight (the bm25_topk
         # shape); every corpus/index-sized join is a BroadcastHashJoin
