@@ -268,6 +268,37 @@ def _dedup_stats(stats_raw: DataFrame, watermark: int = -1) -> DataFrame:
     )
 
 
+def _stats_summary(spark: SparkSession, out_path: str) -> tuple:
+    """One driver action for everything a probe needs from the stats
+    dir: ``(n_docs, sum_dl, watermark)`` with the watermark applied to
+    the sums. The watermark aggregate is broadcast back over the raw
+    rows inside the SAME job (the frame is one tiny file set — this
+    replaces the probe's former two sequential collects), and the
+    caller gets plain ints, so the scorer's 1-row stats frame becomes
+    a local relation instead of a re-derived parquet subtree."""
+    raw = _stats_raw(spark, out_path)
+    wm_frame = raw.agg(
+        F.coalesce(F.max("squashed_through"), F.lit(-1))
+        .cast("long")
+        .alias("wm")
+    )
+    row = (
+        raw.crossJoin(F.broadcast(wm_frame))
+        .filter(
+            (F.col("batch_id") == BUILD_BATCH_ID)
+            | (F.col("batch_id") > F.col("wm"))
+        )
+        .dropDuplicates(["batch_id"])
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+            F.coalesce(F.first("wm"), F.lit(-1)).alias("wm"),
+        )
+        .collect()[0]
+    )
+    return int(row["n_docs"]), int(row["sum_dl"]), int(row["wm"])
+
+
 def probe_postings_index(
     spark: SparkSession, qterms: DataFrame, out_path: str
 ) -> DataFrame:
@@ -304,17 +335,21 @@ def probe_postings_index(
     # Watermark first, then dropDuplicates(batch_id): an at-least-once
     # replay appends a second identical delta row — or, post-squash, a
     # row the squash already absorbed — that must not double-count.
-    raw_stats = _stats_raw(spark, out_path)
-    wm = _squash_watermark(raw_stats)
-    stats = _dedup_stats(raw_stats, wm)
+    # ONE driver action covers the watermark, the summed scalars and
+    # the emptiness gate; the scorer gets the scalars as a local 1-row
+    # frame (no parquet subtree re-derived inside the main job).
+    n_docs, sum_dl, wm = _stats_summary(spark, out_path)
     # sum_dl == 0 ⟺ zero tokens ⟺ zero postings rows ⟺ no part files
     # (covers both the empty corpus and the all-empty-documents corpus)
-    if not buckets or stats.collect()[0]["sum_dl"] == 0:
+    if not buckets or sum_dl == 0:
         return spark.createDataFrame(
             [],
             "qid bigint, doc_id bigint, n_terms bigint, "
             "score_ppb bigint, rank int",
         )
+    stats = spark.createDataFrame(
+        [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
+    )
     post = spark.read.parquet(f"{out_path}/postings")
     pruned = post.filter(F.col("bucket").isin(buckets))
     # replay dedup AFTER pruning + the query-term filter, so the extra
@@ -576,6 +611,16 @@ def start_postings_ingest_stream(
     id — and readers dedup on it (the IdempotentBatchSink discipline
     in streaming/sinks.py, applied to both artifacts; pinned by the
     double-replay test).
+
+    CHECKPOINT LINEAGE CONTRACT: batch ids must be unique for the
+    index's LIFETIME, which for streaming means one checkpoint
+    directory per index, forever. Starting a fresh checkpoint against
+    an existing index restarts epoch ids at 0 — ids the index has
+    already seen — and the replay machinery will treat those batches
+    as replays (dedup their stats rows; after a compaction squash,
+    skip the appends entirely via the watermark). That is the correct
+    reading of the contract, but for a user it is silent data loss:
+    never re-checkpoint an index; rebuild it instead.
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:

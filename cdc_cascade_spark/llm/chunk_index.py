@@ -68,6 +68,7 @@ from cdc_cascade_spark.llm.bm25_index import (
     _release_compaction_lock,
     _squash_watermark,
     _stats_raw,
+    _stats_summary,
     _swap_compacted,
     compact_hot_buckets,  # noqa: F401 — re-export: the per-bucket pass
     # is unit-agnostic (it only rewrites bucket dirs), so it applies to
@@ -199,14 +200,16 @@ def probe_chunk_index(
     # postings rows — sum_dl == 0 ⟺ no tokens ⟺ no part files.
     # watermark first, then dropDuplicates(batch_id): replay-appended
     # delta rows — and post-squash replays of squashed epochs — must
-    # not double-count (the bm25_index replay discipline).
-    raw_stats = _stats_raw(spark, out_path)
-    wm = _squash_watermark(raw_stats)
-    stats = _dedup_stats(raw_stats, wm)
-    if not buckets or stats.collect()[0]["sum_dl"] == 0:
+    # not double-count (the bm25_index replay discipline; one driver
+    # action for watermark + scalars + emptiness gate).
+    n_docs, sum_dl, wm = _stats_summary(spark, out_path)
+    if not buckets or sum_dl == 0:
         return spark.createDataFrame(
             [], "qid bigint, doc_id bigint, best_ppb bigint, rank int"
         )
+    stats = spark.createDataFrame(
+        [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
+    )
     post = spark.read.parquet(f"{out_path}/postings")
     pruned = post.filter(F.col("bucket").isin(buckets))
     # replay dedup after pruning + the query-term filter (workload-

@@ -591,3 +591,54 @@ def test_compact_table_transients_are_invisible_to_spark(spark, tmp_path):
     got_df = spark.read.parquet(root).filter(F.col("bucket") == 2)
     assert dict(got_df.dtypes)["bucket"] == "int"  # type not poisoned
     assert sorted(tuple(r) for r in got_df.collect()) == want and want
+
+
+def test_watermark_is_monotone_across_squash_cycles(spark, tmp_path):
+    """Two full append → compact cycles: the second squash's watermark
+    must cover BOTH the new epochs and the first squash's (monotone
+    max), fresh epochs above the watermark always land, and the final
+    index equals a clean one-shot build — the long-running-deployment
+    lifecycle in miniature."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    idx = str(tmp_path / "bm25")
+
+    # cycle 1: build + epoch 0, squash
+    _write_batch(thirds[0], idx, "overwrite", -1)
+    append_postings_index(thirds[1], idx, batch_id=0)
+    compact_postings_index(spark, idx)
+    s1 = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert s1.squashed_through == 0
+
+    # cycle 2: epoch 1 (fresh, above wm — must land), replay epoch 0
+    # (squashed — must skip), squash again
+    append_postings_index(thirds[2], idx, batch_id=1)
+    append_postings_index(thirds[1], idx, batch_id=0)  # skipped
+    assert spark.read.parquet(f"{idx}/stats").count() == 2
+    compact_postings_index(spark, idx)
+    s2 = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert s2.squashed_through == 1  # monotone: max(epoch 1, prior 0)
+
+    # epoch 1 replayed after ITS squash is rejected by the new wm too
+    append_postings_index(thirds[2], idx, batch_id=1)
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+    full = str(tmp_path / "full")
+    _write_batch(docs, full, "overwrite", -1)
+    got = _rows(bm25_against_index(spark, SF, idx))
+    want = _rows(bm25_against_index(spark, SF, full))
+    assert got == want and got
+    # scalars equal the clean build's exactly
+    f = spark.read.parquet(f"{full}/stats").collect()[0]
+    assert (s2.n_docs, s2.sum_dl) == (f.n_docs, f.sum_dl) == (
+        spark.read.parquet(f"{idx}/stats").collect()[0].n_docs,
+        spark.read.parquet(f"{idx}/stats").collect()[0].sum_dl,
+    )
