@@ -122,6 +122,13 @@ def main() -> None:
     # publishes no throughput numbers (BASELINE.md); this records ours.
     streaming = _bench_streaming(spark, sf_dir)
 
+    # Deployment read path for the invalidation report: diff two
+    # PERSISTED kept-id snapshots (llm/incremental.py's storage-backed
+    # form) — the counter-measure to the registered face's cold figure
+    # (which pays two full pipeline recomputations when the session
+    # caches are cold). Published every round per the r11 verdict.
+    storage_backed = _bench_storage_backed_invalidation(spark, sf_dir)
+
     # Key order is deliberate: the round driver records only the LAST
     # ~2000 characters of this line (BENCH_r08.json's "tail"), so the
     # big cold dict goes FIRST (sacrificial), the warm per-query dict —
@@ -168,12 +175,48 @@ def main() -> None:
                     if n in warm
                 },
                 "streaming": streaming,
+                "storage_backed_invalidation": storage_backed,
                 "sf": sf,
                 "value": total,
             }
         )
     )
     spark.stop()
+
+
+def _bench_storage_backed_invalidation(spark, sf_dir: str) -> dict:
+    """Persist the two curated kept-id snapshots once (the write every
+    curation run does anyway — setup, not the measured read), then
+    time the storage-backed report over them. ``first_read_sec`` is
+    the figure comparable to a fresh-session deployment read (two
+    id-column parquet scans + the joins); ``warm_read_sec`` is the
+    median of three further passes (the main warm-median policy)."""
+    import shutil
+    import tempfile
+
+    from cdc_cascade_spark.llm import incremental as inc
+    from cdc_cascade_spark.llm.versioning import corpus_diff
+
+    tmp = tempfile.mkdtemp(prefix="bench_keepsets_")
+    try:
+        inc.save_curated_keepset(inc.curate_corpus(spark, sf_dir), f"{tmp}/v1")
+        inc.save_curated_keepset(
+            inc.curate_corpus_incremental(spark, sf_dir), f"{tmp}/v2"
+        )
+        ops = corpus_diff(spark, sf_dir).select("doc_id", "op")
+        runs: list[float] = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            inc.curation_invalidation_report_from_store(
+                spark, f"{tmp}/v1", f"{tmp}/v2", ops
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 4))
+        return {
+            "first_read_sec": runs[0],
+            "warm_read_sec": sorted(runs[1:])[1],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _bench_invalidation_stream(spark, sf_dir: str) -> dict:

@@ -642,3 +642,89 @@ def test_watermark_is_monotone_across_squash_cycles(spark, tmp_path):
         spark.read.parquet(f"{idx}/stats").collect()[0].n_docs,
         spark.read.parquet(f"{idx}/stats").collect()[0].sum_dl,
     )
+
+
+def test_random_lifecycle_walk_matches_live_batch_model(spark, tmp_path):
+    """Seeded random walk over the index's whole operational alphabet —
+    append / replay / compact / crash-mid-swap / recover — checked
+    after every step against a pure-Python model of which documents
+    are LIVE (appended once, under the replay/watermark rules). The
+    deterministic suites above pin each transition; this pins the
+    COMPOSITIONS (replay after two squashes, crash between appends,
+    compact twice in a row, ...)."""
+    import random
+    import shutil
+    from pathlib import Path
+
+    from cdc_cascade_spark.llm.bm25_index import (
+        _write_batch,
+        append_postings_index,
+        compact_postings_index,
+        probe_postings_index,
+        recover_compaction,
+    )
+
+    rng = random.Random(20260815)
+    # tiny synthetic corpus: doc i holds tokens tok{i%5} tok{(i*3)%7}
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{(i * 3) % 7} common") for i in ids],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "walk")
+    _write_batch(batch(range(0, 4)), idx, "overwrite", -1)
+    live = set(range(0, 4))         # model: docs visible to probes
+    appended: dict[int, list[int]] = {}  # epoch → doc ids
+    wm = -1                          # model watermark
+    next_doc = 4
+    qterms = spark.createDataFrame(
+        [(0, "common"), (1, "tok1"), (2, "tok3")], "qid long, term string"
+    )
+
+    def check():
+        got = {
+            r.doc_id
+            for r in probe_postings_index(spark, qterms, idx)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        # every live doc contains 'common', and TOPK=10 may cut the
+        # list — so check via a full-width probe instead: the tf rows
+        # behind rank are cut, but n_terms/rank only reorder; use the
+        # model as a SUPERSET check plus exact equality on the ranked
+        # ids being live
+        assert got <= live, (got - live, "probe surfaced a dead doc")
+        # and the probe's corpus scalars must equal the model's
+        from cdc_cascade_spark.llm.bm25_index import _stats_summary
+
+        n_docs, _sum_dl, got_wm = _stats_summary(spark, idx)
+        assert n_docs == len(live)
+        assert got_wm == wm
+
+    for step in range(14):
+        op = rng.choice(["append", "replay", "compact", "crash", "append"])
+        if op == "append":
+            epoch = max(appended, default=-1) + 1
+            ids = list(range(next_doc, next_doc + rng.randint(1, 3)))
+            next_doc += len(ids)
+            append_postings_index(batch(ids), idx, batch_id=epoch)
+            if epoch > wm:  # model: lands iff above the watermark
+                appended[epoch] = ids
+                live |= set(ids)
+        elif op == "replay" and appended:
+            epoch = rng.choice(sorted(appended))
+            append_postings_index(batch(appended[epoch]), idx, batch_id=epoch)
+            # model: no change (dedup or watermark rejects it)
+        elif op == "compact":
+            compact_postings_index(spark, idx)
+            if appended:
+                wm = max(max(appended), wm)
+        elif op == "crash":
+            # simulate a crash mid whole-index swap: live aside, the
+            # compacted copy present — then recover (as a probe would)
+            shutil.copytree(f"{idx}/postings", f"{idx}/postings.compact")
+            Path(f"{idx}/postings").rename(f"{idx}/postings.old")
+            recover_compaction(idx)
+        check()
