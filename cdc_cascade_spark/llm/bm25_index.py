@@ -103,7 +103,13 @@ BUILD_BATCH_ID = -1
 # sentinel with no live compactor is crash debris —
 # :func:`recover_compaction` clears it along with the directory
 # residue (it must only run when no compaction is in progress, which
-# was already its contract).
+# was already its contract). Honest scope: on a plain filesystem the
+# sentinel is an advisory lock — an append that passed its check in
+# the instant before a compactor acquired can still land mid-run
+# (a milliseconds window, vs the formerly unguarded whole run); true
+# serialization at 100 TB belongs to the storage layer's atomic
+# commit (lakehouse table locks), which sources/io.py's format
+# boundary is where a deployment would plug in.
 _COMPACTING_SENTINEL = "_COMPACTING"
 
 
@@ -316,9 +322,11 @@ def probe_postings_index(
     now :func:`recover_compaction`'s cheap directory checks run before
     every probe, so a crashed compaction is either repaired here or,
     if it died holding the sentinel, surfaces as a loud error instead
-    of blank rows)."""
+    of blank rows). The probe-side recover never touches the sentinel
+    (clear_lock=False), so it cannot be raced into unlocking a
+    compaction that began between the check and the sweep."""
     _check_not_compacting(out_path)
-    recover_compaction(out_path)
+    recover_compaction(out_path, clear_lock=False)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -400,10 +408,14 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
     rejected by the watermark rather than double-counted (r11 advice
     #2). Ingest quiescing itself is mechanical now: the run holds the
     ``_COMPACTING`` sentinel, which every append/probe refuses to pass.
+    Lock-first ordering: acquire, THEN repair any crash residue under
+    the lock — so a compactor can never sweep (or unlock) a LIVE
+    sibling's state; if a prior run died holding the sentinel, this
+    raises and the operator runs :func:`recover_compaction` once.
     """
-    recover_compaction(out_path)
     _acquire_compaction_lock(out_path)
     try:
+        recover_compaction(out_path, clear_lock=False)
         raw_stats = _stats_raw(spark, out_path)
         old_wm = _squash_watermark(raw_stats)
         # everything squashed here is watermarked: the max live epoch
@@ -466,7 +478,11 @@ def _swap_compacted(out_path: str, name: str) -> None:
     shutil.rmtree(old)
 
 
-def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> None:
+def recover_compaction(
+    out_path: str,
+    names: tuple = ("postings", "stats"),
+    clear_lock: bool = True,
+) -> None:
     """Repair the index layout after a crash anywhere inside a
     compaction run. Idempotent, and a no-op on a clean layout — called
     at the top of every compact so an operator can simply re-run it.
@@ -481,6 +497,12 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
     - live absent, only ``.old`` present: defensive (the swap's rename
       pair cannot leave this, but a manual intervention might) —
       restore ``.old``.
+
+    ``clear_lock``: the default (operator crash repair) also removes a
+    crashed compactor's ``_COMPACTING`` sentinel. Internal callers —
+    probes sweeping legacy residue, a compactor that already holds the
+    lock — pass ``clear_lock=False`` so a recover can never unlock (or
+    be raced into unlocking) a LIVE compaction.
 
     It also sweeps PER-BUCKET residue from a crashed
     :func:`compact_hot_buckets` run: that pass rewrites individual
@@ -536,7 +558,8 @@ def recover_compaction(out_path: str, names: tuple = ("postings", "stats")) -> N
     ):
         for tmp_dir in _glob.glob(pattern):
             shutil.rmtree(tmp_dir)
-    _release_compaction_lock(out_path)
+    if clear_lock:
+        _release_compaction_lock(out_path)
 
 
 def compact_hot_buckets(
@@ -570,12 +593,13 @@ def compact_hot_buckets(
 
     from cdc_cascade_spark.sources.io import compact_table
 
-    # clear any crash residue first (incl. per-bucket tmp/bak dirs a
-    # prior crashed run left inside postings/ — see recover_compaction)
-    recover_compaction(out_path)
+    # lock first, then clear any crash residue UNDER the lock (incl.
+    # per-bucket tmp/bak dirs a prior crashed run left inside
+    # postings/ — see recover_compaction)
     _acquire_compaction_lock(out_path)
     done: dict = {}
     try:
+        recover_compaction(out_path, clear_lock=False)
         for bdir in sorted(_glob.glob(f"{out_path}/postings/bucket=*")):
             n_files = sum(
                 1

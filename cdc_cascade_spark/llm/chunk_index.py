@@ -182,9 +182,10 @@ def probe_chunk_index(
 
     Reads refuse while a compaction holds the lock sentinel and
     otherwise self-repair crash residue first (r11 advice #1; the
-    bm25_index probe contract)."""
+    bm25_index probe contract — the probe-side recover never touches
+    the sentinel)."""
     _check_not_compacting(out_path)
-    recover_compaction(out_path)
+    recover_compaction(out_path, clear_lock=False)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -281,9 +282,9 @@ def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
     Pure layout: postings rows are per-chunk facts and stats sum
     associatively, so probes cannot observe the rewrite (pinned by
     test)."""
-    recover_compaction(out_path)
     _acquire_compaction_lock(out_path)
     try:
+        recover_compaction(out_path, clear_lock=False)
         raw_stats = _stats_raw(spark, out_path)
         old_wm = _squash_watermark(raw_stats)
         new_wm = int(

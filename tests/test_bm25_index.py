@@ -728,3 +728,37 @@ def test_random_lifecycle_walk_matches_live_batch_model(spark, tmp_path):
             Path(f"{idx}/postings").rename(f"{idx}/postings.old")
             recover_compaction(idx)
         check()
+
+
+def test_lock_first_ordering_and_scoped_recover(spark, tmp_path):
+    """Lock-state refinements: (a) a compactor entering over a CRASHED
+    sentinel raises instead of silently unlocking it (the operator
+    repairs once with recover_compaction); (b) the probe-side recover
+    leaves the sentinel alone (clear_lock=False), so a recover racing
+    a just-started compaction can never unlock it."""
+    import pytest
+    from pathlib import Path
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_compaction_lock,
+        _write_batch,
+        compact_postings_index,
+        recover_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+
+    _acquire_compaction_lock(idx)  # a prior run "crashed" holding it
+    with pytest.raises(FileExistsError):
+        compact_postings_index(spark, idx)
+    # scoped recover must NOT unlock
+    recover_compaction(idx, clear_lock=False)
+    assert (Path(idx) / "_COMPACTING").exists()
+    # operator repair unlocks; compaction then runs clean
+    recover_compaction(idx)
+    assert not (Path(idx) / "_COMPACTING").exists()
+    compact_postings_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
