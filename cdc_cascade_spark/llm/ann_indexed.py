@@ -37,39 +37,29 @@ the plan, and session layout reuse.
 
 from __future__ import annotations
 
-import tempfile
-import threading
-
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.session_layout import SessionDirCache
 from cdc_cascade_spark.llm.similarity import (
     ORACLE_LSH_TOPK,
     ann_lsh_topk_bucketed,
     write_lsh_bucketed,
 )
 
-_LAYOUT_DIRS: dict[tuple[str, str], str] = {}
-_LAYOUT_LOCK = threading.Lock()
+_LAYOUT_CACHE = SessionDirCache("cdc_ann_lsh_idx_")
 
 
 def lsh_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-per-session bucket-partitioned LSH layout for
-    ``sf_dir``; returns its directory (the retrieval_indexed cache
-    discipline — the deployment analogue is a storage-resident index
-    that queries only probe)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _LAYOUT_LOCK:
-        cached = _LAYOUT_DIRS.get(key)
-    if cached is not None:
-        return cached
-    out = tempfile.mkdtemp(prefix="cdc_ann_lsh_idx_")
-    write_lsh_bucketed(spark, sf_dir, out)
-    with _LAYOUT_LOCK:
-        winner = _LAYOUT_DIRS.setdefault(key, out)
-    return winner
+    ``sf_dir``; returns its directory (the shared session-layout
+    cache — the deployment analogue is a storage-resident index that
+    queries only probe)."""
+    return _LAYOUT_CACHE.get_or_build(
+        spark, sf_dir, lambda out: write_lsh_bucketed(spark, sf_dir, out)
+    )
 
 
 def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,12 +130,46 @@ def _check_not_compacting(out_path: str) -> None:
 def _acquire_compaction_lock(out_path: str) -> None:
     # exclusive create: a second compactor (or one racing crash repair)
     # fails here instead of interleaving per-directory swaps
-    with open(_sentinel(out_path), "x", encoding="utf-8") as f:
-        f.write("compaction in progress\n")
+    try:
+        with open(_sentinel(out_path), "x", encoding="utf-8") as f:
+            f.write("compaction in progress\n")
+    except FileExistsError as e:
+        raise FileExistsError(
+            f"{_sentinel(out_path)} already exists — another compaction "
+            "is running, or a prior one crashed holding the lock. If no "
+            "compaction is in progress, repair with "
+            "recover_compaction(out_path)."
+        ) from e
 
 
 def _release_compaction_lock(out_path: str) -> None:
     _sentinel(out_path).unlink(missing_ok=True)
+
+
+# Best-effort squash-watermark marker (review finding r12: the append
+# guard used to launch a Spark job — stats listing + max aggregate —
+# on EVERY micro-batch, O(epochs) each, all to learn a watermark that
+# is -1 until the first compaction). Compaction writes the watermark
+# here after the swap; appends read it with one open(). Correctness
+# never depends on it: the authoritative watermark lives in the stats
+# squash row and the READ side filters on that, so a stale or missing
+# marker (crash between swap and marker write, manual deletion) only
+# means a replayed append lands as dead rows the readers already
+# ignore and the next compaction removes.
+_WATERMARK_MARKER = "_SQUASH_WATERMARK"
+
+
+def _marker_watermark(out_path: str) -> int:
+    try:
+        return int((Path(out_path) / _WATERMARK_MARKER).read_text())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _write_watermark_marker(out_path: str, wm: int) -> None:
+    tmp = Path(out_path) / (_WATERMARK_MARKER + ".tmp")
+    tmp.write_text(str(int(wm)))
+    tmp.rename(Path(out_path) / _WATERMARK_MARKER)
 
 
 def _postings_frame(docs: DataFrame) -> DataFrame:
@@ -160,6 +194,10 @@ def _postings_frame(docs: DataFrame) -> DataFrame:
 def _write_batch(
     docs: DataFrame, out_path: str, mode: str, batch_id: int
 ) -> None:
+    if mode == "overwrite":
+        # a rebuilt index starts a fresh batch-id lineage — a stale
+        # squash marker from the previous life must not gate it
+        (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
     post = _postings_frame(docs).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     )
@@ -213,13 +251,12 @@ def append_postings_index(
     below the compaction squash watermark is such a replay arriving
     AFTER its rows were squashed to ``BUILD_BATCH_ID`` — the append is
     skipped outright (writing it would leave junk only the watermark
-    filter hides), and refused entirely while a compaction holds the
+    filter hides — the guard reads the marker file, one open(), never
+    a Spark job), and refused entirely while a compaction holds the
     lock sentinel."""
     _check_not_compacting(out_path)
-    spark = docs_batch.sparkSession
-    if batch_id != BUILD_BATCH_ID and Path(f"{out_path}/stats").exists():
-        if batch_id <= _squash_watermark(_stats_raw(spark, out_path)):
-            return
+    if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(out_path):
+        return
     _write_batch(
         docs_batch.select("doc_id", "text"), out_path, "append", batch_id
     )
@@ -322,11 +359,12 @@ def probe_postings_index(
     now :func:`recover_compaction`'s cheap directory checks run before
     every probe, so a crashed compaction is either repaired here or,
     if it died holding the sentinel, surfaces as a loud error instead
-    of blank rows). The probe-side recover never touches the sentinel
-    (clear_lock=False), so it cannot be raced into unlocking a
-    compaction that began between the check and the sweep."""
+    of blank rows). The probe-side repair is the narrow PROMOTE-ONLY
+    form (:func:`_repair_for_read`): it cannot delete or unlock
+    anything a compaction that began an instant after the sentinel
+    check might be writing."""
     _check_not_compacting(out_path)
-    recover_compaction(out_path, clear_lock=False)
+    _repair_for_read(out_path)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -377,6 +415,51 @@ def probe_postings_index(
     return topk_from_postings(tf, qterms, stats)
 
 
+def _repair_for_read(out_path: str) -> None:
+    """Promote-only crash repair, safe to run before any read even if
+    a compaction acquires the lock an instant after the caller's
+    sentinel check (review finding r12: the earlier probe-side FULL
+    recover could rmtree a live compactor's in-progress
+    ``postings.compact`` — a destructive race open for the whole
+    compaction run). This narrow form only restores states where data
+    would otherwise be MISSING (a live dir absent with its compacted/
+    aside copy present — the mid-swap crash shapes, a milliseconds
+    window in a healthy run) and sweeps legacy VISIBLE per-bucket
+    residue (pre-r12 naming; a live compactor never writes those
+    names, so they are always crash debris, and they poison partition
+    discovery). It deletes nothing a live compactor could be writing —
+    hidden tmp/bak-with-live and ``.compact``/``.old``-with-live are
+    all reader-invisible and are left for the next compaction's full
+    :func:`recover_compaction` — and it never touches the sentinel."""
+    import glob as _glob
+    import shutil
+
+    for name in ("postings", "stats"):
+        live = Path(out_path) / name
+        tmp = Path(out_path) / f"{name}.compact"
+        old = Path(out_path) / f"{name}.old"
+        if not live.exists():
+            if tmp.exists():
+                tmp.rename(live)
+            elif old.exists():
+                old.rename(live)
+    # hidden per-bucket bak whose live dir vanished mid-swap holds the
+    # only copy of that bucket — promote it
+    for bak in _glob.glob(f"{out_path}/postings/.bucket=*._compact_bak"):
+        live_dir = Path(bak).parent / Path(bak).name[1 : -len("._compact_bak")]
+        if not live_dir.exists():
+            Path(bak).rename(live_dir)
+    # legacy visible residue: always crash debris, reader-poisonous
+    for bak in _glob.glob(f"{out_path}/postings/bucket=*._compact_bak"):
+        live_dir = Path(bak[: -len("._compact_bak")])
+        if live_dir.exists():
+            shutil.rmtree(bak)
+        else:
+            Path(bak).rename(live_dir)
+    for tmp_dir in _glob.glob(f"{out_path}/postings/bucket=*._compact_tmp"):
+        shutil.rmtree(tmp_dir)
+
+
 def compact_postings_index(spark: SparkSession, out_path: str) -> None:
     """Rewrite the index in place to one sorted file set per bucket
     and a single summed stats row.
@@ -418,8 +501,19 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
         recover_compaction(out_path, clear_lock=False)
         raw_stats = _stats_raw(spark, out_path)
         old_wm = _squash_watermark(raw_stats)
-        # everything squashed here is watermarked: the max live epoch
-        # id (and any prior squash's watermark, whichever is higher)
+        # everything squashed here is watermarked: the max COMMITTED
+        # epoch id (and any prior squash's watermark, whichever is
+        # higher). The stats delta row is an epoch's COMMIT RECORD —
+        # _write_batch writes postings first, stats second, so a crash
+        # between the two leaves postings with no stats row. Squashing
+        # those under BUILD_BATCH_ID without raising the watermark
+        # past them would let the epoch's replay double-count (review
+        # finding r12) — and raising the watermark INSTEAD would make
+        # the replay's skip permanent while the squashed scalars never
+        # counted the docs. So the semi-join below DROPS uncommitted
+        # epochs' postings from the squash outright: the epoch never
+        # committed, and its at-least-once replay re-appends both
+        # artifacts cleanly above the watermark.
         new_wm = int(
             raw_stats.agg(
                 F.greatest(
@@ -428,8 +522,10 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
                 ).alias("wm")
             ).collect()[0]["wm"]
         )
+        committed = raw_stats.select("batch_id").distinct()
         post = (
             _live_batches(spark.read.parquet(f"{out_path}/postings"), old_wm)
+            .join(F.broadcast(committed), "batch_id", "left_semi")
             .dropDuplicates(["batch_id", "term", "doc_id"])
             .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
             .localCheckpoint(eager=True)
@@ -452,6 +548,7 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
         )
         _swap_compacted(out_path, "postings")
         _swap_compacted(out_path, "stats")
+        _write_watermark_marker(out_path, new_wm)
     finally:
         _release_compaction_lock(out_path)
 

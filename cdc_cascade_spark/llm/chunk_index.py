@@ -65,10 +65,14 @@ from cdc_cascade_spark.llm.bm25_index import (
     _check_not_compacting,
     _dedup_stats,
     _live_batches,
+    _marker_watermark,
     _release_compaction_lock,
+    _repair_for_read,
     _squash_watermark,
     _stats_raw,
     _stats_summary,
+    _WATERMARK_MARKER,
+    _write_watermark_marker,
     _swap_compacted,
     compact_hot_buckets,  # noqa: F401 — re-export: the per-bucket pass
     # is unit-agnostic (it only rewrites bucket dirs), so it applies to
@@ -114,6 +118,9 @@ def _chunk_postings_frame(docs: DataFrame) -> DataFrame:
 def _write_batch(
     docs: DataFrame, out_path: str, mode: str, batch_id: int
 ) -> None:
+    if mode == "overwrite":
+        # fresh batch-id lineage on rebuild (the bm25_index reasoning)
+        (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
     post = _chunk_postings_frame(docs).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     )
@@ -158,13 +165,12 @@ def append_chunk_index(
     uniquely name the logical batch (streaming callers pass the
     foreachBatch epoch id) — readers dedup on it, which is what makes
     at-least-once replay invisible. Epochs at or below the squash
-    watermark are skipped outright, and the append refuses while a
-    compaction holds the lock sentinel (the bm25_index contract)."""
+    watermark are skipped outright (via the marker file — one open(),
+    never a Spark job), and the append refuses while a compaction
+    holds the lock sentinel (the bm25_index contract)."""
     _check_not_compacting(out_path)
-    spark = docs_batch.sparkSession
-    if batch_id != BUILD_BATCH_ID and Path(f"{out_path}/stats").exists():
-        if batch_id <= _squash_watermark(_stats_raw(spark, out_path)):
-            return
+    if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(out_path):
+        return
     _write_batch(
         docs_batch.select("doc_id", "text"), out_path, "append", batch_id
     )
@@ -182,10 +188,10 @@ def probe_chunk_index(
 
     Reads refuse while a compaction holds the lock sentinel and
     otherwise self-repair crash residue first (r11 advice #1; the
-    bm25_index probe contract — the probe-side recover never touches
-    the sentinel)."""
+    bm25_index probe contract — promote-only, so nothing a racing
+    live compaction writes can be deleted or unlocked)."""
     _check_not_compacting(out_path)
-    recover_compaction(out_path, clear_lock=False)
+    _repair_for_read(out_path)
     qterm_set = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(token_hash(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
@@ -295,10 +301,15 @@ def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
                 ).alias("wm")
             ).collect()[0]["wm"]
         )
+        # drop uncommitted epochs' postings (no stats commit record —
+        # a crash between the two artifact writes; the bm25_index
+        # squash reasoning): their replay re-appends both cleanly.
+        committed = raw_stats.select("batch_id").distinct()
         post = (
             _live_batches(
                 spark.read.parquet(f"{out_path}/postings"), old_wm
             )
+            .join(F.broadcast(committed), "batch_id", "left_semi")
             .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
             .withColumn("batch_id", F.lit(BUILD_BATCH_ID).cast("long"))
             .localCheckpoint(eager=True)
@@ -321,5 +332,6 @@ def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
         )
         _swap_compacted(out_path, "postings")
         _swap_compacted(out_path, "stats")
+        _write_watermark_marker(out_path, new_wm)
     finally:
         _release_compaction_lock(out_path)

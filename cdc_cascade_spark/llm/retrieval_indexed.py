@@ -44,9 +44,6 @@ identity to the ad-hoc summary rows, and probe-path reuse.
 
 from __future__ import annotations
 
-import tempfile
-import threading
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,31 +58,23 @@ from cdc_cascade_spark.llm.chunk_index import (
 )
 from cdc_cascade_spark.llm.chunkeval import CHUNKED_LIST_SQL
 from cdc_cascade_spark.llm.retrieval_summary import _mode_sql, _mode_summary
+from cdc_cascade_spark.llm.session_layout import SessionDirCache
 
-# Session-scoped index-directory cache: the deployment analogue is an
-# index that lives on shared storage while queries only probe it —
-# (applicationId, sf_dir) → directory holding both built indexes.
-# Bounded by construction (one entry per SF the session touches).
-_IDX_DIRS: dict[tuple[str, str], str] = {}
-_IDX_LOCK = threading.Lock()
+# Session-scoped index-directory cache (shared scaffold — see
+# llm/session_layout.py): one directory holding both built indexes
+# per (session, sf_dir).
+_IDX_CACHE = SessionDirCache("cdc_retrieval_idx_")
 
 
 def indexes_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once-per-session postings + chunk indexes for ``sf_dir``;
     returns the directory containing ``bm25/`` and ``chunks/``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _IDX_LOCK:
-        cached = _IDX_DIRS.get(key)
-    if cached is not None:
-        return cached
-    # build outside the lock (minutes-scale at production SF); the
-    # losing builder's directory is orphaned in tmp, never half-used
-    out = tempfile.mkdtemp(prefix="cdc_retrieval_idx_")
-    write_postings_index(spark, sf_dir, f"{out}/bm25")
-    write_chunk_index(spark, sf_dir, f"{out}/chunks")
-    with _IDX_LOCK:
-        winner = _IDX_DIRS.setdefault(key, out)
-    return winner
+
+    def build(out: str) -> None:
+        write_postings_index(spark, sf_dir, f"{out}/bm25")
+        write_chunk_index(spark, sf_dir, f"{out}/chunks")
+
+    return _IDX_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def retrieval_mrr_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

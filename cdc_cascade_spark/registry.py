@@ -68,20 +68,21 @@ CHECK_FIRST: list[str] = [
     # committed CORRECTNESS files: the 37-query r9-green cohort
     # (r9 minus every query re-evidenced in r10/r11) hits the 2-report
     # staleness deadline THIS round — all 37 take CHECK_FIRST slots.
-    # On top: 1 same-round registration (retrieval_mrr_indexed — the
-    # probe-path MRR face over the persistent postings/chunk indexes,
-    # r11 verdict #2) and 1 changed-fingerprint re-pin
-    # (q33_hopping_windows — hopping.py gained the streaming parity
-    # twin hopping_window_stream, r11 verdict #3; the batch face's
-    # semantics are untouched and re-verified by this pin) = 39 hard
-    # pins, under the 45-slot margin cap. The r11 hardening of
+    # On top: 2 same-round registrations (retrieval_mrr_indexed and
+    # ann_lsh_indexed — the probe-path faces over the persistent
+    # sparse/chunk/dense index layouts, r11 verdict #2) and 1
+    # changed-fingerprint re-pin (q33_hopping_windows — hopping.py
+    # gained the streaming parity twin hopping_window_stream, r11
+    # verdict #3; the batch face's semantics are untouched and
+    # re-verified by this pin) = 40 hard pins, under the 45-slot
+    # margin cap. The r11 hardening of
     # bm25_index/chunk_index/sources.io (squash watermark, compaction
     # lock, hidden compact-transient naming — r11 ADVICE) re-pins
     # NOTHING: no previously registered query imports those modules
     # (closure audit, BUILD_NOTES r12), and the new face now makes the
-    # index lifecycle driver-checked going forward. CHECK_NEXT's 11
+    # index lifecycle driver-checked going forward. CHECK_NEXT's 10
     # slots pre-pay r13's 45-query r10-green debt with its
-    # highest-plan-risk members, leaving that cohort at 33 — the first
+    # highest-plan-risk members, leaving that cohort at 34 — the first
     # round the 3-round rotation has headroom again.
     # --- new r12 registrations (built + registered same round) ---
     "retrieval_mrr_indexed",

@@ -565,6 +565,14 @@ def test_probe_self_repairs_hidden_crash_residue(spark, tmp_path):
     assert _rows(bm25_against_index(spark, SF, idx)) == want and want
     assert b0.exists()
     assert not (b0.parent / f".{b0.name}._compact_bak").exists()
+    # the probe-side repair is PROMOTE-ONLY: a hidden tmp next to an
+    # intact live dir is exactly what a LIVE compaction mid-write
+    # looks like, so the probe must leave it (it is reader-invisible;
+    # the next compaction's full recover sweeps it)
+    assert (b1.parent / f".{b1.name}._compact_tmp").exists()
+    from cdc_cascade_spark.llm.bm25_index import recover_compaction
+
+    recover_compaction(idx)
     assert not (b1.parent / f".{b1.name}._compact_tmp").exists()
 
 
@@ -762,3 +770,96 @@ def test_lock_first_ordering_and_scoped_recover(spark, tmp_path):
     assert not (Path(idx) / "_COMPACTING").exists()
     compact_postings_index(spark, idx)
     assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+
+def test_uncommitted_epoch_is_dropped_by_squash_and_replays_cleanly(
+    spark, tmp_path
+):
+    """The stats delta row is an epoch's COMMIT RECORD (r12 review
+    finding): postings whose stats write crashed must be DROPPED by
+    the squash — not absorbed under BUILD_BATCH_ID (their replay
+    would double-count) and not watermarked past (their replay would
+    be skipped while the scalars never counted them). After the
+    squash, the replay re-appends both artifacts cleanly and the
+    index equals a clean full build."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _postings_frame,
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    idx = str(tmp_path / "bm25")
+    _write_batch(thirds[0], idx, "overwrite", -1)
+    append_postings_index(thirds[1], idx, batch_id=1)
+
+    # epoch 2 crashed between the two artifact writes: postings only
+    post = _postings_frame(thirds[2]).withColumn(
+        "batch_id", F.lit(2).cast("long")
+    )
+    (
+        post.repartition("bucket").write.mode("append")
+        .partitionBy("bucket").parquet(f"{idx}/postings")
+    )
+
+    compact_postings_index(spark, idx)
+    s = spark.read.parquet(f"{idx}/stats").collect()[0]
+    # watermark covers only COMMITTED epochs …
+    assert s.squashed_through == 1
+    # … and the uncommitted postings are gone, not squashed
+    two_docs = {r.doc_id for r in thirds[2].select("doc_id").collect()}
+    left = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/postings")
+        .select("doc_id").distinct().collect()
+    }
+    assert not (left & two_docs)
+
+    # the replay lands as a fresh committed epoch above the watermark
+    append_postings_index(thirds[2], idx, batch_id=2)
+    full = str(tmp_path / "full")
+    _write_batch(docs, full, "overwrite", -1)
+    got = _rows(bm25_against_index(spark, SF, idx))
+    want = _rows(bm25_against_index(spark, SF, full))
+    assert got == want and got
+
+
+def test_watermark_marker_lifecycle(spark, tmp_path):
+    """The append guard's marker file: absent until the first squash
+    (appends pay NO Spark job), written by compaction, reset by a
+    rebuild so a fresh batch-id lineage is not gated by a previous
+    life's watermark."""
+    from pathlib import Path
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _marker_watermark,
+        _write_batch,
+        append_postings_index,
+        compact_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    assert _marker_watermark(idx) == -1
+    assert not (Path(idx) / "_SQUASH_WATERMARK").exists()
+
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    append_postings_index(odd, idx, batch_id=4)
+    compact_postings_index(spark, idx)
+    assert _marker_watermark(idx) == 4
+
+    # a replayed squashed epoch is skipped via the marker alone
+    append_postings_index(odd, idx, batch_id=4)
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+    # rebuild resets the lineage: epoch 0 must land again
+    _write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    assert _marker_watermark(idx) == -1
+    append_postings_index(odd, idx, batch_id=0)
+    assert spark.read.parquet(f"{idx}/stats").count() == 2
