@@ -65,16 +65,25 @@ def lsh_layout_dir(spark: SparkSession, sf_dir: str) -> str:
 def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ann_lsh_topk``'s eval query answered from the PERSISTENT
     bucket-partitioned layout: ``(vec_id, label, bucket, cosine)``."""
-    idx = lsh_layout_dir(spark, sf_dir)
     # the standard eval query: the corpus' min vec_id — one bounded
-    # driver row (embedding needed in numpy for the probe-bucket bits)
-    qrow = (
+    # driver row (embedding needed in numpy for the probe-bucket
+    # bits). Collected BEFORE the layout build so an empty embeddings
+    # table (a normal pipeline state) short-circuits to the typed
+    # empty contract frame: a partitioned write of zero rows emits no
+    # part files and the layout could not even be schema-inferred.
+    qrows = (
         load_table(spark, sf_dir, "embeddings")
         .orderBy("vec_id")
         .limit(1)
         .select("vec_id", "embedding")
-        .collect()[0]
+        .collect()
     )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, bucket int, cosine double"
+        )
+    qrow = qrows[0]
+    idx = lsh_layout_dir(spark, sf_dir)
     qvec = np.asarray(qrow.embedding, dtype=np.float32).astype(np.float64)
     out = ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id), probes=1)
     return out.select(
