@@ -166,11 +166,19 @@ def main() -> None:
                         # session's persistent postings + chunk
                         # indexes (the deployment's one-time build);
                         # warm passes probe the built layout, which is
-                        # the standing-workload figure
+                        # the standing-workload figure. NB since r13
+                        # retrieval_mrr_summary's chunked mode rides
+                        # the SAME session index; alphabetical order
+                        # runs ..._indexed first, so the summary's
+                        # slots (cold included) measure probes over
+                        # the already-built layout — the shared-frame
+                        # policy's "first slot pays the family build".
                         "retrieval_mrr_indexed",
                         # same policy: cold builds the partitioned
                         # LSH layout, warm probes it
                         "ann_lsh_indexed",
+                        # and the trained-IVF layout (r13)
+                        "ann_ivf_indexed",
                     )
                     if n in warm
                 },

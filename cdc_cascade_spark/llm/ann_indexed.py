@@ -30,9 +30,12 @@ the multi-probe variants) regardless of corpus size, then reranks
 itself is a bounded 1-row driver collect (the probe-bucket flip logic
 is driver-side numpy by design — the ivf probe-cell discipline).
 
-Registered in r12, same round as built. tests/test_ann_indexed.py
-pins oracle parity, identity to the ad-hoc face, partition pruning in
-the plan, and session layout reuse.
+``ann_lsh_indexed`` registered in r12, same round as built;
+``ann_ivf_indexed`` (below) in r13 — the IVF twin over
+``llm/ivf_index.py``'s trained cell layout, the one persistent index
+family whose probe path was still only test-pinned (r12 verdict #2).
+tests/test_ann_indexed.py pins oracle parity, identity to the ad-hoc
+faces, partition pruning in the plans, and session layout reuse.
 """
 
 from __future__ import annotations
@@ -42,14 +45,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.ivf_index import (
+    ann_against_ivf_index,
+    write_ivf_index,
+)
 from cdc_cascade_spark.llm.session_layout import SessionDirCache
 from cdc_cascade_spark.llm.similarity import (
+    IVF_NPROBE,
+    ORACLE_IVF_TOPK,
     ORACLE_LSH_TOPK,
     ann_lsh_topk_bucketed,
     write_lsh_bucketed,
 )
 
 _LAYOUT_CACHE = SessionDirCache("cdc_ann_lsh_idx_")
+_IVF_CACHE = SessionDirCache("cdc_ann_ivf_idx_")
 
 
 def lsh_layout_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -91,6 +101,56 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-session trained IVF cell layout for ``sf_dir``
+    (centroids + Hive-partitioned cells — llm/ivf_index.py); returns
+    its directory."""
+    return _IVF_CACHE.get_or_build(
+        spark, sf_dir, lambda out: write_ivf_index(spark, sf_dir, out)
+    )
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_topk``'s eval query answered from the PERSISTENT
+    trained IVF layout: ``(vec_id, label, centroid, cosine)``.
+
+    The probe ranks cells against the TRAINED centroids read back from
+    the index (a ≤IVF_CENTROIDS-row bounded collect — the probe-cell
+    discipline), reads only ``IVF_NPROBE`` cell directories through
+    Hive partition pruning (the query row's own 1-row lookup prunes to
+    its cell too), and reranks with the shared strict-fold cosine —
+    identical rows to the ad-hoc face, which is what the verbatim
+    ``ORACLE_IVF_TOPK`` registration driver-checks."""
+    # the standard eval query row, collected BEFORE the layout build so
+    # an empty embeddings table short-circuits to the typed contract
+    # frame (a partitioned write of zero rows emits no part files and
+    # the cells dir could not even be schema-inferred).
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, centroid bigint, cosine double"
+        )
+    qrow = qrows[0]
+    idx = ivf_layout_dir(spark, sf_dir)
+    qvec = np.asarray(qrow.embedding, dtype=np.float32).astype(np.float64)
+    out = ann_against_ivf_index(
+        spark, idx, qvec, int(qrow.vec_id), nprobe=IVF_NPROBE
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.col("centroid").cast("bigint"),
+        F.col("cosine").cast("double"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ann_lsh_indexed": (ann_lsh_indexed, ORACLE_LSH_TOPK),
+    "ann_ivf_indexed": (ann_ivf_indexed, ORACLE_IVF_TOPK),
 }

@@ -72,6 +72,7 @@ tests/test_bm25_index.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,18 +100,42 @@ BUILD_BATCH_ID = -1
 # around compaction" was a documented contract only — this makes it
 # mechanical). Compaction holds the sentinel for its whole run;
 # appends and probes raise while it exists, so a concurrent writer or
-# reader fails LOUDLY instead of racing the per-directory swaps. A
-# sentinel with no live compactor is crash debris —
+# reader fails LOUDLY instead of racing the per-directory swaps.
+# A sentinel with no live compactor is crash debris —
 # :func:`recover_compaction` clears it along with the directory
 # residue (it must only run when no compaction is in progress, which
-# was already its contract). Honest scope: on a plain filesystem the
-# sentinel is an advisory lock — an append that passed its check in
-# the instant before a compactor acquired can still land mid-run
-# (a milliseconds window, vs the formerly unguarded whole run); true
-# serialization at 100 TB belongs to the storage layer's atomic
-# commit (lakehouse table locks), which sources/io.py's format
-# boundary is where a deployment would plug in.
+# was already its contract).
+#
+# Writer/compactor mutual exclusion (r12 advice: the old single
+# entry-check left appends racing the compactor for the FULL append
+# duration — a compactor acquiring just after the check could snapshot
+# postings mid-append and its swap then rmtree'd files that landed
+# after its read, while foreachBatch committed the epoch so it never
+# replayed): writes now use the two-flag protocol below. An append
+# CREATES a claim file, THEN checks the sentinel; a compactor CREATES
+# the sentinel, THEN checks for claim files — each side raises if it
+# sees the other. For both to proceed, the append's sentinel check
+# would have to precede the compactor's sentinel create AND the
+# compactor's claim check precede the append's claim create; with each
+# side creating its own flag before checking the other's, that
+# ordering is cyclic — impossible under ordered create/stat visibility
+# (POSIX rename/create semantics). So on a POSIX filesystem a write
+# either fully lands before any compaction can begin, or fails at its
+# entry check BEFORE writing anything (the streaming epoch fails
+# before its checkpoint commits and replays cleanly). Remaining honest
+# scope: object stores with delayed list-after-write visibility weaken
+# the ordering argument — there, true serialization belongs to the
+# storage layer's atomic commit (lakehouse table locks), which
+# sources/io.py's format boundary is where a deployment would plug in.
 _COMPACTING_SENTINEL = "_COMPACTING"
+
+# Live-append claim files (the writer half of the two-flag protocol).
+# Dot-prefixed so Spark's directory listing never sees them; one per
+# in-flight build/append, removed in a finally. A claim left by a
+# CRASHED writer blocks compaction loudly until the operator runs
+# :func:`recover_compaction` (whose standing contract — nothing is
+# running — makes sweeping them safe).
+_APPEND_CLAIM_PREFIX = ".append_claim_"
 
 
 def _sentinel(out_path: str) -> Path:
@@ -127,6 +152,13 @@ def _check_not_compacting(out_path: str) -> None:
         )
 
 
+def _live_append_claims(out_path: str) -> list[Path]:
+    root = Path(out_path)
+    if not root.exists():
+        return []
+    return sorted(root.glob(f"{_APPEND_CLAIM_PREFIX}*"))
+
+
 def _acquire_compaction_lock(out_path: str) -> None:
     # exclusive create: a second compactor (or one racing crash repair)
     # fails here instead of interleaving per-directory swaps
@@ -140,6 +172,49 @@ def _acquire_compaction_lock(out_path: str) -> None:
             "compaction is in progress, repair with "
             "recover_compaction(out_path)."
         ) from e
+    # sentinel FIRST, then the claim check (the compactor half of the
+    # two-flag protocol — see the sentinel comment): a write in flight
+    # at this instant either created its claim before our check (we
+    # raise here, touching nothing) or will see our sentinel at ITS
+    # check and raise before writing anything. Raising rather than
+    # waiting keeps the lock crash-simple; the operator compacts in an
+    # ingest-quiet window (a stale claim from a CRASHED writer blocks
+    # here until recover_compaction sweeps it).
+    claims = _live_append_claims(out_path)
+    if claims:
+        _release_compaction_lock(out_path)
+        raise RuntimeError(
+            f"index at {out_path} has live (or crashed) appends in "
+            f"flight — {[c.name for c in claims]} — refusing to "
+            "compact over them. Retry after ingest drains; if no "
+            "append is running, repair with recover_compaction"
+            "(out_path)."
+        )
+
+
+def _acquire_append_claim(out_path: str) -> Path:
+    import uuid
+
+    root = Path(out_path)
+    root.mkdir(parents=True, exist_ok=True)
+    claim = root / f"{_APPEND_CLAIM_PREFIX}{uuid.uuid4().hex}"
+    with open(claim, "x", encoding="utf-8") as f:
+        f.write("append in progress\n")
+    return claim
+
+
+@contextmanager
+def _append_guard(out_path: str):
+    """Writer entry for build/append: claim FIRST, then the sentinel
+    check (the writer half of the two-flag protocol — see the sentinel
+    comment). Every exit — success, the watermark skip, or a raise —
+    releases the claim; a claim that survives is a crashed writer's."""
+    claim = _acquire_append_claim(out_path)
+    try:
+        _check_not_compacting(out_path)
+        yield
+    finally:
+        claim.unlink(missing_ok=True)
 
 
 def _release_compaction_lock(out_path: str) -> None:
@@ -229,13 +304,13 @@ def write_postings_index(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> None:
     """Build the index from the catalog's ``documents`` table."""
-    _check_not_compacting(out_path)
-    _write_batch(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        out_path,
-        "overwrite",
-        BUILD_BATCH_ID,
-    )
+    with _append_guard(out_path):
+        _write_batch(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            out_path,
+            "overwrite",
+            BUILD_BATCH_ID,
+        )
 
 
 def append_postings_index(
@@ -253,13 +328,30 @@ def append_postings_index(
     skipped outright (writing it would leave junk only the watermark
     filter hides — the guard reads the marker file, one open(), never
     a Spark job), and refused entirely while a compaction holds the
-    lock sentinel."""
-    _check_not_compacting(out_path)
-    if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(out_path):
-        return
-    _write_batch(
-        docs_batch.select("doc_id", "text"), out_path, "append", batch_id
-    )
+    lock sentinel; the claim file the guard holds keeps a compaction
+    from STARTING mid-append (the two-flag protocol — see the
+    ``_COMPACTING_SENTINEL`` comment).
+
+    Id-assignment contract (r12 advice): batch ids must be MONOTONE
+    with respect to compaction — an id at or below one that compaction
+    has already committed must never be newly in flight, because the
+    watermark skip cannot tell such an id from a replay of a squashed
+    epoch (and the read-side watermark filter would hide its rows even
+    if it landed). Structured Streaming satisfies this by construction
+    (epoch ids are sequential per checkpoint lineage, and a failed
+    epoch halts the query until it replays — see
+    :func:`start_postings_ingest_stream`'s lineage contract), and the
+    claim protocol keeps compaction from absorbing an epoch that is
+    still in flight; ad-hoc callers who assign their own ids must pick
+    them strictly above every id a compaction may have seen."""
+    with _append_guard(out_path):
+        if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(
+            out_path
+        ):
+            return
+        _write_batch(
+            docs_batch.select("doc_id", "text"), out_path, "append", batch_id
+        )
 
 
 def _stats_raw(spark: SparkSession, out_path: str) -> DataFrame:
@@ -596,10 +688,13 @@ def recover_compaction(
       restore ``.old``.
 
     ``clear_lock``: the default (operator crash repair) also removes a
-    crashed compactor's ``_COMPACTING`` sentinel. Internal callers —
-    probes sweeping legacy residue, a compactor that already holds the
-    lock — pass ``clear_lock=False`` so a recover can never unlock (or
-    be raced into unlocking) a LIVE compaction.
+    crashed compactor's ``_COMPACTING`` sentinel AND any crashed
+    writer's ``.append_claim_*`` files (this function's standing
+    contract — nothing is running — is what makes sweeping either
+    safe). Internal callers — probes sweeping legacy residue, a
+    compactor that already holds the lock — pass ``clear_lock=False``
+    so a recover can never unlock (or be raced into unlocking) a LIVE
+    compaction, nor sweep a LIVE append's claim out from under it.
 
     It also sweeps PER-BUCKET residue from a crashed
     :func:`compact_hot_buckets` run: that pass rewrites individual
@@ -656,6 +751,8 @@ def recover_compaction(
         for tmp_dir in _glob.glob(pattern):
             shutil.rmtree(tmp_dir)
     if clear_lock:
+        for claim in _live_append_claims(out_path):
+            claim.unlink(missing_ok=True)
         _release_compaction_lock(out_path)
 
 

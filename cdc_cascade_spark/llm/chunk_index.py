@@ -62,6 +62,7 @@ from cdc_cascade_spark.llm.bm25 import eval_query_terms, tokenized_base
 from cdc_cascade_spark.llm.bm25_index import (
     BUILD_BATCH_ID,
     _acquire_compaction_lock,
+    _append_guard,
     _check_not_compacting,
     _dedup_stats,
     _live_batches,
@@ -148,13 +149,13 @@ def _write_batch(
 
 def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Build the chunk index from the catalog's ``documents`` table."""
-    _check_not_compacting(out_path)
-    _write_batch(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        out_path,
-        "overwrite",
-        BUILD_BATCH_ID,
-    )
+    with _append_guard(out_path):
+        _write_batch(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            out_path,
+            "overwrite",
+            BUILD_BATCH_ID,
+        )
 
 
 def append_chunk_index(
@@ -166,14 +167,18 @@ def append_chunk_index(
     foreachBatch epoch id) — readers dedup on it, which is what makes
     at-least-once replay invisible. Epochs at or below the squash
     watermark are skipped outright (via the marker file — one open(),
-    never a Spark job), and the append refuses while a compaction
-    holds the lock sentinel (the bm25_index contract)."""
-    _check_not_compacting(out_path)
-    if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(out_path):
-        return
-    _write_batch(
-        docs_batch.select("doc_id", "text"), out_path, "append", batch_id
-    )
+    never a Spark job), the append refuses while a compaction holds
+    the lock sentinel, and the claim file it holds keeps a compaction
+    from starting mid-append (the bm25_index two-flag contract,
+    including its monotone batch-id assignment rule)."""
+    with _append_guard(out_path):
+        if batch_id != BUILD_BATCH_ID and batch_id <= _marker_watermark(
+            out_path
+        ):
+            return
+        _write_batch(
+            docs_batch.select("doc_id", "text"), out_path, "append", batch_id
+        )
 
 
 def probe_chunk_index(

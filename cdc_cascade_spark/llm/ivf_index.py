@@ -155,14 +155,27 @@ def ann_against_ivf_index(
 ) -> DataFrame:
     """Exact-cosine top-k inside the probed cells of the persisted
     layout. The ``centroid IN (probes)`` filter is a partition filter —
-    only nprobe of the IVF_CENTROIDS cell directories are read."""
+    only nprobe of the IVF_CENTROIDS cell directories are read.
+
+    Caller contract: ``qvec`` is the STORED embedding of ``qid``
+    (float32 → float64, the `_query` convention) — that is what lets
+    the query row's own cell be computed driver-side with the same
+    fold arithmetic the build's assignment kernel used (``probe_cells``
+    at ``nprobe=1`` ranks by the identical (-cos, cid) key), so the
+    1-row qrow lookup below is partition-pruned to one directory
+    instead of scanning every cell (r13: the probe used to pay a
+    full-layout scan just to fetch the query's norm — the one
+    corpus-sized read in an otherwise pruned plan)."""
     cids, C, normC = _load_centroids(spark, index_path)
     if len(cids) == 0:
         return _empty_ann(spark, "centroid", "bigint")
     probes = probe_cells(qvec, cids, C, normC, nprobe)
+    qcell = probe_cells(qvec, cids, C, normC, 1)[0]
     cells = spark.read.parquet(f"{index_path}/cells")
-    qrow = cells.filter(F.col("vec_id") == qid).select(
-        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    qrow = (
+        cells.filter(F.col("centroid") == qcell)
+        .filter(F.col("vec_id") == qid)
+        .select(F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm"))
     )
     return (
         cells.filter(F.col("centroid").isin(probes))

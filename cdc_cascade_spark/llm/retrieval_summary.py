@@ -25,12 +25,21 @@ Every constituent list is stated VERBATIM by the composed oracle
 (ORACLE_BM25; ORACLE_DENSE_LIST and ORACLE_HYBRID from llm/hybrid.py;
 CHUNKED_LIST_SQL from llm/chunkeval.py), so a green driver row proves
 the summary sits on exactly the verified lists. The Spark side reuses
-the same frame functions, except the fused list, which is rebuilt
-from the session's ALREADY-COMPUTED sparse and dense frames with the
-same ``_rrf_ppb`` fusion expression (halving the two heaviest
-retrievals); the fingerprint closure covers llm/hybrid.py, so any
-fusion change re-pins this query into the check window where the
-oracle would catch drift.
+the same frame functions, with two plan substitutions that change no
+semantics: the fused list is rebuilt from the session's
+ALREADY-COMPUTED sparse and dense frames with the same ``_rrf_ppb``
+fusion expression (halving the two heaviest retrievals), and the
+chunked list is answered from the session's PERSISTENT chunk postings
+index (r12 verdict #4 — the probe reads |query terms| bucket
+partitions instead of re-chunking and re-exploding the corpus per
+run; probe ≡ ad-hoc is pinned by
+test_indexed_rows_equal_adhoc_summary_modes AND driver-checked via
+``retrieval_mrr_indexed``, while THIS oracle still states
+CHUNKED_LIST_SQL verbatim, so the green row re-proves the
+substitution every round). The fingerprint closure covers
+llm/hybrid.py, llm/chunk_index.py and llm/retrieval_indexed.py, so
+any fusion/index change re-pins this query into the check window
+where the oracle would catch drift.
 
 Determinism: every list cuts on integer total orders (verified in the
 constituent modules); reciprocal ranks, sums and the final mean are
@@ -54,12 +63,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from cdc_cascade_spark.catalog import load_table
 from cdc_cascade_spark.llm.bm25 import ORACLE_BM25, TOPK, bm25_topk
-from cdc_cascade_spark.llm.chunkeval import (
-    CHUNKED_LIST_SQL,
-    chunked_topk_frame,
-)
+from cdc_cascade_spark.llm.chunkeval import CHUNKED_LIST_SQL
 from cdc_cascade_spark.llm.hybrid import (
     ORACLE_DENSE_LIST,
     ORACLE_HYBRID,
@@ -98,7 +103,6 @@ def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR@k of each retrieval modality against the whole-document
     BM25 rank-1 ground truth:
     ``(mode, n_queries, n_hits, sum_rr_ppb, mrr_ppb)``."""
-    docs = load_table(spark, sf_dir, "documents")
     # (Q·k)-row lists; checkpoint the two that feed multiple consumers
     # (sparse: truth + its own row + the fusion; dense: its row + the
     # fusion) so the corpus-sized retrievals run once per list.
@@ -148,8 +152,20 @@ def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "item_id", "rank")
         .localCheckpoint(eager=False)
     )
+    # chunked list from the session's persistent chunk index (the
+    # retrieval_indexed scaffold — the build is once per (session,
+    # sf_dir) and the FIRST face to run pays it; the probe here is the
+    # standing-workload cost). Runtime import: retrieval_indexed
+    # imports this module for _mode_sql/_mode_summary, so a module-
+    # level import would be circular — the registry's fingerprint
+    # closure walks the full AST and still sees this edge.
+    from cdc_cascade_spark.llm.chunk_index import chunked_against_index
+    from cdc_cascade_spark.llm.retrieval_indexed import indexes_dir
+
     chunked = (
-        chunked_topk_frame(docs)
+        chunked_against_index(
+            spark, sf_dir, f"{indexes_dir(spark, sf_dir)}/chunks"
+        )
         .select("qid", F.col("doc_id").alias("item_id"), "rank")
         .localCheckpoint(eager=False)
     )

@@ -9,13 +9,18 @@ r12 — the two modules previously carried verbatim copies of this
 scaffold, which would have had to evolve in lockstep).
 
 Bounded by construction: one entry per scale factor the session
-touches. The losing builder of a race leaves an orphaned directory in
-the OS tmp space (never half-used — the winner's directory is the one
-published), reclaimed by tmp cleanup.
+touches. Concurrent first callers for the same key are serialized by a
+per-key in-flight event (r12 advice: the previous build-then-setdefault
+race ran the FULL index build once per racing caller — minutes at
+production SF — and orphaned every loser's directory in OS tmp): the
+first caller builds, the rest wait on its event and read the published
+directory; a failed build removes its directory and wakes the waiters,
+the next of which retries the build.
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import threading
 from collections.abc import Callable
@@ -27,6 +32,7 @@ class SessionDirCache:
     def __init__(self, prefix: str) -> None:
         self._prefix = prefix
         self._dirs: dict[tuple[str, str], str] = {}
+        self._building: dict[tuple[str, str], threading.Event] = {}
         self._lock = threading.Lock()
 
     def get_or_build(
@@ -38,13 +44,33 @@ class SessionDirCache:
         """Return the session's layout dir for ``sf_dir``, running
         ``build(out_dir)`` first if this session has not built one.
         The build runs outside the lock (minutes-scale at production
-        SF; it must not serialize other keys)."""
+        SF; it must not serialize other keys) — concurrent callers for
+        the SAME key wait on the builder's event instead of running a
+        duplicate build."""
         key = (spark.sparkContext.applicationId, sf_dir)
-        with self._lock:
-            cached = self._dirs.get(key)
-        if cached is not None:
-            return cached
+        while True:
+            with self._lock:
+                cached = self._dirs.get(key)
+                if cached is not None:
+                    return cached
+                event = self._building.get(key)
+                if event is None:
+                    event = threading.Event()
+                    self._building[key] = event
+                    break  # this caller owns the build
+            event.wait()  # builder publishes (or fails) then sets it
+
         out = tempfile.mkdtemp(prefix=self._prefix)
-        build(out)
-        with self._lock:
-            return self._dirs.setdefault(key, out)
+        try:
+            build(out)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        else:
+            with self._lock:
+                self._dirs[key] = out
+            return out
+        finally:
+            with self._lock:
+                self._building.pop(key, None)
+            event.set()

@@ -63,79 +63,78 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r12 window. CORRECTNESS_r11 was 50/50 green (the registry's
-    # first 50 exactly). Slot arithmetic, machine-counted from the
-    # committed CORRECTNESS files: the 37-query r9-green cohort
-    # (r9 minus every query re-evidenced in r10/r11) hits the 2-report
-    # staleness deadline THIS round — all 37 take CHECK_FIRST slots.
-    # On top: 2 same-round registrations (retrieval_mrr_indexed and
-    # ann_lsh_indexed — the probe-path faces over the persistent
-    # sparse/chunk/dense index layouts, r11 verdict #2) and 1
-    # changed-fingerprint re-pin (q33_hopping_windows — hopping.py
-    # gained the streaming parity twin hopping_window_stream, r11
-    # verdict #3; the batch face's semantics are untouched and
-    # re-verified by this pin) = 40 hard pins, under the 45-slot
-    # margin cap. The r11 hardening of
-    # bm25_index/chunk_index/sources.io (squash watermark, compaction
-    # lock, hidden compact-transient naming — r11 ADVICE) re-pins
-    # NOTHING: no previously registered query imports those modules
-    # (closure audit, BUILD_NOTES r12), and the new face now makes the
-    # index lifecycle driver-checked going forward. CHECK_NEXT's 10
-    # slots pre-pay r13's 45-query r10-green debt with its
-    # highest-plan-risk members, leaving that cohort at 34 — the first
-    # round the 3-round rotation has headroom again.
-    # --- new r12 registrations (built + registered same round) ---
+    # --- r13 window. CORRECTNESS_r12 was 50/50 green (verified: the
+    # registry's first 50 exactly, in order). Slot arithmetic,
+    # machine-counted from the committed CORRECTNESS files before any
+    # code was written: the 34-query r10-green cohort (r10 minus every
+    # query re-evidenced in r11/r12) hits the 2-report staleness
+    # deadline THIS round — all 34 take CHECK_FIRST slots (the r12
+    # verdict's item #1; its machine count of 34 confirmed, BUILD_NOTES'
+    # 33 was the stale figure). On top: 1 same-round registration
+    # (ann_ivf_indexed — the trained-IVF probe face, r12 verdict #2,
+    # the last persistent index family without a driver-checked probe
+    # path) and 3 changed-fingerprint re-pins, every one an r12 ADVICE
+    # or verdict item landing: retrieval_mrr_indexed (bm25_index/
+    # chunk_index gained the append-claim two-flag protocol closing
+    # the append-vs-compactor race — r12 ADVICE medium — and
+    # session_layout gained the per-key in-flight build guard — r12
+    # ADVICE low #4), ann_lsh_indexed (session_layout + the new IVF
+    # face sharing its module; ivf_index's probe also partition-prunes
+    # its 1-row query lookup now), and retrieval_mrr_summary (its
+    # chunked mode now probes the session chunk index instead of
+    # re-chunking the corpus — r12 verdict #4; the oracle still states
+    # CHUNKED_LIST_SQL verbatim, so the green row re-proves the plan
+    # swap). 4 + 34 = 38 hard pins, under the 45-slot margin cap and
+    # inside the ≤8 new/changed budget. CHECK_NEXT's 12 slots pre-pay
+    # r14's 50-query r11-green debt (49 after retrieval_mrr_summary's
+    # re-pin here) with its highest-plan-risk members, leaving that
+    # cohort at 37 for r14.
+    # --- new r13 registration (built + registered same round) ---
+    "ann_ivf_indexed",
+    # --- changed-fingerprint re-pins (r13 edits, see header) ---
     "retrieval_mrr_indexed",
-    # dense twin: the bucket-partitioned LSH layout probed through
-    # partition pruning, against ann_lsh_topk's oracle verbatim —
-    # with this, every persistent index family has a driver-checked
-    # probe path (sparse/chunk via retrieval_mrr_indexed, dense here).
     "ann_lsh_indexed",
-    # --- changed-fingerprint re-pin (r12 edit) ---
-    "q33_hopping_windows",
-    # --- the 37-query r9-green staleness cohort (deadline round;
-    # ledger in BUILD_NOTES.md) — ANN / join / plan-risk first ---
-    "ann_cosine_topk",
-    "ann_int8_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_multitable_topk",
-    "ann_lsh_topk",
-    "knn_join_topk",
-    "embedding_top_pairs",
-    "embedding_quantize",
-    "embedding_cluster_profile",
-    "embedding_quality_report",
-    "minhash_novelty",
-    "shingle_containment",
-    "source_dedup_matrix",
-    # as-of / range / overlap join family
-    "asof_latest_order",
-    "asof_prev_click_tolerance",
-    "range_join_signup_activity",
-    "overlap_join_order_windows",
-    # events / gap-fill / distribution suites
-    "events_gap_fill",
-    "events_gap_fill_segmented",
-    "events_hot_keys",
-    "quantile_histogram",
-    "dq_constraint_report",
-    # corpus curation / mixing / packing
-    "corpus_diff",
-    "corpus_mixture_plan",
-    "corpus_mixture_sample",
-    "corpus_profile",
-    "corpus_split",
-    "doc_chunks",
-    "packing_efficiency",
-    "token_budget_selection",
-    # relational suites
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_semi",
+    "retrieval_mrr_summary",
+    # --- the 34-query r10-green staleness cohort (deadline round;
+    # ledger in BUILD_NOTES.md) — multi-stage / plan-risk first ---
+    "bpe_train_k_merges",
+    "bpe_encode_corpus",
+    "bpe_apply_top_merge",
+    "bpe_merge_pairs",
+    "bpe_fertility_by_lang",
+    # CDC family (envelope parse → routing → compaction → SCD2)
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "cdc_op_routing",
+    "cdc_invalidation_summary",
+    # text-analysis family
+    "text_stats",
+    "text_vocabulary",
+    "text_bigrams",
+    "text_salient_terms",
+    "lang_id",
+    "pii_redaction",
+    "doc_fingerprint",
+    "doc_repetition",
+    "gopher_quality_rules",
+    "quality_floor_filter",
+    "label_quality_profile",
+    "label_skew_report",
+    # sampling / mixing
+    "stratified_sample",
+    "stratified_sample_exact",
+    "temperature_mixture_sample",
+    # relational / window suites
+    "q13_sessionize_events",
+    "q14_pivot_status",
+    "q15_outer_join_part_activity",
+    "q17_tumbling_hourly",
+    "q18_price_percentiles",
+    "q19_cube_volume",
+    "q20_grouping_sets",
+    "q23_timeseries_rollup",
+    "q27_full_outer_join",
+    "q32_range_frame_window",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -143,26 +142,27 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r12: all 11 slots pre-pay r13's
-# 45-query r10-green rotation debt (q33 moved to CHECK_FIRST as a
-# changed pin), highest-plan-risk members first — the banded-curve /
-# index-probe pair, the recall eval's all-pairs truth side, the BM25
-# stats-broadcast plan, the four composed curation pipelines, and two
-# multi-join reports (label_skew_report yielded its slot to the
-# second r12 registration; it stays r13 debt). If the driver checks
-# the usual 50, r13's debt drops to 34 + these never re-enter before
-# their deadline.
+# never for changed or new code. r13: all 12 slots pre-pay r14's
+# r11-green rotation debt (50 queries, 49 after retrieval_mrr_summary
+# moved to CHECK_FIRST as a changed pin), highest-plan-risk members
+# first — the incremental-curation capstone pair, the banded/clustered
+# dedup plans, the dense/fused/chunked retrieval evals, the native
+# session_window plan, and two sketch/report multi-joins. If the
+# driver checks the usual 50, r14's debt drops to 37 and these never
+# re-enter before their deadline.
 CHECK_NEXT: list[str] = [
-    "minhash_banding_curve",
-    "dedup_index_probe",
-    "ann_recall_report",
-    "bm25_topk",
-    "curate_corpus",
-    "curate_corpus_segmented",
-    "curation_audit",
-    "curation_audit_segmented",
-    "contamination_check",
-    "corpus_drift_report",
+    "curate_corpus_incremental",
+    "curation_invalidation_report",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "hybrid_retrieval_rrf",
+    "chunk_retrieval_eval",
+    "segment_dedup",
+    "q34_session_window_stats",
+    "sketch_cms_heavy_hitters",
+    "quality_calibration_report",
 ]
 
 

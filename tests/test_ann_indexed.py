@@ -71,3 +71,64 @@ def test_session_layout_cache_reuses_the_build(spark):
     a = _rows(ann_lsh_indexed(spark, sf))
     b = _rows(ann_lsh_indexed(spark, sf))
     assert a == b and a
+
+
+def _ivf_rows(df):
+    return sorted(
+        (r.vec_id, r.label, int(r.centroid), r.cosine) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ann_ivf_indexed_oracle_agrees(spark, sf):
+    """The trained-IVF lifecycle — centroid train → partitioned build
+    → pruned probe → rerank — must reproduce ann_ivf_topk's
+    declarative SQL spec exactly (the oracle is ORACLE_IVF_TOPK
+    verbatim)."""
+    from cdc_cascade_spark.llm.ann_indexed import ann_ivf_indexed
+    from cdc_cascade_spark.llm.similarity import ORACLE_IVF_TOPK
+    from cdc_cascade_spark.testing.parity import compare
+
+    got = ann_ivf_indexed(spark, sf).toPandas()
+    want = _duck(sf).execute(ORACLE_IVF_TOPK).df()
+    r = compare("ann_ivf_indexed", got, want)
+    assert r.ok, r
+    assert len(got) > 0
+
+
+def test_ann_ivf_indexed_equals_adhoc_face(spark):
+    from cdc_cascade_spark.llm.ann_indexed import ann_ivf_indexed
+    from cdc_cascade_spark.llm.similarity import ann_ivf_topk
+
+    sf = SFS[0]
+    assert _ivf_rows(ann_ivf_indexed(spark, sf)) == _ivf_rows(
+        ann_ivf_topk(spark, sf)
+    )
+
+
+def test_ann_ivf_indexed_plan_partition_prunes(spark):
+    """Both scans of the probe — the nprobe rerank AND the 1-row query
+    lookup — must carry a centroid PartitionFilter; the query-row
+    lookup used to be the one full-layout scan in the plan."""
+    from cdc_cascade_spark.llm.ann_indexed import ann_ivf_indexed
+    from cdc_cascade_spark.plans.explain import physical_plan
+
+    plan = physical_plan(ann_ivf_indexed(spark, SFS[0]))
+    assert "PartitionFilters" in plan and "centroid" in plan, plan[:2000]
+    import re
+
+    scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert scans and all("centroid" in s for s in scans), scans
+
+
+def test_ivf_session_layout_cache_reuses_the_build(spark):
+    from cdc_cascade_spark.llm.ann_indexed import (
+        ann_ivf_indexed,
+        ivf_layout_dir,
+    )
+
+    sf = SFS[0]
+    assert ivf_layout_dir(spark, sf) == ivf_layout_dir(spark, sf)
+    a = _ivf_rows(ann_ivf_indexed(spark, sf))
+    b = _ivf_rows(ann_ivf_indexed(spark, sf))
+    assert a == b and a

@@ -863,3 +863,159 @@ def test_watermark_marker_lifecycle(spark, tmp_path):
     assert _marker_watermark(idx) == -1
     append_postings_index(odd, idx, batch_id=0)
     assert spark.read.parquet(f"{idx}/stats").count() == 2
+
+
+def test_live_append_claim_blocks_compaction(spark, tmp_path):
+    """r12 advice (medium): the old single entry-check let a compactor
+    acquire the lock DURING a multi-second append write and rmtree
+    files that landed after its snapshot — silent data loss on a
+    committed epoch. The two-flag protocol closes it: while an append
+    holds its claim file, a compactor raises at acquisition (touching
+    nothing and leaving no sentinel), and with the sentinel already
+    held the append raises BEFORE writing anything, so its streaming
+    epoch fails before the checkpoint commits and replays cleanly."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_append_claim,
+        _acquire_compaction_lock,
+        _live_append_claims,
+        _sentinel,
+        _write_batch,
+        append_postings_index,
+        bm25_against_index,
+        compact_postings_index,
+        recover_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bm25_against_index(spark, SF, idx))
+
+    # an append is mid-write (its claim is on disk): both the raw lock
+    # and the full compaction refuse, and neither leaves a sentinel
+    # behind (a stuck sentinel would block the append's own retry)
+    claim = _acquire_append_claim(idx)
+    with pytest.raises(RuntimeError, match="append"):
+        _acquire_compaction_lock(idx)
+    assert not _sentinel(idx).exists()
+    with pytest.raises(RuntimeError, match="append"):
+        compact_postings_index(spark, idx)
+    assert not _sentinel(idx).exists()
+    # the index itself is untouched — probes still serve
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # append finishes → claim released → compaction proceeds
+    claim.unlink()
+    compact_postings_index(spark, idx)
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+
+
+def test_crashed_append_claim_is_swept_by_recover_only(spark, tmp_path):
+    """A claim left by a CRASHED writer blocks compaction loudly until
+    the operator's recover_compaction sweeps it; the probe-side
+    promote-only repair must NOT sweep it (it could be a live append's)."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_append_claim,
+        _live_append_claims,
+        _repair_for_read,
+        _write_batch,
+        bm25_against_index,
+        compact_postings_index,
+        recover_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    _acquire_append_claim(idx)  # crashed writer: never released
+
+    # probes still run (reads race nothing) and their repair pass
+    # leaves the claim alone
+    assert _rows(bm25_against_index(spark, SF, idx))
+    _repair_for_read(idx)
+    assert len(_live_append_claims(idx)) == 1
+
+    with pytest.raises(RuntimeError, match="append"):
+        compact_postings_index(spark, idx)
+
+    recover_compaction(idx)  # operator repair: contract is nothing runs
+    assert _live_append_claims(idx) == []
+    compact_postings_index(spark, idx)
+
+
+def test_append_guard_releases_claim_on_every_exit(spark, tmp_path):
+    """Success, the watermark skip, and the sentinel raise must all
+    leave zero claim files — a leaked claim would block every future
+    compaction."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_compaction_lock,
+        _live_append_claims,
+        _release_compaction_lock,
+        _write_batch,
+        _write_watermark_marker,
+        append_postings_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    _write_batch(docs, idx, "overwrite", -1)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+
+    append_postings_index(batch, idx, batch_id=1)  # success path
+    assert _live_append_claims(idx) == []
+
+    _write_watermark_marker(idx, 5)
+    append_postings_index(batch, idx, batch_id=3)  # watermark skip path
+    assert _live_append_claims(idx) == []
+
+    _acquire_compaction_lock(idx)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_postings_index(batch, idx, batch_id=9)
+    assert _live_append_claims(idx) == []
+    _release_compaction_lock(idx)
+
+
+def test_chunk_index_append_holds_claim_too(spark, tmp_path):
+    """The chunk layout shares the writer guard: a live claim blocks
+    its compaction, the sentinel blocks its appends pre-write."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_append_claim,
+        _acquire_compaction_lock,
+        _live_append_claims,
+        _release_compaction_lock,
+    )
+    from cdc_cascade_spark.llm.chunk_index import (
+        append_chunk_index,
+        compact_chunk_index,
+        write_chunk_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "chunks")
+    write_chunk_index(spark, SF, idx)
+    assert _live_append_claims(idx) == []
+
+    _acquire_append_claim(idx)
+    with pytest.raises(RuntimeError, match="append"):
+        compact_chunk_index(spark, idx)
+    for c in _live_append_claims(idx):
+        c.unlink()
+
+    _acquire_compaction_lock(idx)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        append_chunk_index(batch, idx, batch_id=1)
+    assert _live_append_claims(idx) == []
+    _release_compaction_lock(idx)

@@ -180,6 +180,10 @@ def test_plan_lint_all_registered_queries(spark):
         # 1-row query-vector broadcast over the partition-pruned bucket
         # scan (the ann_cosine_topk shape on the persistent layout)
         "ann_lsh_indexed": {"bnlj"},
+        # same shape over the trained-IVF cell layout: the 1-row query
+        # frame (itself a partition-pruned 1-directory lookup) is
+        # broadcast into the nprobe-pruned rerank scan
+        "ann_ivf_indexed": {"bnlj"},
         # the two persistent-index probes each broadcast their 1-row
         # summed-stats frame into the shared BM25 weight (the bm25_topk
         # shape); every corpus/index-sized join is a BroadcastHashJoin
