@@ -1019,3 +1019,64 @@ def test_chunk_index_append_holds_claim_too(spark, tmp_path):
         append_chunk_index(batch, idx, batch_id=1)
     assert _live_append_claims(idx) == []
     _release_compaction_lock(idx)
+
+
+def test_live_interleaved_append_blocks_compactor_until_landed(
+    spark, tmp_path, monkeypatch
+):
+    """LIVE interleaving (not simulated claim files): an append is
+    suspended INSIDE its write — after its claim/sentinel entry checks
+    passed — while a compactor attempts to start. The compactor must
+    fail loudly (it can no longer acquire mid-append, the r12-advice
+    data-loss window), the suspended append must then land in full,
+    and the post-drain compaction must observe it."""
+    import threading
+
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+
+    in_write = threading.Event()
+    release = threading.Event()
+    real_write = bi._write_batch
+
+    def paused_write(b_docs, out, mode, bid):
+        in_write.set()
+        assert release.wait(timeout=60), "test deadlock"
+        real_write(b_docs, out, mode, bid)
+
+    monkeypatch.setattr(bi, "_write_batch", paused_write)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    errors: list[BaseException] = []
+
+    def appender() -> None:
+        try:
+            bi.append_postings_index(batch, idx, batch_id=1)
+        except BaseException as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    assert in_write.wait(timeout=60)
+    # append is mid-write, claim held: the compactor cannot begin
+    with pytest.raises(RuntimeError, match="append"):
+        bi.compact_postings_index(spark, idx)
+    assert not bi._sentinel(idx).exists()
+
+    release.set()
+    t.join(timeout=120)
+    assert not t.is_alive() and not errors, errors
+    assert bi._live_append_claims(idx) == []
+
+    # the suspended append landed in full: stats has both batches and
+    # the post-drain compaction preserves the probe rows
+    monkeypatch.setattr(bi, "_write_batch", real_write)
+    assert spark.read.parquet(f"{idx}/stats").count() == 2
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+    bi.compact_postings_index(spark, idx)
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want and want
