@@ -47,13 +47,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_cascade_spark.llm.bm25 import ORACLE_BM25
+from cdc_cascade_spark.catalog import load_table
+from cdc_cascade_spark.llm.bm25 import (
+    ORACLE_BM25,
+    eval_query_terms,
+    tokenized_base,
+)
 from cdc_cascade_spark.llm.bm25_index import (
-    bm25_against_index,
+    probe_postings_index,
     write_postings_index,
 )
 from cdc_cascade_spark.llm.chunk_index import (
-    chunked_against_index,
+    probe_chunk_index,
     write_chunk_index,
 )
 from cdc_cascade_spark.llm.chunkeval import CHUNKED_LIST_SQL
@@ -82,16 +87,30 @@ def retrieval_mrr_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse rank-1 ground truth:
     ``(mode, n_queries, n_hits, sum_rr_ppb, mrr_ppb)``."""
     idx = indexes_dir(spark, sf_dir)
+    # ONE shared eval workload for both probes, materialized eagerly:
+    # deriving the (qid, term) workload tokenizes the corpus, and each
+    # probe consumes the frame in several actions (the bucket collect,
+    # the broadcast term filter, the scorer join) — without the eager
+    # checkpoint the lineage re-tokenized the corpus per consumer
+    # (~4-6 corpus passes per face run, measured ~0.4 s each at sf0.1).
+    # The frame is (Q · terms-per-query) rows — eval-budget-bounded,
+    # never corpus-sized. At 100 TB the workload arrives as data and
+    # this derivation disappears; locally it is setup the probes share.
+    qterms = eval_query_terms(
+        tokenized_base(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    ).localCheckpoint(eager=True)
     # (Q·k)-row lists; checkpoint at birth (the retrieval_summary
     # lesson: the mode-aggregate union otherwise carries every probe's
     # full lineage into one plan) — sparse additionally feeds the truth.
     sparse = (
-        bm25_against_index(spark, sf_dir, f"{idx}/bm25")
+        probe_postings_index(spark, qterms, f"{idx}/bm25")
         .select("qid", F.col("doc_id").alias("item_id"), "rank")
         .localCheckpoint(eager=False)
     )
     chunked = (
-        chunked_against_index(spark, sf_dir, f"{idx}/chunks")
+        probe_chunk_index(spark, qterms, f"{idx}/chunks")
         .select("qid", F.col("doc_id").alias("item_id"), "rank")
         .localCheckpoint(eager=False)
     )

@@ -155,16 +155,28 @@ def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunked list from the session's persistent chunk index (the
     # retrieval_indexed scaffold — the build is once per (session,
     # sf_dir) and the FIRST face to run pays it; the probe here is the
-    # standing-workload cost). Runtime import: retrieval_indexed
-    # imports this module for _mode_sql/_mode_summary, so a module-
-    # level import would be circular — the registry's fingerprint
-    # closure walks the full AST and still sees this edge.
-    from cdc_cascade_spark.llm.chunk_index import chunked_against_index
+    # standing-workload cost). The eval workload is derived once and
+    # checkpointed eagerly — the probe consumes it in several actions
+    # (bucket collect, broadcast term filter, scorer join) and would
+    # otherwise re-tokenize the corpus per consumer (the
+    # retrieval_indexed lesson; the frame is eval-budget-bounded).
+    # Runtime import: retrieval_indexed imports this module for
+    # _mode_sql/_mode_summary, so a module-level import would be
+    # circular — the registry's fingerprint closure walks the full AST
+    # and still sees this edge.
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25 import eval_query_terms, tokenized_base
+    from cdc_cascade_spark.llm.chunk_index import probe_chunk_index
     from cdc_cascade_spark.llm.retrieval_indexed import indexes_dir
 
+    qterms = eval_query_terms(
+        tokenized_base(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    ).localCheckpoint(eager=True)
     chunked = (
-        chunked_against_index(
-            spark, sf_dir, f"{indexes_dir(spark, sf_dir)}/chunks"
+        probe_chunk_index(
+            spark, qterms, f"{indexes_dir(spark, sf_dir)}/chunks"
         )
         .select("qid", F.col("doc_id").alias("item_id"), "rank")
         .localCheckpoint(eager=False)
