@@ -1080,3 +1080,86 @@ def test_live_interleaved_append_blocks_compactor_until_landed(
     want = _rows(bi.bm25_against_index(spark, SF, idx))
     bi.compact_postings_index(spark, idx)
     assert _rows(bi.bm25_against_index(spark, SF, idx)) == want and want
+
+
+def test_sequential_ingest_with_concurrent_compactor_loses_nothing(
+    spark, tmp_path
+):
+    """Stress the two-flag protocol with REAL concurrency in the
+    SUPPORTED shape: one sequential writer (the streaming contract —
+    epoch ids monotone, a refused epoch retries under the SAME id)
+    races a compactor loop and a prober loop. Every compaction attempt
+    either raises loudly or completes; a refused epoch's retry can
+    never be watermark-skipped (its commit record had not landed, so
+    no squash absorbed it); and the final index must equal a
+    from-scratch rebuild over the same documents.
+
+    (A first version of this test ran appends with CONCURRENT
+    independent ids — that violates the documented monotone-id
+    contract and loses exactly the batch the r12-advice note predicts:
+    a compaction committing id 3 while id 2 is in flight makes 2's
+    replay watermark-skipped. Kept sequential here on purpose.)"""
+    import threading
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    bi._write_batch(docs.filter(F.col("doc_id") % 5 == 0), idx, "overwrite", -1)
+
+    append_errors: list[BaseException] = []
+    probe_errors: list[BaseException] = []
+    done = threading.Event()
+
+    def writer() -> None:
+        try:
+            for epoch in (1, 2, 3, 4):  # monotone ids, the epoch contract
+                batch = docs.filter(F.col("doc_id") % 5 == epoch)
+                while True:
+                    try:
+                        bi.append_postings_index(batch, idx, batch_id=epoch)
+                        break
+                    except RuntimeError as e:
+                        if "_COMPACTING" not in str(e):
+                            raise  # loud, unexpected
+                        # the epoch failed BEFORE writing: replay it
+                        # under the same id (streaming semantics)
+        except BaseException as e:  # pragma: no cover - failure detail
+            append_errors.append(e)
+
+    def compactor() -> None:
+        while not done.is_set():
+            try:
+                bi.compact_postings_index(spark, idx)
+            except (RuntimeError, FileExistsError):
+                pass  # claims in flight — the loud refusal path
+
+    def prober() -> None:
+        while not done.is_set():
+            try:
+                bi.bm25_against_index(spark, SF, idx).count()
+            except RuntimeError as e:
+                if "_COMPACTING" not in str(e):
+                    probe_errors.append(e)
+                    return
+
+    comp = threading.Thread(target=compactor)
+    prb = threading.Thread(target=prober)
+    wrt = threading.Thread(target=writer)
+    comp.start(); prb.start(); wrt.start()
+    wrt.join(timeout=600)
+    done.set()
+    comp.join(timeout=600)
+    prb.join(timeout=600)
+    assert not wrt.is_alive()
+    assert not append_errors, append_errors
+    assert not probe_errors, probe_errors
+    assert bi._live_append_claims(idx) == []
+    assert not bi._sentinel(idx).exists()
+
+    rebuilt = str(tmp_path / "rebuild")
+    bi._write_batch(docs, rebuilt, "overwrite", -1)
+    got = _rows(bi.bm25_against_index(spark, SF, idx))
+    want = _rows(bi.bm25_against_index(spark, SF, rebuilt))
+    assert got == want and got
