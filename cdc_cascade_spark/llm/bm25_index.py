@@ -72,6 +72,7 @@ tests/test_bm25_index.py.
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 from pathlib import Path
 
@@ -85,6 +86,8 @@ from cdc_cascade_spark.llm.bm25 import (
     tokenized_base,
     topk_from_postings,
 )
+
+_log = logging.getLogger("cdc_cascade_spark.llm.bm25_index")
 
 # Term-hash partition count of the postings layout. 16 keeps the
 # local test layout readable; a production index raises it (the probe
@@ -122,19 +125,34 @@ BUILD_BATCH_ID = -1
 # (POSIX rename/create semantics). So on a POSIX filesystem a write
 # either fully lands before any compaction can begin, or fails at its
 # entry check BEFORE writing anything (the streaming epoch fails
-# before its checkpoint commits and replays cleanly). Remaining honest
-# scope: object stores with delayed list-after-write visibility weaken
-# the ordering argument — there, true serialization belongs to the
-# storage layer's atomic commit (lakehouse table locks), which
-# sources/io.py's format boundary is where a deployment would plug in.
+# before its checkpoint commits and replays cleanly).
+#
+# Writer/WRITER exclusion (r13 advice: claim files exclude writers
+# against the compactor only — two claim holders never check each
+# other's flags, so an overwrite REBUILD racing a live append could
+# interleave): rebuilds (write_postings_index / write_chunk_index)
+# take the SENTINEL side of the protocol, not a claim — a rebuild is
+# an overwrite of the live layout, i.e. compaction-shaped. That makes
+# rebuild-vs-append exclusion the same mechanical two-flag argument,
+# rebuild-vs-rebuild/compactor exclusion the sentinel's exclusive
+# create, and concurrent APPENDS (the only writers that still share
+# claims) commutative by construction: each lands its own parquet file
+# group plus its own stats delta row under a distinct batch_id, and
+# readers dedup on batch_id, so append/append interleavings cannot
+# conflict. Remaining honest scope: object stores with delayed
+# list-after-write visibility weaken the ordering argument — there,
+# true serialization belongs to the storage layer's atomic commit
+# (lakehouse table locks), which sources/io.py's format boundary is
+# where a deployment would plug in.
 _COMPACTING_SENTINEL = "_COMPACTING"
 
 # Live-append claim files (the writer half of the two-flag protocol).
 # Dot-prefixed so Spark's directory listing never sees them; one per
-# in-flight build/append, removed in a finally. A claim left by a
-# CRASHED writer blocks compaction loudly until the operator runs
+# in-flight append, removed in a finally. A claim left by a CRASHED
+# writer blocks compaction loudly until the operator runs
 # :func:`recover_compaction` (whose standing contract — nothing is
-# running — makes sweeping them safe).
+# running — makes sweeping them safe; fresh claims additionally
+# require ``force=True``, see that function).
 _APPEND_CLAIM_PREFIX = ".append_claim_"
 
 
@@ -145,10 +163,10 @@ def _sentinel(out_path: str) -> Path:
 def _check_not_compacting(out_path: str) -> None:
     if _sentinel(out_path).exists():
         raise RuntimeError(
-            f"index at {out_path} is being compacted (or a compaction "
-            "crashed): refusing to read/write past the "
-            f"{_COMPACTING_SENTINEL} sentinel. If no compaction is "
-            "running, repair with recover_compaction(out_path)."
+            f"index at {out_path} is being compacted or rebuilt (or "
+            "such a run crashed): refusing to read/write past the "
+            f"{_COMPACTING_SENTINEL} sentinel. If neither is running, "
+            "repair with recover_compaction(out_path)."
         )
 
 
@@ -161,15 +179,18 @@ def _live_append_claims(out_path: str) -> list[Path]:
 
 def _acquire_compaction_lock(out_path: str) -> None:
     # exclusive create: a second compactor (or one racing crash repair)
-    # fails here instead of interleaving per-directory swaps
+    # fails here instead of interleaving per-directory swaps. mkdir
+    # because the rebuild path (write_postings_index) takes this lock
+    # too and may be the first writer the layout has ever seen.
+    Path(out_path).mkdir(parents=True, exist_ok=True)
     try:
         with open(_sentinel(out_path), "x", encoding="utf-8") as f:
-            f.write("compaction in progress\n")
+            f.write("compaction/rebuild in progress\n")
     except FileExistsError as e:
         raise FileExistsError(
             f"{_sentinel(out_path)} already exists — another compaction "
-            "is running, or a prior one crashed holding the lock. If no "
-            "compaction is in progress, repair with "
+            "or rebuild is running, or a prior one crashed holding the "
+            "lock. If neither is in progress, repair with "
             "recover_compaction(out_path)."
         ) from e
     # sentinel FIRST, then the claim check (the compactor half of the
@@ -303,14 +324,33 @@ def _write_batch(
 def write_postings_index(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> None:
-    """Build the index from the catalog's ``documents`` table."""
-    with _append_guard(out_path):
+    """Build the index from the catalog's ``documents`` table.
+
+    A build is an OVERWRITE of the live layout, so it takes the
+    compaction LOCK rather than an append claim (r13 advice: claim
+    files exclude writers against the compactor only — two claim
+    holders never check each other's flags, so a rebuild racing a
+    live append could interleave its overwrite of ``postings/`` with
+    the append's in-flight files). Under the sentinel the exclusion is
+    mechanical, by the same two-flag cyclic-ordering argument as
+    compaction: the rebuild refuses to start while any append claim is
+    live (and a second rebuild/compactor fails the exclusive create),
+    while an append or probe that starts mid-rebuild raises at its
+    sentinel check before touching anything. A CRASHED build leaves
+    the sentinel in place, blocking reads loudly — correct, because
+    the half-overwritten layout must not serve; the operator repairs
+    with :func:`recover_compaction` and re-runs the build (an
+    overwrite build is idempotent)."""
+    _acquire_compaction_lock(out_path)
+    try:
         _write_batch(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             out_path,
             "overwrite",
             BUILD_BATCH_ID,
         )
+    finally:
+        _release_compaction_lock(out_path)
 
 
 def append_postings_index(
@@ -671,6 +711,8 @@ def recover_compaction(
     out_path: str,
     names: tuple = ("postings", "stats"),
     clear_lock: bool = True,
+    force: bool = False,
+    fresh_claim_age_s: float = 60.0,
 ) -> None:
     """Repair the index layout after a crash anywhere inside a
     compaction run. Idempotent, and a no-op on a clean layout — called
@@ -688,13 +730,24 @@ def recover_compaction(
       restore ``.old``.
 
     ``clear_lock``: the default (operator crash repair) also removes a
-    crashed compactor's ``_COMPACTING`` sentinel AND any crashed
-    writer's ``.append_claim_*`` files (this function's standing
-    contract — nothing is running — is what makes sweeping either
-    safe). Internal callers — probes sweeping legacy residue, a
+    crashed compactor's/rebuild's ``_COMPACTING`` sentinel AND any
+    crashed writer's ``.append_claim_*`` files (this function's
+    standing contract — nothing is running — is what makes sweeping
+    either safe). Internal callers — probes sweeping legacy residue, a
     compactor that already holds the lock — pass ``clear_lock=False``
     so a recover can never unlock (or be raced into unlocking) a LIVE
     compaction, nor sweep a LIVE append's claim out from under it.
+
+    The claim sweep runs purely on the operator's word, so two guards
+    soften a mistaken invocation against an index with a live ingest
+    (r13 advice — an unlock under a live writer silently reopens the
+    append-vs-compactor race): every swept claim name is LOGGED, and a
+    claim younger than ``fresh_claim_age_s`` (default 60 s — a strong
+    hint a writer is live, since claims are held only for the duration
+    of one append) is refused unless ``force=True``. A genuinely
+    crashed writer's claim simply ages past the threshold; ``force``
+    exists for the operator who has just killed the ingest and knows
+    the fresh claim is orphaned.
 
     It also sweeps PER-BUCKET residue from a crashed
     :func:`compact_hot_buckets` run: that pass rewrites individual
@@ -751,7 +804,33 @@ def recover_compaction(
         for tmp_dir in _glob.glob(pattern):
             shutil.rmtree(tmp_dir)
     if clear_lock:
-        for claim in _live_append_claims(out_path):
+        import time
+
+        claims = _live_append_claims(out_path)
+        if claims and not force:
+            now = time.time()
+            fresh = []
+            for c in claims:
+                try:
+                    if now - c.stat().st_mtime < fresh_claim_age_s:
+                        fresh.append(c.name)
+                except FileNotFoundError:
+                    pass  # writer released it between list and stat
+            if fresh:
+                raise RuntimeError(
+                    f"recover_compaction({out_path}): append claims "
+                    f"{fresh} are younger than {fresh_claim_age_s:g} s "
+                    "— a writer may still be LIVE, and sweeping its "
+                    "claim would reopen the append-vs-compactor race. "
+                    "Stop all ingest first; pass force=True only if "
+                    "certain these claims are orphaned."
+                )
+        for claim in claims:
+            _log.warning(
+                "recover_compaction(%s): sweeping crashed writer claim %s",
+                out_path,
+                claim.name,
+            )
             claim.unlink(missing_ok=True)
         _release_compaction_lock(out_path)
 

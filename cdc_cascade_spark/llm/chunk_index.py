@@ -148,14 +148,23 @@ def _write_batch(
 
 
 def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
-    """Build the chunk index from the catalog's ``documents`` table."""
-    with _append_guard(out_path):
+    """Build the chunk index from the catalog's ``documents`` table.
+
+    Takes the compaction LOCK, not an append claim — a build is an
+    overwrite of the live layout, so it excludes live appends (and
+    other rebuilds/compactors) mechanically; see
+    :func:`cdc_cascade_spark.llm.bm25_index.write_postings_index`
+    (r13 advice: claim holders never check each other's flags)."""
+    _acquire_compaction_lock(out_path)
+    try:
         _write_batch(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             out_path,
             "overwrite",
             BUILD_BATCH_ID,
         )
+    finally:
+        _release_compaction_lock(out_path)
 
 
 def append_chunk_index(

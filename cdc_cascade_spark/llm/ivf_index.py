@@ -177,6 +177,21 @@ def ann_against_ivf_index(
         .filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm"))
     )
+    # r13 advice: the pruned lookup reads ONE cell directory, so a
+    # caller violating the stored-embedding contract (or future drift
+    # between probe_cells and the build's assignment kernel) would make
+    # qrow EMPTY — and an empty 1-row broadcast silently yields an
+    # empty top-k, the worst failure shape. Fail loudly instead: the
+    # check is one job over the already-pruned 1-row scan.
+    if qrow.isEmpty():
+        raise ValueError(
+            f"IVF probe: vec_id={qid} not found in its computed cell "
+            f"centroid={qcell} of {index_path}/cells — either the "
+            "caller contract (qvec IS the stored embedding of qid) is "
+            "violated, or probe_cells drifted from the build's "
+            "assignment kernel. Refusing to return a silently empty "
+            "top-k."
+        )
     return (
         cells.filter(F.col("centroid").isin(probes))
         .filter(F.col("vec_id") != qid)

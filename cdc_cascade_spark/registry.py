@@ -63,78 +63,83 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r13 window. CORRECTNESS_r12 was 50/50 green (verified: the
+    # --- r14 window. CORRECTNESS_r13 was 50/50 green (verified: the
     # registry's first 50 exactly, in order). Slot arithmetic,
     # machine-counted from the committed CORRECTNESS files before any
-    # code was written: the 34-query r10-green cohort (r10 minus every
-    # query re-evidenced in r11/r12) hits the 2-report staleness
-    # deadline THIS round — all 34 take CHECK_FIRST slots (the r12
-    # verdict's item #1; its machine count of 34 confirmed, BUILD_NOTES'
-    # 33 was the stale figure). On top: 1 same-round registration
-    # (ann_ivf_indexed — the trained-IVF probe face, r12 verdict #2,
-    # the last persistent index family without a driver-checked probe
-    # path) and 3 changed-fingerprint re-pins, every one an r12 ADVICE
-    # or verdict item landing: retrieval_mrr_indexed (bm25_index/
-    # chunk_index gained the append-claim two-flag protocol closing
-    # the append-vs-compactor race — r12 ADVICE medium — and
-    # session_layout gained the per-key in-flight build guard — r12
-    # ADVICE low #4), ann_lsh_indexed (session_layout + the new IVF
-    # face sharing its module; ivf_index's probe also partition-prunes
-    # its 1-row query lookup now), and retrieval_mrr_summary (its
-    # chunked mode now probes the session chunk index instead of
-    # re-chunking the corpus — r12 verdict #4; the oracle still states
-    # CHUNKED_LIST_SQL verbatim, so the green row re-proves the plan
-    # swap). 4 + 34 = 38 hard pins, under the 45-slot margin cap and
-    # inside the ≤8 new/changed budget. CHECK_NEXT's 12 slots pre-pay
-    # r14's 50-query r11-green debt (49 after retrieval_mrr_summary's
-    # re-pin here) with its highest-plan-risk members, leaving that
-    # cohort at 37 for r14.
-    # --- new r13 registration (built + registered same round) ---
-    "ann_ivf_indexed",
-    # --- changed-fingerprint re-pins (r13 edits, see header) ---
+    # code was written: the 37-query r11-green cohort (r11 minus every
+    # query re-evidenced in r12/r13) hits the 2-report staleness
+    # deadline THIS round — all 37 take CHECK_FIRST slots (the r13
+    # verdict's item #1; matches BUILD_NOTES' explicit r14 ledger). On
+    # top: 4 changed-fingerprint re-pins, every one an r13 ADVICE item
+    # landing: retrieval_mrr_indexed + retrieval_mrr_summary
+    # (bm25_index/chunk_index: rebuilds now take the SENTINEL side of
+    # the two-flag protocol — mechanical writer-vs-writer exclusion of
+    # a rebuild against live appends, r13 ADVICE low #2 — and
+    # recover_compaction logs swept claims and refuses fresh ones
+    # without force=True, low #3), plus ann_ivf_indexed +
+    # ann_lsh_indexed (ivf_index's pruned 1-row query lookup now fails
+    # LOUDLY when the caller contract is violated instead of returning
+    # a silently empty top-k, low #1; the LSH face shares ann_indexed's
+    # module whose closure includes ivf_index). 4 + 37 = 41 hard pins,
+    # under the 45-slot margin cap; 0 new + 4 changed is inside the
+    # ≤8 budget. CHECK_NEXT's 9 slots pre-pay r15's r12-green debt
+    # with its highest-plan-risk members OUTSIDE llm/similarity's
+    # closure — the 12 r12-green queries INSIDE that closure are
+    # excluded on purpose: r15 ships the scheduled
+    # ann_lsh_topk_bucketed qrow-pruning fix, which re-pins them as
+    # CHANGED anyway, so a pre-pay slot spent on them would be wasted.
+    # Pre-committed r15 arithmetic: 18 similarity-closure re-pins
+    # (12 r12-green + 6 in-window) + the 27 remaining r12-green debt
+    # = 45 CHECK_FIRST (exactly the cap) + 5 CHECK_NEXT for r16.
+    # --- changed-fingerprint re-pins (r14 edits, see header) ---
     "retrieval_mrr_indexed",
+    "ann_ivf_indexed",
     "ann_lsh_indexed",
     "retrieval_mrr_summary",
-    # --- the 34-query r10-green staleness cohort (deadline round;
+    # --- the 37-query r11-green staleness cohort (deadline round;
     # ledger in BUILD_NOTES.md) — multi-stage / plan-risk first ---
-    "bpe_train_k_merges",
-    "bpe_encode_corpus",
-    "bpe_apply_top_merge",
-    "bpe_merge_pairs",
-    "bpe_fertility_by_lang",
-    # CDC family (envelope parse → routing → compaction → SCD2)
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    "cdc_op_routing",
-    "cdc_invalidation_summary",
-    # text-analysis family
-    "text_stats",
-    "text_vocabulary",
-    "text_bigrams",
-    "text_salient_terms",
-    "lang_id",
-    "pii_redaction",
-    "doc_fingerprint",
-    "doc_repetition",
-    "gopher_quality_rules",
-    "quality_floor_filter",
-    "label_quality_profile",
-    "label_skew_report",
-    # sampling / mixing
-    "stratified_sample",
-    "stratified_sample_exact",
-    "temperature_mixture_sample",
+    # dedup family (banded/blocked plans, union-find caps)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_simhash",
+    "dedup_simhash_weighted",
+    "minhash_jaccard_estimate",
+    "split_leakage_pairs",
+    # multimodal plumbing (binary columns, Arrow batch UDF shapes)
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_dedup",
+    # sketches / scoring / packing
+    "sketch_kmv_distinct",
+    "sketch_kmv_setops",
+    "lm_score_filter",
+    "source_reputation",
+    "pack_sequences",
+    "bigram_lift",
+    # events / funnels / anomalies
+    "events_rate_anomaly",
+    "funnel_conversion",
+    "cohort_retention",
     # relational / window suites
-    "q13_sessionize_events",
-    "q14_pivot_status",
-    "q15_outer_join_part_activity",
-    "q17_tumbling_hourly",
-    "q18_price_percentiles",
-    "q19_cube_volume",
-    "q20_grouping_sets",
-    "q23_timeseries_rollup",
-    "q27_full_outer_join",
-    "q32_range_frame_window",
+    "q06_customers_without_orders",
+    "q07_rollup_sales",
+    "q08_topk_customers_per_segment",
+    "q09_monthly_revenue_window",
+    "q10_set_operations",
+    "q11_scalar_functions",
+    "q12_json_extraction",
+    "q16_distinct_stats",
+    "q21_above_segment_average",
+    "q22_in_subquery",
+    "q24_explode_lateral",
+    "q25_datetime_functions",
+    "q26_string_functions",
+    "q28_window_suite",
+    "q29_array_functions",
+    "q30_null_semantics",
+    "q31_unpivot_metrics",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -142,27 +147,24 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r13: all 12 slots pre-pay r14's
-# r11-green rotation debt (50 queries, 49 after retrieval_mrr_summary
-# moved to CHECK_FIRST as a changed pin), highest-plan-risk members
-# first — the incremental-curation capstone pair, the banded/clustered
-# dedup plans, the dense/fused/chunked retrieval evals, the native
-# session_window plan, and two sketch/report multi-joins. If the
-# driver checks the usual 50, r14's debt drops to 37 and these never
-# re-enter before their deadline.
+# never for changed or new code. r14: all 9 slots pre-pay r15's
+# r12-green rotation debt with its highest-plan-risk members that are
+# NOT in llm/similarity's closure (those 12 re-enter r15 as CHANGED
+# pins when the scheduled qrow-pruning fix lands — pre-paying them
+# here would be wasted slots): the 4-stage curation family, the two
+# index-probe faces' sparse siblings, and three multi-join reports.
+# If the driver checks the usual 50, r15's non-closure debt drops
+# from 36 to 27, making r15's window exactly 45 CHECK_FIRST + 5 free.
 CHECK_NEXT: list[str] = [
-    "curate_corpus_incremental",
-    "curation_invalidation_report",
-    "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "hybrid_retrieval_rrf",
-    "chunk_retrieval_eval",
-    "segment_dedup",
-    "q34_session_window_stats",
-    "sketch_cms_heavy_hitters",
-    "quality_calibration_report",
+    "curate_corpus",
+    "curate_corpus_segmented",
+    "curation_audit",
+    "curation_audit_segmented",
+    "bm25_topk",
+    "dedup_index_probe",
+    "contamination_check",
+    "minhash_banding_curve",
+    "corpus_drift_report",
 ]
 
 

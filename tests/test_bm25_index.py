@@ -463,7 +463,10 @@ def test_compaction_lock_blocks_appends_and_probes(spark, tmp_path):
         append_postings_index(batch, idx, batch_id=1)
     with pytest.raises(RuntimeError, match="_COMPACTING"):
         bm25_against_index(spark, SF, idx)
-    with pytest.raises(RuntimeError, match="_COMPACTING"):
+    # a rebuild takes the SENTINEL side of the protocol now (r13
+    # advice: writer-vs-writer exclusion) — under a held lock it fails
+    # the exclusive create, exactly like a second compactor
+    with pytest.raises(FileExistsError, match="_COMPACTING"):
         write_postings_index(spark, SF, idx)
     # a second compactor cannot take the lock either
     with pytest.raises(FileExistsError):
@@ -944,6 +947,24 @@ def test_crashed_append_claim_is_swept_by_recover_only(spark, tmp_path):
     with pytest.raises(RuntimeError, match="append"):
         compact_postings_index(spark, idx)
 
+    # r13 advice: the sweep runs on the operator's word alone, so a
+    # FRESH claim (a strong hint the writer is live, since claims span
+    # one append) is refused without force=True...
+    with pytest.raises(RuntimeError, match="force=True"):
+        recover_compaction(idx)
+    assert len(_live_append_claims(idx)) == 1
+    # ...force overrides for the operator who just killed the ingest
+    recover_compaction(idx, force=True)
+    assert _live_append_claims(idx) == []
+
+    # a claim that has AGED past the threshold sweeps without force —
+    # the genuinely-crashed-writer path (backdate via utime)
+    import os
+    import time
+
+    claim = _acquire_append_claim(idx)
+    past = time.time() - 3600
+    os.utime(claim, (past, past))
     recover_compaction(idx)  # operator repair: contract is nothing runs
     assert _live_append_claims(idx) == []
     compact_postings_index(spark, idx)
@@ -1163,3 +1184,64 @@ def test_sequential_ingest_with_concurrent_compactor_loses_nothing(
     got = _rows(bi.bm25_against_index(spark, SF, idx))
     want = _rows(bi.bm25_against_index(spark, SF, rebuilt))
     assert got == want and got
+
+
+def test_rebuild_takes_sentinel_and_excludes_live_appends(spark, tmp_path):
+    """r13 advice (writer-vs-writer): claim files exclude writers
+    against the COMPACTOR only — two claim holders never check each
+    other's flags, so a rebuild racing a live append used to be able
+    to interleave its overwrite with the append's in-flight files.
+    Builds take the sentinel side of the two-flag protocol now: a
+    rebuild refuses while any append claim is live (leaving no
+    sentinel behind), and a mid-rebuild append raises at its sentinel
+    check before writing anything."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_append_claim,
+        _live_append_claims,
+        _sentinel,
+        bm25_against_index,
+        write_postings_index,
+    )
+    from cdc_cascade_spark.llm.chunk_index import (
+        chunked_against_index,
+        write_chunk_index,
+    )
+
+    # first-ever build on a fresh path exercises the lock's mkdir
+    idx = str(tmp_path / "bm25")
+    write_postings_index(spark, SF, idx)
+    assert not _sentinel(idx).exists()
+    want = _rows(bm25_against_index(spark, SF, idx))
+    assert want
+
+    # an append is mid-write: the rebuild refuses at its claim check,
+    # leaves no sentinel (a stuck one would block the append's retry),
+    # and touches nothing — the live index still serves
+    claim = _acquire_append_claim(idx)
+    with pytest.raises(RuntimeError, match="append"):
+        write_postings_index(spark, SF, idx)
+    assert not _sentinel(idx).exists()
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # append done → rebuild proceeds and releases the sentinel
+    claim.unlink()
+    write_postings_index(spark, SF, idx)
+    assert not _sentinel(idx).exists()
+    assert _live_append_claims(idx) == []
+    assert _rows(bm25_against_index(spark, SF, idx)) == want
+
+    # chunk twin shares the contract
+    cidx = str(tmp_path / "chunks")
+    write_chunk_index(spark, SF, cidx)
+    cwant = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
+    cclaim = _acquire_append_claim(cidx)
+    with pytest.raises(RuntimeError, match="append"):
+        write_chunk_index(spark, SF, cidx)
+    assert not _sentinel(cidx).exists()
+    cclaim.unlink()
+    write_chunk_index(spark, SF, cidx)
+    cgot = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
+    assert cgot == cwant and cwant

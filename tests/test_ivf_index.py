@@ -156,3 +156,55 @@ def test_ivf_index_empty_corpus(spark, tmp_path):
     batch = load_table(spark, SF, "embeddings").limit(5)
     with pytest.raises(ValueError, match="no centroids"):
         append_ivf_index(batch, idx)
+
+
+def test_ivf_probe_contract_violation_fails_loudly(spark, tmp_path):
+    """r13 advice: the partition-pruned 1-row query lookup reads ONLY
+    the query's own computed cell, so a caller violating the
+    stored-embedding contract (qvec is NOT the stored embedding of
+    qid) can make the lookup empty — and an empty 1-row broadcast
+    would silently produce an empty top-k. The probe must raise
+    instead."""
+    import pytest
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.ivf_index import (
+        _load_centroids,
+        ann_against_ivf_index,
+        probe_cells,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, SF, idx)
+    qid, qvec = _query(spark)
+
+    # a qid that exists nowhere in the corpus: empty lookup → raise
+    with pytest.raises(ValueError, match="silently empty"):
+        ann_against_ivf_index(spark, idx, qvec, qid=-999_999)
+
+    # a (qvec, qid) MISMATCH whose cells differ: qid's row is stored,
+    # but the probe prunes to qvec's cell, where qid does not live
+    cids, C, normC = _load_centroids(spark, idx)
+    cell_of = {
+        int(r.vec_id): int(r.centroid)
+        for r in spark.read.parquet(f"{idx}/cells")
+        .select("vec_id", "centroid")
+        .collect()
+    }
+    qcell = probe_cells(qvec, cids, C, normC, 1)[0]
+    other = next(
+        (
+            r
+            for r in load_table(spark, SF, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+            if cell_of[int(r.vec_id)] != qcell
+        ),
+        None,
+    )
+    assert other is not None, "testdata spans >1 IVF cell"
+    with pytest.raises(ValueError, match="silently empty"):
+        ann_against_ivf_index(spark, idx, qvec, qid=int(other.vec_id))
+
+    # the contract-honoring call still serves
+    assert ann_against_ivf_index(spark, idx, qvec, qid).count() > 0
