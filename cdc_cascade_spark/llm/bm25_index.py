@@ -73,6 +73,7 @@ tests/test_bm25_index.py.
 from __future__ import annotations
 
 import logging
+import time
 from contextlib import contextmanager
 from pathlib import Path
 
@@ -177,7 +178,11 @@ def _live_append_claims(out_path: str) -> list[Path]:
     return sorted(root.glob(f"{_APPEND_CLAIM_PREFIX}*"))
 
 
-def _acquire_compaction_lock(out_path: str) -> None:
+def _acquire_compaction_lock(
+    out_path: str,
+    wait_for_appends_s: float | None = None,
+    _poll_interval_s: float = 0.05,
+) -> None:
     # exclusive create: a second compactor (or one racing crash repair)
     # fails here instead of interleaving per-directory swaps. mkdir
     # because the rebuild path (write_postings_index) takes this lock
@@ -197,18 +202,46 @@ def _acquire_compaction_lock(out_path: str) -> None:
     # two-flag protocol — see the sentinel comment): a write in flight
     # at this instant either created its claim before our check (we
     # raise here, touching nothing) or will see our sentinel at ITS
-    # check and raise before writing anything. Raising rather than
-    # waiting keeps the lock crash-simple; the operator compacts in an
-    # ingest-quiet window (a stale claim from a CRASHED writer blocks
-    # here until recover_compaction sweeps it).
-    claims = _live_append_claims(out_path)
-    if claims:
+    # check and raise before writing anything. The default (raise
+    # rather than wait) keeps the lock crash-simple; the operator
+    # compacts in an ingest-quiet window (a stale claim from a CRASHED
+    # writer blocks here until recover_compaction sweeps it).
+    #
+    # wait_for_appends_s (r13 verdict #7, opt-in liveness variant):
+    # instead of raising on live claims, hold the sentinel and poll
+    # until the in-flight appends drain or the deadline passes. The
+    # wait is BOUNDED-by-construction when the writers are alive: the
+    # sentinel is already held, so no NEW append can pass its entry
+    # check — the only claims we can be waiting on were created before
+    # our sentinel, each covering one finite in-flight append. A claim
+    # whose writer CRASHED never clears, so the deadline raise (which
+    # releases the sentinel — nothing was written yet) preserves the
+    # loud default for exactly the case where waiting would hang.
+    deadline = (
+        None
+        if wait_for_appends_s is None
+        else time.monotonic() + wait_for_appends_s
+    )
+    while True:
+        claims = _live_append_claims(out_path)
+        if not claims:
+            return
+        now = time.monotonic()
+        if deadline is not None and now < deadline:
+            time.sleep(min(_poll_interval_s, deadline - now))
+            continue
         _release_compaction_lock(out_path)
+        waited = (
+            ""
+            if wait_for_appends_s is None
+            else f" (waited {wait_for_appends_s}s for them to drain;"
+            " a claim that old is almost certainly a crashed writer's)"
+        )
         raise RuntimeError(
             f"index at {out_path} has live (or crashed) appends in "
             f"flight — {[c.name for c in claims]} — refusing to "
-            "compact over them. Retry after ingest drains; if no "
-            "append is running, repair with recover_compaction"
+            f"compact over them{waited}. Retry after ingest drains; "
+            "if no append is running, repair with recover_compaction"
             "(out_path)."
         )
 
@@ -592,7 +625,11 @@ def _repair_for_read(out_path: str) -> None:
         shutil.rmtree(tmp_dir)
 
 
-def compact_postings_index(spark: SparkSession, out_path: str) -> None:
+def compact_postings_index(
+    spark: SparkSession,
+    out_path: str,
+    wait_for_appends_s: float | None = None,
+) -> None:
     """Rewrite the index in place to one sorted file set per bucket
     and a single summed stats row.
 
@@ -627,8 +664,16 @@ def compact_postings_index(spark: SparkSession, out_path: str) -> None:
     the lock — so a compactor can never sweep (or unlock) a LIVE
     sibling's state; if a prior run died holding the sentinel, this
     raises and the operator runs :func:`recover_compaction` once.
+
+    ``wait_for_appends_s`` (opt-in): instead of raising when appends
+    are in flight, hold the sentinel (which blocks NEW appends from
+    starting) and wait up to this many seconds for the in-flight
+    claims to drain before compacting — for deployments that cannot
+    schedule an ingest-quiet window. The deadline raise preserves the
+    loud default for crashed writers' claims, which never drain (see
+    :func:`_acquire_compaction_lock`).
     """
-    _acquire_compaction_lock(out_path)
+    _acquire_compaction_lock(out_path, wait_for_appends_s)
     try:
         recover_compaction(out_path, clear_lock=False)
         raw_stats = _stats_raw(spark, out_path)
@@ -804,8 +849,6 @@ def recover_compaction(
         for tmp_dir in _glob.glob(pattern):
             shutil.rmtree(tmp_dir)
     if clear_lock:
-        import time
-
         claims = _live_append_claims(out_path)
         if claims and not force:
             now = time.time()
@@ -839,6 +882,7 @@ def compact_hot_buckets(
     spark: SparkSession,
     out_path: str,
     min_files_per_bucket: int = 8,
+    wait_for_appends_s: float | None = None,
 ) -> dict:
     """The 100 TB compaction path the whole-index variant's docstring
     promises: every ``bucket=<k>`` directory is an independent unit of
@@ -869,7 +913,7 @@ def compact_hot_buckets(
     # lock first, then clear any crash residue UNDER the lock (incl.
     # per-bucket tmp/bak dirs a prior crashed run left inside
     # postings/ — see recover_compaction)
-    _acquire_compaction_lock(out_path)
+    _acquire_compaction_lock(out_path, wait_for_appends_s)
     done: dict = {}
     try:
         recover_compaction(out_path, clear_lock=False)

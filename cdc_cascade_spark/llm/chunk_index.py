@@ -293,7 +293,11 @@ def chunked_against_index(
     return probe_chunk_index(spark, qterms, out_path)
 
 
-def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
+def compact_chunk_index(
+    spark: SparkSession,
+    out_path: str,
+    wait_for_appends_s: float | None = None,
+) -> None:
     """Rewrite the chunk index in place to one sorted file set per
     bucket and a single summed stats row — the bm25_index compaction
     (see its docstring for the small-files rationale, the 100 TB
@@ -301,8 +305,9 @@ def compact_chunk_index(spark: SparkSession, out_path: str) -> None:
     watermark, and the lock-sentinel quiescing) over the chunk schema.
     Pure layout: postings rows are per-chunk facts and stats sum
     associatively, so probes cannot observe the rewrite (pinned by
-    test)."""
-    _acquire_compaction_lock(out_path)
+    test). ``wait_for_appends_s`` opts into the bounded wait-on-claims
+    variant (see :func:`bm25_index.compact_postings_index`)."""
+    _acquire_compaction_lock(out_path, wait_for_appends_s)
     try:
         recover_compaction(out_path, clear_lock=False)
         raw_stats = _stats_raw(spark, out_path)

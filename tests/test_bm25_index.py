@@ -1245,3 +1245,133 @@ def test_rebuild_takes_sentinel_and_excludes_live_appends(spark, tmp_path):
     write_chunk_index(spark, SF, cidx)
     cgot = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
     assert cgot == cwant and cwant
+
+
+def test_compactor_wait_drains_live_append_then_compacts(
+    spark, tmp_path, monkeypatch
+):
+    """Opt-in liveness variant (r13 verdict #7): with
+    ``wait_for_appends_s`` set, a compactor that finds a LIVE append
+    in flight holds the sentinel and waits for the claim to drain
+    instead of raising. While it waits, NEW appends are excluded by
+    the sentinel (so the wait is bounded when writers are alive); the
+    suspended append lands in full and the compaction that follows
+    observes it."""
+    import threading
+    import time
+
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+
+    in_write = threading.Event()
+    release = threading.Event()
+    real_write = bi._write_batch
+
+    def paused_write(b_docs, out, mode, bid):
+        in_write.set()
+        assert release.wait(timeout=60), "test deadlock"
+        real_write(b_docs, out, mode, bid)
+
+    monkeypatch.setattr(bi, "_write_batch", paused_write)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    errors: list[BaseException] = []
+
+    def appender() -> None:
+        try:
+            bi.append_postings_index(batch, idx, batch_id=1)
+        except BaseException as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    compacted = threading.Event()
+
+    def compactor() -> None:
+        try:
+            bi.compact_postings_index(spark, idx, wait_for_appends_s=120)
+            compacted.set()
+        except BaseException as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    assert in_write.wait(timeout=60)
+    c = threading.Thread(target=compactor)
+    c.start()
+    # the compactor is WAITING: sentinel held, not done, claim live
+    deadline = time.monotonic() + 30
+    while not bi._sentinel(idx).exists():
+        assert time.monotonic() < deadline, "no sentinel"
+    assert not compacted.is_set()
+    assert bi._live_append_claims(idx)
+    # a NEW append cannot start under the held sentinel — this is what
+    # makes the wait bounded when writers are alive
+    monkeypatch.setattr(bi, "_write_batch", real_write)
+    with pytest.raises(RuntimeError, match="compacted or rebuilt"):
+        bi.append_postings_index(batch, idx, batch_id=2)
+
+    release.set()
+    t.join(timeout=120)
+    c.join(timeout=120)
+    assert not t.is_alive() and not c.is_alive() and not errors, errors
+    assert compacted.is_set()
+    assert not bi._sentinel(idx).exists()
+    assert bi._live_append_claims(idx) == []
+
+    # the drained-then-compacted index equals a from-scratch rebuild
+    rebuilt = str(tmp_path / "rebuild")
+    bi._write_batch(docs, rebuilt, "overwrite", -1)
+    got = _rows(bi.bm25_against_index(spark, SF, idx))
+    want = _rows(bi.bm25_against_index(spark, SF, rebuilt))
+    assert got == want and got
+    # replay residue squashed: one stats row, watermark ≥ the epoch
+    assert spark.read.parquet(f"{idx}/stats").count() == 1
+
+
+def test_compactor_wait_deadline_raises_on_crashed_writer_claim(
+    spark, tmp_path
+):
+    """The bounded wait preserves the loud default for exactly the
+    case where waiting would hang: a CRASHED writer's claim never
+    drains, so the deadline raise fires, releases the sentinel
+    (nothing was written), and the index still serves. Chunk twin
+    shares the contract."""
+    import pytest
+
+    from cdc_cascade_spark.llm.bm25_index import (
+        _acquire_append_claim,
+        _live_append_claims,
+        _sentinel,
+        bm25_against_index,
+        compact_postings_index,
+        write_postings_index,
+    )
+    from cdc_cascade_spark.llm.chunk_index import (
+        chunked_against_index,
+        compact_chunk_index,
+        write_chunk_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_postings_index(spark, SF, idx)
+    want = _rows(bm25_against_index(spark, SF, idx))
+    claim = _acquire_append_claim(idx)
+    with pytest.raises(RuntimeError, match="waited 0.3"):
+        compact_postings_index(spark, idx, wait_for_appends_s=0.3)
+    assert not _sentinel(idx).exists()
+    assert _live_append_claims(idx) == [claim]
+    assert _rows(bm25_against_index(spark, SF, idx)) == want and want
+
+    cidx = str(tmp_path / "chunks")
+    write_chunk_index(spark, SF, cidx)
+    cwant = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
+    _acquire_append_claim(cidx)
+    with pytest.raises(RuntimeError, match="waited 0.2"):
+        compact_chunk_index(spark, cidx, wait_for_appends_s=0.2)
+    assert not _sentinel(cidx).exists()
+    cgot = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
+    assert cgot == cwant and cwant
