@@ -1,0 +1,259 @@
+"""Exhaustive interleaving model-check of the two-flag protocol.
+
+``llm/bm25_index.py``'s safety argument (the sentinel comment at
+_COMPACTING_SENTINEL) is stated in prose: an append creates its claim
+THEN checks the sentinel; a compactor/rebuild creates the sentinel THEN
+checks claims; for both to proceed into overlapping critical sections
+the required ordering would be cyclic, which is impossible under
+ordered create/stat visibility (POSIX). These tests make that argument
+MECHANICAL: enumerate EVERY interleaving of the actors' atomic steps
+(create/stat are atomic and totally ordered on a POSIX filesystem —
+exactly the modeling assumption the docstring claims) and assert the
+no-lost-append invariant in each one. Zero sampling — the state space
+is small enough to sweep completely:
+
+- 1 append + 1 compactor:      C(8;4,4)            =       70
+- 2 appends + 1 compactor:     C(12;4,4,4)         =   34,650
+- 1 append + compactor + rebuild: C(12;4,4,4)      =   34,650
+- 3 appends + 1 compactor:     C(16;4,4,4,4)       =  ~63.1 M — NOT
+  swept; 2-append coverage is complete for this protocol because
+  claims never interact with each other (appends are commutative by
+  construction — disjoint file groups + distinct batch_ids), so any
+  violation involving k>2 appends projects onto a violating
+  2-append-vs-sentinel-holder sub-interleaving.
+
+Model (mirrors the code paths, one atomic filesystem op per step):
+
+append i   : claim(i) → check-sentinel → write(i) → unclaim(i)
+             (aborts at check-sentinel if the sentinel exists; its
+             ``finally`` unclaim still runs as a later step — the
+             claim is visible to the compactor until then, exactly
+             like _append_guard)
+sentinel-side actor (compactor / rebuild): create-sentinel (aborts if
+             one exists: exclusive create) → check-claims (aborts and
+             releases if any claim is visible) → READ+swap (the
+             rewrite: everything not landed by this instant is lost
+             from the new layout) → release-sentinel
+
+Invariant (no silent data loss, the r12 ADVICE medium): at the moment
+any sentinel-side actor executes its READ step, every append that
+passed its sentinel check has already completed its write. An append
+that refused (or hasn't checked yet) writes nothing until it retries
+against the post-swap layout, so it cannot be lost.
+
+Liveness is intentionally NOT asserted: mutual refusal (both actors
+abort) is an accepted outcome of the loud-raise design — the bounded
+wait variant (wait_for_appends_s) trades it for a drain, tested with
+real threads in tests/test_bm25_index.py.
+"""
+
+from __future__ import annotations
+
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Append:
+    ident: str
+    # step cursor: 0=claim, 1=check-sentinel, 2=write, 3=unclaim
+    pc: int = 0
+    proceeded: bool | None = None  # None until check-sentinel runs
+
+    def steps_total(self) -> int:
+        return 4
+
+
+@dataclass
+class SentinelActor:
+    """Compactor or rebuild — both take the sentinel side."""
+
+    ident: str
+    # 0=create-sentinel, 1=check-claims, 2=read+swap, 3=release
+    pc: int = 0
+    acquired: bool | None = None
+    proceeded: bool | None = None
+    read_ok: bool | None = None  # invariant evaluated at READ time
+
+    def steps_total(self) -> int:
+        return 4
+
+
+@dataclass
+class World:
+    claims: set = field(default_factory=set)
+    sentinel_holder: str | None = None
+    landed: set = field(default_factory=set)
+
+
+def _step_append(a: Append, w: World) -> None:
+    if a.pc == 0:
+        w.claims.add(a.ident)
+    elif a.pc == 1:
+        a.proceeded = w.sentinel_holder is None
+    elif a.pc == 2:
+        if a.proceeded:
+            w.landed.add(a.ident)
+    elif a.pc == 3:
+        # _append_guard's finally: releases on success AND on refusal
+        w.claims.discard(a.ident)
+    a.pc += 1
+
+
+def _step_sentinel_actor(c: SentinelActor, w: World, appends: list[Append]) -> None:
+    if c.pc == 0:
+        c.acquired = w.sentinel_holder is None  # exclusive create
+        if c.acquired:
+            w.sentinel_holder = c.ident
+    elif c.pc == 1:
+        if c.acquired:
+            c.proceeded = not w.claims
+            if not c.proceeded:
+                w.sentinel_holder = None  # release on refusal
+    elif c.pc == 2:
+        if c.acquired and c.proceeded:
+            # THE invariant: every append that passed its check has
+            # landed by the time the rewrite reads the layout
+            c.read_ok = all(
+                (a.proceeded is not True) or (a.ident in w.landed)
+                for a in appends
+            )
+    elif c.pc == 3:
+        if c.acquired and c.proceeded:
+            w.sentinel_holder = None
+    c.pc += 1
+
+
+def _multiset_permutations(counts: dict[str, int]):
+    """Every distinct merge of the actors' step sequences — multiset
+    permutations, generated directly (materializing 12! permutations
+    and deduping would not terminate in test time)."""
+    total = sum(counts.values())
+    prefix: list[str] = []
+
+    def rec():
+        if len(prefix) == total:
+            yield tuple(prefix)
+            return
+        for aid in counts:
+            if counts[aid] > 0:
+                counts[aid] -= 1
+                prefix.append(aid)
+                yield from rec()
+                prefix.pop()
+                counts[aid] += 1
+
+    yield from rec()
+
+
+def _sweep(n_appends: int, n_sentinel_actors: int) -> tuple[int, int]:
+    """Run every interleaving; return (n_interleavings, n_reads_checked).
+
+    Raises AssertionError inside if any interleaving violates the
+    invariant (message carries the schedule for reproduction).
+    """
+    actor_ids = [f"a{i}" for i in range(n_appends)] + [
+        f"s{i}" for i in range(n_sentinel_actors)
+    ]
+
+    n_inter = 0
+    n_reads = 0
+    for sched in _multiset_permutations({aid: 4 for aid in actor_ids}):
+        n_inter += 1
+        appends = [Append(f"a{i}") for i in range(n_appends)]
+        actors = [SentinelActor(f"s{i}") for i in range(n_sentinel_actors)]
+        by_id = {a.ident: a for a in appends} | {c.ident: c for c in actors}
+        w = World()
+        for aid in sched:
+            node = by_id[aid]
+            if isinstance(node, Append):
+                _step_append(node, w)
+            else:
+                _step_sentinel_actor(node, w, appends)
+        for c in actors:
+            if c.read_ok is not None:
+                n_reads += 1
+                assert c.read_ok, (
+                    f"LOST APPEND under schedule {sched}: a proceeded "
+                    "append had not landed when the rewrite read the "
+                    "layout"
+                )
+        # sanity: no interleaving leaves a sentinel held by a completed
+        # actor (the release paths cover success AND refusal)
+        assert w.sentinel_holder is None, sched
+    return n_inter, n_reads
+
+
+def test_one_append_one_compactor_every_interleaving_safe():
+    n_inter, n_reads = _sweep(1, 1)
+    assert n_inter == 70  # C(8;4,4) — the sweep really was exhaustive
+    assert n_reads > 0  # the invariant was actually exercised
+
+
+def test_two_appends_one_compactor_every_interleaving_safe():
+    n_inter, n_reads = _sweep(2, 1)
+    assert n_inter == 34650  # 12!/(4!4!4!)
+    assert n_reads > 0
+
+
+def test_append_vs_compactor_vs_rebuild_every_interleaving_safe():
+    """r13 advice low #2: rebuilds take the sentinel side too, so
+    rebuild-vs-append is the same two-flag argument and
+    rebuild-vs-compactor is the sentinel's exclusive create — swept
+    here as a second sentinel-side actor."""
+    n_inter, n_reads = _sweep(1, 2)
+    assert n_inter == 34650
+    assert n_reads > 0
+
+
+def test_model_detects_the_pre_fix_race():
+    """Negative control — the sweep is not vacuous: flip the append's
+    step order to check-sentinel-THEN-claim (the pre-r12 protocol,
+    where the claim did not exist yet when the compactor looked) and
+    the sweep must find a lost append. The witness schedule it finds
+    is exactly the r12 ADVICE medium: append checks (no sentinel),
+    compactor sentinels + sees no claims, append claims and writes
+    after the rewrite already read the layout."""
+    import pytest
+
+    def broken_step_append(a: Append, w: World) -> None:
+        if a.pc == 0:
+            a.proceeded = w.sentinel_holder is None  # check FIRST (bug)
+        elif a.pc == 1:
+            w.claims.add(a.ident)  # claim second — too late
+        elif a.pc == 2:
+            if a.proceeded:
+                w.landed.add(a.ident)
+        elif a.pc == 3:
+            w.claims.discard(a.ident)
+        a.pc += 1
+
+    global _step_append
+    healthy = _step_append
+    _step_append = broken_step_append
+    try:
+        with pytest.raises(AssertionError, match="LOST APPEND"):
+            _sweep(1, 1)
+    finally:
+        _step_append = healthy
+
+
+def test_sentinel_exclusive_create_never_double_grants():
+    """Two sentinel-side actors can never both hold the lock: replay
+    every 2-sentinel-actor interleaving and assert at most one
+    acquires while the other is mid-flight."""
+    for sched in _multiset_permutations({"s0": 4, "s1": 4}):
+        actors = [SentinelActor("s0"), SentinelActor("s1")]
+        by_id = {c.ident: c for c in actors}
+        w = World()
+        holders_overlap = False
+        held: set = set()
+        for aid in sched:
+            c = by_id[aid]
+            before = w.sentinel_holder
+            _step_sentinel_actor(c, w, [])
+            if c.pc - 1 == 0 and c.acquired and before is not None:
+                holders_overlap = True  # pragma: no cover - would fail
+            if c.acquired and c.pc - 1 == 0:
+                held.add(c.ident)
+        assert not holders_overlap, sched
