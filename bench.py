@@ -129,6 +129,16 @@ def main() -> None:
     # caches are cold). Published every round per the r11 verdict.
     storage_backed = _bench_storage_backed_invalidation(spark, sf_dir)
 
+    # Machine-speed canary (r14): two FIXED CPU-bound workloads —
+    # single-thread numpy and an all-core synthetic Spark shuffle —
+    # that never touch the tables or any query code. Round-over-round
+    # slot comparisons divide out environment drift with these: in r14
+    # two full bench runs read a uniform ~1.7x on fingerprint-frozen
+    # queries (q25/q29/kmv — byte-unchanged since r11 by the committed
+    # manifest), i.e. the VM was slower, not the plans. The canary
+    # makes that attribution a recorded number instead of an argument.
+    calibration = _machine_calibration(spark)
+
     # Key order is deliberate: the round driver records only the LAST
     # ~2000 characters of this line (BENCH_r08.json's "tail"), so the
     # big cold dict goes FIRST (sacrificial), the warm per-query dict —
@@ -184,12 +194,62 @@ def main() -> None:
                 },
                 "streaming": streaming,
                 "storage_backed_invalidation": storage_backed,
+                "machine_calibration": calibration,
                 "sf": sf,
                 "value": total,
             }
         )
     )
     spark.stop()
+
+
+def _machine_calibration(spark) -> dict:
+    """Fixed-size CPU canaries, independent of sf_dir and of every
+    query plan. ``single_thread_sec`` is a deterministic numpy
+    accumulate fold (the same kernel family the cosine/norm UDFs use);
+    ``spark_allcore_sec`` is a synthetic range → hash-agg job sized to
+    give every local[*] slot work through one shuffle. Both have zero
+    I/O beyond the noop sink, so their drift across rounds is machine
+    drift. ``checksum`` pins determinism (a changed value means the
+    canary itself changed and comparisons must reset)."""
+    import numpy as np
+
+    base = np.arange(4_000_000, dtype=np.float64)
+
+    def fold(passes: int) -> float:
+        acc = 0.0
+        for _ in range(passes):
+            acc = (
+                float(np.add.accumulate(np.sqrt(base + (acc % 7.0) + 1.0))[-1])
+                % 997.0
+            )
+        return acc
+
+    fold(3)  # untimed warmup: first-touch page faults, allocator
+    t0 = time.perf_counter()
+    acc = fold(20)
+    single = round(time.perf_counter() - t0, 4)
+
+    def allcore_job() -> None:
+        (
+            spark.range(0, 20_000_000, 1, spark.sparkContext.defaultParallelism)
+            .selectExpr("id % 1024 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    allcore_job()  # untimed warmup: codegen compile for this one plan
+    t0 = time.perf_counter()
+    allcore_job()
+    allcore = round(time.perf_counter() - t0, 4)
+    return {
+        "single_thread_sec": single,
+        "spark_allcore_sec": allcore,
+        "checksum": round(acc, 6),
+    }
 
 
 def _bench_storage_backed_invalidation(spark, sf_dir: str) -> dict:
