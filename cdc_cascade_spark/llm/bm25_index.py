@@ -182,60 +182,48 @@ def _acquire_compaction_lock(
     out_path: str,
     wait_for_appends_s: float | None = None,
     _poll_interval_s: float = 0.05,
+    create: bool = False,
 ) -> None:
-    # exclusive create: a second compactor (or one racing crash repair)
-    # fails here instead of interleaving per-directory swaps. mkdir
-    # because the rebuild path (write_postings_index) takes this lock
-    # too and may be the first writer the layout has ever seen.
-    Path(out_path).mkdir(parents=True, exist_ok=True)
-    try:
-        with open(_sentinel(out_path), "x", encoding="utf-8") as f:
-            f.write("compaction/rebuild in progress\n")
-    except FileExistsError as e:
-        raise FileExistsError(
-            f"{_sentinel(out_path)} already exists — another compaction "
-            "or rebuild is running, or a prior one crashed holding the "
-            "lock. If neither is in progress, repair with "
-            "recover_compaction(out_path)."
-        ) from e
-    # sentinel FIRST, then the claim check (the compactor half of the
-    # two-flag protocol — see the sentinel comment): a write in flight
-    # at this instant either created its claim before our check (we
-    # raise here, touching nothing) or will see our sentinel at ITS
-    # check and raise before writing anything. The default (raise
-    # rather than wait) keeps the lock crash-simple; the operator
-    # compacts in an ingest-quiet window (a stale claim from a CRASHED
-    # writer blocks here until recover_compaction sweeps it).
-    #
+    # ``create``: only the rebuild paths (write_postings_index /
+    # write_chunk_index) may be the first writer the layout has ever
+    # seen — they pass True and the directory is created. Compactors
+    # keep their fail-fast: compacting a mistyped or never-built path
+    # raises FileNotFoundError here instead of creating a junk tree
+    # and failing later inside a parquet scan (review finding r14).
+    if create:
+        Path(out_path).mkdir(parents=True, exist_ok=True)
+    elif not Path(out_path).is_dir():
+        raise FileNotFoundError(
+            f"no index at {out_path} — nothing to compact (a rebuild "
+            "creates the layout; compaction never does)."
+        )
+
     # wait_for_appends_s (r13 verdict #7, opt-in liveness variant):
-    # instead of raising on live claims, hold the sentinel and poll
-    # until the in-flight appends drain or the deadline passes. The
-    # wait is BOUNDED-by-construction when the writers are alive: the
-    # sentinel is already held, so no NEW append can pass its entry
-    # check — the only claims we can be waiting on were created before
-    # our sentinel, each covering one finite in-flight append. A claim
-    # whose writer CRASHED never clears, so the deadline raise (which
-    # releases the sentinel — nothing was written yet) preserves the
-    # loud default for exactly the case where waiting would hang.
+    # poll the claim listing WITHOUT any flag held until an
+    # appends-free instant is observed, and only then run the real
+    # two-flag acquire below. Reads and new appends are untouched for
+    # the whole wait (no sentinel exists while polling — review
+    # finding r14: an earlier draft held the sentinel through the
+    # wait, blocking every probe for up to the full timeout). The
+    # price is liveness, stated honestly: a gapless back-to-back
+    # ingest may never present a claim-free instant, and a CRASHED
+    # writer's claim never drains — both raise at the deadline. If
+    # the real acquire loses the (rare) race with an append that
+    # claimed between our observation and our sentinel create, the
+    # acquire is undone and the poll resumes until the deadline.
     deadline = (
         None
         if wait_for_appends_s is None
         else time.monotonic() + wait_for_appends_s
     )
-    while True:
-        claims = _live_append_claims(out_path)
-        if not claims:
-            return
-        now = time.monotonic()
-        if deadline is not None and now < deadline:
-            time.sleep(min(_poll_interval_s, deadline - now))
-            continue
-        _release_compaction_lock(out_path)
+
+    def _raise_claims(claims: list[Path]) -> None:
         waited = (
             ""
             if wait_for_appends_s is None
-            else f" (waited {wait_for_appends_s}s for them to drain;"
-            " a claim that old is almost certainly a crashed writer's)"
+            else f" (waited up to {wait_for_appends_s}s for a "
+            "claim-free instant; a claim present that long is a "
+            "crashed writer's or a gapless ingest)"
         )
         raise RuntimeError(
             f"index at {out_path} has live (or crashed) appends in "
@@ -244,6 +232,45 @@ def _acquire_compaction_lock(
             "if no append is running, repair with recover_compaction"
             "(out_path)."
         )
+
+    while True:
+        claims = _live_append_claims(out_path)
+        if claims:
+            now = time.monotonic()
+            if deadline is None or now >= deadline:
+                _raise_claims(claims)
+            time.sleep(min(_poll_interval_s, deadline - now))
+            continue
+
+        # exclusive create: a second compactor (or one racing crash
+        # repair) fails here instead of interleaving per-directory
+        # swaps.
+        try:
+            with open(_sentinel(out_path), "x", encoding="utf-8") as f:
+                f.write("compaction/rebuild in progress\n")
+        except FileExistsError as e:
+            raise FileExistsError(
+                f"{_sentinel(out_path)} already exists — another "
+                "compaction or rebuild is running, or a prior one "
+                "crashed holding the lock. If neither is in progress, "
+                "repair with recover_compaction(out_path)."
+            ) from e
+        # sentinel FIRST, then the claim check (the compactor half of
+        # the two-flag protocol — see the sentinel comment): a write
+        # in flight at this instant either created its claim before
+        # our check (we undo and retry/raise, touching nothing) or
+        # will see our sentinel at ITS check and raise before writing
+        # anything. The default (raise rather than wait) keeps the
+        # lock crash-simple; the operator compacts in an ingest-quiet
+        # window (a stale claim from a CRASHED writer blocks here
+        # until recover_compaction sweeps it).
+        claims = _live_append_claims(out_path)
+        if not claims:
+            return
+        _release_compaction_lock(out_path)
+        if deadline is None or time.monotonic() >= deadline:
+            _raise_claims(claims)
+        # an append raced our acquire — back to flagless polling
 
 
 def _acquire_append_claim(out_path: str) -> Path:
@@ -287,6 +314,19 @@ def _release_compaction_lock(out_path: str) -> None:
 # ignore and the next compaction removes.
 _WATERMARK_MARKER = "_SQUASH_WATERMARK"
 
+# Rebuild swap commit record (review finding r14): an overwrite build
+# writes its fresh artifacts to the ``.compact`` temp names and swaps
+# them in atomically, creating this marker just before the first swap
+# and removing it after the last — so EVERY crash point is mechanically
+# decidable: marker absent → the build never committed, its temp
+# residue is rolled BACK (the old layout was never touched and keeps
+# serving); marker present → both temp copies were fully written, the
+# swap is rolled FORWARD. Without the record, a crash between the two
+# artifact swaps would leave new postings serving against old stats —
+# silently wrong BM25 scalars — which is exactly the state the old
+# in-place overwrite build could reach through ANY mid-build failure.
+_REBUILD_COMMIT = "_REBUILD_SWAP"
+
 
 def _marker_watermark(out_path: str) -> int:
     try:
@@ -321,11 +361,21 @@ def _postings_frame(docs: DataFrame) -> DataFrame:
 
 
 def _write_batch(
-    docs: DataFrame, out_path: str, mode: str, batch_id: int
+    docs: DataFrame,
+    out_path: str,
+    mode: str,
+    batch_id: int,
+    postings_dir: str = "postings",
+    stats_dir: str = "stats",
+    reset_marker: bool = True,
 ) -> None:
-    if mode == "overwrite":
+    if mode == "overwrite" and reset_marker:
         # a rebuilt index starts a fresh batch-id lineage — a stale
-        # squash marker from the previous life must not gate it
+        # squash marker from the previous life must not gate it. (The
+        # swap-based rebuild passes reset_marker=False and resets the
+        # marker inside its commit phase instead, so a build that
+        # fails before committing leaves the live layout's marker
+        # untouched along with everything else.)
         (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
     post = _postings_frame(docs).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
@@ -335,7 +385,7 @@ def _write_batch(
         .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(f"{out_path}/postings")
+        .parquet(f"{out_path}/{postings_dir}")
     )
     stats = (
         tokenized_base(docs)
@@ -351,7 +401,62 @@ def _write_batch(
     )
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
-    ).parquet(f"{out_path}/stats")
+    ).parquet(f"{out_path}/{stats_dir}")
+
+
+def _run_rebuild(out_path: str, write_compact) -> None:
+    """Crash-safe overwrite build, shared by :func:`write_postings_index`
+    and ``chunk_index.write_chunk_index``.
+
+    The old form overwrote the live directories in place under the
+    sentinel, then released the lock in a ``finally`` — so ANY
+    mid-build failure (executor OOM mid-overwrite, stats write failing
+    after postings committed) unlocked a half-overwritten layout that
+    then served silently-wrong results (review finding r14). This form
+    never touches the live layout until the fresh artifacts are fully
+    written:
+
+    1. ``write_compact()`` writes the new ``postings.compact`` /
+       ``stats.compact``. A failure here rolls BACK: the temp residue
+       is removed, the lock released, and the live layout — byte-
+       untouched — keeps serving.
+    2. The commit record ``_REBUILD_SWAP`` is created, both artifacts
+       are swapped in atomically, the squash-watermark marker is reset
+       (fresh batch-id lineage), and the record is removed. A crash
+       anywhere in this phase leaves the sentinel held (reads blocked
+       loudly) and :func:`recover_compaction` rolls the commit
+       FORWARD — the record proves both temp copies were complete —
+       so the repaired layout is always the consistent new one, never
+       new postings against old stats.
+
+    Exclusion is unchanged (r13 advice): the build holds the SENTINEL
+    side of the two-flag protocol, so it refuses while any append
+    claim is live, a second rebuild/compactor fails the exclusive
+    create, and an append or probe starting mid-build raises at its
+    sentinel check before touching anything."""
+    import shutil
+
+    _acquire_compaction_lock(out_path, create=True)
+    try:
+        write_compact()
+    except BaseException:
+        # roll back: the live layout was never touched. Clear our temp
+        # residue (a half-written .compact on a FIRST-ever build would
+        # otherwise be promotable by a later repair) and unlock.
+        for name in ("postings", "stats"):
+            shutil.rmtree(f"{out_path}/{name}.compact", ignore_errors=True)
+        _release_compaction_lock(out_path)
+        raise
+    # commit phase — deliberately NOT unlocked on failure: a mid-swap
+    # state must not serve, and with the commit record present
+    # recover_compaction completes the swap deterministically.
+    commit = Path(out_path) / _REBUILD_COMMIT
+    commit.write_text("rebuild swap in progress\n")
+    for name in ("postings", "stats"):
+        _swap_compacted(out_path, name)
+    (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
+    commit.unlink()
+    _release_compaction_lock(out_path)
 
 
 def write_postings_index(
@@ -364,26 +469,25 @@ def write_postings_index(
     files exclude writers against the compactor only — two claim
     holders never check each other's flags, so a rebuild racing a
     live append could interleave its overwrite of ``postings/`` with
-    the append's in-flight files). Under the sentinel the exclusion is
-    mechanical, by the same two-flag cyclic-ordering argument as
-    compaction: the rebuild refuses to start while any append claim is
-    live (and a second rebuild/compactor fails the exclusive create),
-    while an append or probe that starts mid-rebuild raises at its
-    sentinel check before touching anything. A CRASHED build leaves
-    the sentinel in place, blocking reads loudly — correct, because
-    the half-overwritten layout must not serve; the operator repairs
-    with :func:`recover_compaction` and re-runs the build (an
-    overwrite build is idempotent)."""
-    _acquire_compaction_lock(out_path)
-    try:
-        _write_batch(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    the append's in-flight files). The overwrite itself is the
+    write-temp-then-swap flow of :func:`_run_rebuild`: a FAILED build
+    leaves the old layout serving, a CRASHED one either rolls back
+    (nothing committed) or forward (commit record present) under
+    :func:`recover_compaction`, and re-running the build is always
+    safe (idempotent full overwrite)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _run_rebuild(
+        out_path,
+        lambda: _write_batch(
+            docs,
             out_path,
             "overwrite",
             BUILD_BATCH_ID,
-        )
-    finally:
-        _release_compaction_lock(out_path)
+            postings_dir="postings.compact",
+            stats_dir="stats.compact",
+            reset_marker=False,
+        ),
+    )
 
 
 def append_postings_index(
@@ -604,7 +708,19 @@ def _repair_for_read(out_path: str) -> None:
         tmp = Path(out_path) / f"{name}.compact"
         old = Path(out_path) / f"{name}.old"
         if not live.exists():
-            if tmp.exists():
+            # promote ``.compact`` only when provably complete: the
+            # compaction mid-swap state (``.old`` present — the swap
+            # wrote the temp fully before any rename) or a committed
+            # rebuild swap (the _REBUILD_COMMIT record). A bare
+            # ``.compact`` with neither is a crashed UNcommitted
+            # build's possibly-partial temp — never promoted here
+            # (and unreachable for probes anyway: every such state
+            # exists only under a held sentinel, checked before this
+            # runs).
+            complete = old.exists() or (
+                Path(out_path) / _REBUILD_COMMIT
+            ).exists()
+            if tmp.exists() and complete:
                 tmp.rename(live)
             elif old.exists():
                 old.rename(live)
@@ -739,7 +855,9 @@ def _swap_compacted(out_path: str, name: str) -> None:
     aside to ``.old``, (3) rename the compacted dir in, (4) delete
     ``.old``. Renames are atomic on a same-filesystem path and no
     data is ever deleted before its replacement exists, so every crash
-    point leaves a state :func:`recover_compaction` repairs."""
+    point leaves a state :func:`recover_compaction` repairs. A missing
+    live dir is tolerated (a FIRST-ever rebuild has nothing to move
+    aside — :func:`_run_rebuild`); compaction always has one."""
     import shutil
 
     live = Path(out_path) / name
@@ -747,9 +865,11 @@ def _swap_compacted(out_path: str, name: str) -> None:
     old = Path(out_path) / f"{name}.old"
     if old.exists():
         shutil.rmtree(old)
-    live.rename(old)
+    if live.exists():
+        live.rename(old)
     tmp.rename(live)
-    shutil.rmtree(old)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def recover_compaction(
@@ -763,13 +883,20 @@ def recover_compaction(
     compaction run. Idempotent, and a no-op on a clean layout — called
     at the top of every compact so an operator can simply re-run it.
 
-    Per artifact directory, exactly one of these crash states exists:
+    Per artifact directory, exactly one of these crash states exists
+    (plus the rebuild commit record, which overrides them — see the
+    ``_REBUILD_COMMIT`` comment: record present → roll every remaining
+    ``.compact`` FORWARD; the crashed rebuild's fresh artifacts were
+    complete before the record was written):
 
     - live present: any ``.compact``/``.old`` residue is stale (a
       crash before the swap started, or after it finished) — clear it.
     - live absent, ``.compact`` + ``.old`` present: crash between the
       two swap renames; the compacted copy was fully written before
       the swap began — promote it and clear ``.old``.
+    - live absent, ``.compact`` only, no commit record: a crashed
+      FIRST-ever build's possibly-partial temp — cleared (the build
+      re-runs; there was no live data to lose).
     - live absent, only ``.old`` present: defensive (the swap's rename
       pair cannot leave this, but a manual intervention might) —
       restore ``.old``.
@@ -812,21 +939,51 @@ def recover_compaction(
     import glob as _glob
     import shutil
 
+    # Rebuild commit record (see _REBUILD_COMMIT): present means a
+    # rebuild finished writing BOTH fresh artifacts and crashed inside
+    # its swap phase — roll the swap FORWARD (any artifact still
+    # carrying a .compact copy gets it promoted over the live dir), so
+    # the repaired layout is the consistent new build, never a mix of
+    # new postings and old stats. Absent means any .compact residue
+    # never committed: it is rolled BACK below (live present → residue
+    # cleared; live absent WITH .old → the compaction mid-swap state,
+    # whose .compact is complete by the swap's write order, promoted
+    # as before; live absent, no .old, no record → a crashed
+    # first-ever build's possibly-PARTIAL temp — cleared, the build
+    # simply re-runs).
+    commit = Path(out_path) / _REBUILD_COMMIT
+    roll_forward = commit.exists()
     for name in names:
         live = Path(out_path) / name
         tmp = Path(out_path) / f"{name}.compact"
         old = Path(out_path) / f"{name}.old"
-        if live.exists():
+        if roll_forward and tmp.exists():
+            # complete-by-record: safe to clear old copies before the
+            # promote (a crash mid-branch re-enters this same path)
+            if old.exists():
+                shutil.rmtree(old)
+            if live.exists():
+                live.rename(old)
+            tmp.rename(live)
+            if old.exists():
+                shutil.rmtree(old)
+        elif live.exists():
             if tmp.exists():
                 shutil.rmtree(tmp)
             if old.exists():
                 shutil.rmtree(old)
         elif tmp.exists():
-            tmp.rename(live)
             if old.exists():
+                tmp.rename(live)
                 shutil.rmtree(old)
+            else:
+                shutil.rmtree(tmp)
         elif old.exists():
             old.rename(live)
+    if roll_forward:
+        # the swap's tail: fresh lineage marker reset + record removal
+        (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
+        commit.unlink(missing_ok=True)
     # per-bucket compaction residue (compact_table naming, hidden form
     # ".bucket=K._compact_bak" plus the legacy visible form): a bak
     # whose live dir vanished is the data — promote it; everything else

@@ -69,6 +69,7 @@ from cdc_cascade_spark.llm.bm25_index import (
     _marker_watermark,
     _release_compaction_lock,
     _repair_for_read,
+    _run_rebuild,
     _squash_watermark,
     _stats_raw,
     _stats_summary,
@@ -117,10 +118,17 @@ def _chunk_postings_frame(docs: DataFrame) -> DataFrame:
 
 
 def _write_batch(
-    docs: DataFrame, out_path: str, mode: str, batch_id: int
+    docs: DataFrame,
+    out_path: str,
+    mode: str,
+    batch_id: int,
+    postings_dir: str = "postings",
+    stats_dir: str = "stats",
+    reset_marker: bool = True,
 ) -> None:
-    if mode == "overwrite":
-        # fresh batch-id lineage on rebuild (the bm25_index reasoning)
+    if mode == "overwrite" and reset_marker:
+        # fresh batch-id lineage on rebuild (the bm25_index reasoning;
+        # the swap-based rebuild resets the marker in its commit phase)
         (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
     post = _chunk_postings_frame(docs).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
@@ -130,7 +138,7 @@ def _write_batch(
         .sortWithinPartitions("bucket", "term", "doc_id", "chunk_id")
         .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(f"{out_path}/postings")
+        .parquet(f"{out_path}/{postings_dir}")
     )
     stats = (
         chunk_units_frame(tokenized_base(docs))
@@ -144,7 +152,7 @@ def _write_batch(
     )
     stats.coalesce(1).write.mode(
         "overwrite" if mode == "overwrite" else "append"
-    ).parquet(f"{out_path}/stats")
+    ).parquet(f"{out_path}/{stats_dir}")
 
 
 def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
@@ -154,17 +162,24 @@ def write_chunk_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     overwrite of the live layout, so it excludes live appends (and
     other rebuilds/compactors) mechanically; see
     :func:`cdc_cascade_spark.llm.bm25_index.write_postings_index`
-    (r13 advice: claim holders never check each other's flags)."""
-    _acquire_compaction_lock(out_path)
-    try:
-        _write_batch(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    (r13 advice: claim holders never check each other's flags). The
+    overwrite is the crash-safe write-temp-then-swap flow of
+    :func:`cdc_cascade_spark.llm.bm25_index._run_rebuild`: a failed
+    build leaves the old layout serving; a crashed swap rolls forward
+    under ``recover_compaction``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _run_rebuild(
+        out_path,
+        lambda: _write_batch(
+            docs,
             out_path,
             "overwrite",
             BUILD_BATCH_ID,
-        )
-    finally:
-        _release_compaction_lock(out_path)
+            postings_dir="postings.compact",
+            stats_dir="stats.compact",
+            reset_marker=False,
+        ),
+    )
 
 
 def append_chunk_index(

@@ -172,18 +172,22 @@ def ann_against_ivf_index(
     probes = probe_cells(qvec, cids, C, normC, nprobe)
     qcell = probe_cells(qvec, cids, C, normC, 1)[0]
     cells = spark.read.parquet(f"{index_path}/cells")
-    qrow = (
+    # ONE job fetches the query row from its pruned cell directory and
+    # the collected values seed the broadcast frame below — the r13
+    # isEmpty() draft ran the pruned scan twice (once for the guard,
+    # once when the crossJoin materialized its broadcast).
+    qrows = (
         cells.filter(F.col("centroid") == qcell)
         .filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm"))
+        .take(1)
     )
     # r13 advice: the pruned lookup reads ONE cell directory, so a
     # caller violating the stored-embedding contract (or future drift
     # between probe_cells and the build's assignment kernel) would make
-    # qrow EMPTY — and an empty 1-row broadcast silently yields an
-    # empty top-k, the worst failure shape. Fail loudly instead: the
-    # check is one job over the already-pruned 1-row scan.
-    if qrow.isEmpty():
+    # the lookup EMPTY — and an empty 1-row broadcast silently yields
+    # an empty top-k, the worst failure shape. Fail loudly instead.
+    if not qrows:
         raise ValueError(
             f"IVF probe: vec_id={qid} not found in its computed cell "
             f"centroid={qcell} of {index_path}/cells — either the "
@@ -192,6 +196,9 @@ def ann_against_ivf_index(
             "assignment kernel. Refusing to return a silently empty "
             "top-k."
         )
+    qrow = spark.createDataFrame(
+        qrows, "qvec array<float>, qnorm double"
+    )
     return (
         cells.filter(F.col("centroid").isin(probes))
         .filter(F.col("vec_id") != qid)

@@ -4,6 +4,7 @@ append ≡ rebuild, and the bucket partition-pruning plan shape."""
 from __future__ import annotations
 
 import glob
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -1250,13 +1251,13 @@ def test_rebuild_takes_sentinel_and_excludes_live_appends(spark, tmp_path):
 def test_compactor_wait_drains_live_append_then_compacts(
     spark, tmp_path, monkeypatch
 ):
-    """Opt-in liveness variant (r13 verdict #7): with
-    ``wait_for_appends_s`` set, a compactor that finds a LIVE append
-    in flight holds the sentinel and waits for the claim to drain
-    instead of raising. While it waits, NEW appends are excluded by
-    the sentinel (so the wait is bounded when writers are alive); the
-    suspended append lands in full and the compaction that follows
-    observes it."""
+    """Opt-in liveness variant (r13 verdict #7, reworked after the r14
+    self-review): with ``wait_for_appends_s`` set, a compactor that
+    finds a LIVE append in flight polls the claim listing WITHOUT any
+    flag held until a claim-free instant — so for the whole wait no
+    sentinel exists, probes keep serving, and new appends keep
+    landing. The suspended append lands in full and the compaction
+    that follows observes it."""
     import threading
     import time
 
@@ -1302,17 +1303,21 @@ def test_compactor_wait_drains_live_append_then_compacts(
     assert in_write.wait(timeout=60)
     c = threading.Thread(target=compactor)
     c.start()
-    # the compactor is WAITING: sentinel held, not done, claim live
-    deadline = time.monotonic() + 30
-    while not bi._sentinel(idx).exists():
-        assert time.monotonic() < deadline, "no sentinel"
+    time.sleep(1.0)  # several poll cycles with the claim held
+    # the compactor is WAITING flaglessly: not done, claim live, and
+    # NO sentinel exists (the pre-rework draft held the sentinel here,
+    # blocking every read for up to the full timeout)
     assert not compacted.is_set()
     assert bi._live_append_claims(idx)
-    # a NEW append cannot start under the held sentinel — this is what
-    # makes the wait bounded when writers are alive
+    assert not bi._sentinel(idx).exists()
+    # probes keep serving DURING the wait...
     monkeypatch.setattr(bi, "_write_batch", real_write)
-    with pytest.raises(RuntimeError, match="compacted or rebuilt"):
-        bi.append_postings_index(batch, idx, batch_id=2)
+    assert _rows(bi.bm25_against_index(spark, SF, idx))
+    # ...and a NEW append lands during the wait too (an empty batch:
+    # disjoint from both halves, so the final equality check below
+    # stays exact). It extends the wait rather than deadlocking it.
+    bi.append_postings_index(docs.filter(F.lit(False)), idx, batch_id=2)
+    assert not compacted.is_set()
 
     release.set()
     t.join(timeout=120)
@@ -1337,9 +1342,9 @@ def test_compactor_wait_deadline_raises_on_crashed_writer_claim(
 ):
     """The bounded wait preserves the loud default for exactly the
     case where waiting would hang: a CRASHED writer's claim never
-    drains, so the deadline raise fires, releases the sentinel
-    (nothing was written), and the index still serves. Chunk twin
-    shares the contract."""
+    drains, so the deadline raise fires with no sentinel ever created
+    (the wait polls flaglessly) and the index keeps serving
+    throughout. Chunk twin shares the contract."""
     import pytest
 
     from cdc_cascade_spark.llm.bm25_index import (
@@ -1360,7 +1365,7 @@ def test_compactor_wait_deadline_raises_on_crashed_writer_claim(
     write_postings_index(spark, SF, idx)
     want = _rows(bm25_against_index(spark, SF, idx))
     claim = _acquire_append_claim(idx)
-    with pytest.raises(RuntimeError, match="waited 0.3"):
+    with pytest.raises(RuntimeError, match="waited up to 0.3"):
         compact_postings_index(spark, idx, wait_for_appends_s=0.3)
     assert not _sentinel(idx).exists()
     assert _live_append_claims(idx) == [claim]
@@ -1370,8 +1375,166 @@ def test_compactor_wait_deadline_raises_on_crashed_writer_claim(
     write_chunk_index(spark, SF, cidx)
     cwant = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
     _acquire_append_claim(cidx)
-    with pytest.raises(RuntimeError, match="waited 0.2"):
+    with pytest.raises(RuntimeError, match="waited up to 0.2"):
         compact_chunk_index(spark, cidx, wait_for_appends_s=0.2)
     assert not _sentinel(cidx).exists()
     cgot = sorted(map(tuple, chunked_against_index(spark, SF, cidx).collect()))
     assert cgot == cwant and cwant
+
+
+def test_failed_rebuild_leaves_old_layout_serving(spark, tmp_path, monkeypatch):
+    """Review finding r14 (the serious one): a rebuild that FAILS
+    mid-write must leave the live layout byte-untouched and serving —
+    the old in-place overwrite unlocked a half-overwritten layout on
+    any failure. The swap-based build never touches the live dirs
+    until both fresh artifacts are complete."""
+    import pytest
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    bi.write_postings_index(spark, SF, idx)
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+    assert want
+
+    real_frame = bi._postings_frame
+
+    def exploding_frame(docs):
+        raise RuntimeError("executor lost (injected)")
+
+    monkeypatch.setattr(bi, "_postings_frame", exploding_frame)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.write_postings_index(spark, SF, idx)
+
+    # rolled back: unlocked, no temp residue, no commit record, and
+    # the live layout still answers identically
+    assert not bi._sentinel(idx).exists()
+    assert not (tmp_path / "bm25" / "postings.compact").exists()
+    assert not (tmp_path / "bm25" / "stats.compact").exists()
+    assert not (tmp_path / "bm25" / bi._REBUILD_COMMIT).exists()
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+    # and a re-run (the documented repair) succeeds
+    monkeypatch.setattr(bi, "_postings_frame", real_frame)
+    bi.write_postings_index(spark, SF, idx)
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+    # chunk twin shares the flow
+    from cdc_cascade_spark.llm import chunk_index as ci
+
+    cidx = str(tmp_path / "chunks")
+    ci.write_chunk_index(spark, SF, cidx)
+    cwant = sorted(map(tuple, ci.chunked_against_index(spark, SF, cidx).collect()))
+
+    def exploding_chunk_frame(docs):
+        raise RuntimeError("executor lost (injected)")
+
+    monkeypatch.setattr(ci, "_chunk_postings_frame", exploding_chunk_frame)
+    with pytest.raises(RuntimeError, match="injected"):
+        ci.write_chunk_index(spark, SF, cidx)
+    assert not bi._sentinel(cidx).exists()
+    cgot = sorted(map(tuple, ci.chunked_against_index(spark, SF, cidx).collect()))
+    assert cgot == cwant and cwant
+
+
+def test_rebuild_swap_crash_rolls_forward_under_recover(
+    spark, tmp_path, monkeypatch
+):
+    """A crash INSIDE the rebuild's swap phase (after the commit
+    record, between the two artifact swaps — the state that used to
+    decay into new postings served against old stats) must: block
+    reads loudly (sentinel held), and roll FORWARD under
+    recover_compaction to the consistent new build."""
+    import pytest
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    # old life: even docs only, plus an append to give it a marker
+    from cdc_cascade_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    bi.append_postings_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1)
+    bi.compact_postings_index(spark, idx)  # leaves a watermark marker
+    assert bi._marker_watermark(idx) == 1
+
+    real_swap = bi._swap_compacted
+    swapped: list[str] = []
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+        swapped.append(name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.write_postings_index(spark, SF, idx)
+    assert swapped == ["postings"]
+
+    # mid-commit: sentinel held, reads refuse loudly (the
+    # inconsistent postings-new/stats-old mix must not serve)
+    assert bi._sentinel(idx).exists()
+    assert (Path(idx) / bi._REBUILD_COMMIT).exists()
+    with pytest.raises(RuntimeError, match="compacted or rebuilt"):
+        bi.bm25_against_index(spark, SF, idx).collect()
+
+    # operator repair: the commit record rolls the swap FORWARD
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+    bi.recover_compaction(idx)
+    assert not bi._sentinel(idx).exists()
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not (Path(idx) / "stats.compact").exists()
+    assert not (Path(idx) / "postings.compact").exists()
+    # fresh lineage: the old life's squash marker was reset
+    assert bi._marker_watermark(idx) == -1
+
+    rebuilt = str(tmp_path / "reference")
+    bi.write_postings_index(spark, SF, rebuilt)
+    got = _rows(bi.bm25_against_index(spark, SF, idx))
+    want = _rows(bi.bm25_against_index(spark, SF, rebuilt))
+    assert got == want and got
+
+
+def test_crashed_first_build_partial_temp_is_cleared_not_promoted(
+    spark, tmp_path
+):
+    """A FIRST-ever build that dies mid-write leaves a possibly-PARTIAL
+    postings.compact with no live layout, no .old, and no commit
+    record. recover_compaction must clear it (never promote a temp it
+    cannot prove complete), unlock, and let the build simply re-run."""
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = tmp_path / "bm25"
+    idx.mkdir()
+    # simulate process death mid-write: sentinel held, garbage temp
+    bi._sentinel(str(idx)).write_text("compaction/rebuild in progress\n")
+    partial = idx / "postings.compact" / "bucket=0"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+
+    bi.recover_compaction(str(idx))
+    assert not bi._sentinel(str(idx)).exists()
+    assert not (idx / "postings.compact").exists()
+    assert not (idx / "postings").exists()  # nothing was promoted
+
+    bi.write_postings_index(spark, SF, str(idx))
+    assert _rows(bi.bm25_against_index(spark, SF, str(idx)))
+
+
+def test_compact_missing_path_fails_fast(spark, tmp_path):
+    """Review finding r14: compacting a mistyped or never-built path
+    must raise FileNotFoundError immediately — not mkdir a junk tree
+    and die later inside a parquet scan."""
+    import pytest
+
+    from cdc_cascade_spark.llm.bm25_index import compact_postings_index
+    from cdc_cascade_spark.llm.chunk_index import compact_chunk_index
+
+    missing = str(tmp_path / "no_such_index")
+    with pytest.raises(FileNotFoundError, match="nothing to compact"):
+        compact_postings_index(spark, missing)
+    with pytest.raises(FileNotFoundError, match="nothing to compact"):
+        compact_chunk_index(spark, missing)
+    assert not Path(missing).exists()

@@ -238,22 +238,58 @@ def test_model_detects_the_pre_fix_race():
         _step_append = healthy
 
 
+def _sentinel_hold_spans(sched, step_fn):
+    """Replay a 2-sentinel-actor schedule; return each acquiring
+    actor's half-open [acquire_step, release_step) hold span."""
+    actors = {c.ident: c for c in (SentinelActor("s0"), SentinelActor("s1"))}
+    w = World()
+    spans: dict[str, tuple[int, int]] = {}
+    opened: dict[str, int] = {}
+    for i, aid in enumerate(sched):
+        c = actors[aid]
+        step_fn(c, w, [])
+        if c.pc - 1 == 0 and c.acquired:
+            opened[aid] = i
+        if aid in opened and w.sentinel_holder != aid:
+            spans[aid] = (opened.pop(aid), i)
+    for aid, start in opened.items():  # never released (model bug)
+        spans[aid] = (start, len(sched))
+    return spans
+
+
 def test_sentinel_exclusive_create_never_double_grants():
-    """Two sentinel-side actors can never both hold the lock: replay
-    every 2-sentinel-actor interleaving and assert at most one
-    acquires while the other is mid-flight."""
+    """Two sentinel-side actors' HOLD SPANS are disjoint in every
+    interleaving (an earlier form of this test checked a condition the
+    model's acquire step makes unreachable by definition — review
+    finding r14: it could never fail). Spans are computed from the
+    world's holder transitions, and a sabotaged acquire that ignores
+    the existing holder is shown to produce an overlap — the check has
+    teeth."""
+    overlaps_possible = 0
     for sched in _multiset_permutations({"s0": 4, "s1": 4}):
-        actors = [SentinelActor("s0"), SentinelActor("s1")]
-        by_id = {c.ident: c for c in actors}
-        w = World()
-        holders_overlap = False
-        held: set = set()
-        for aid in sched:
-            c = by_id[aid]
-            before = w.sentinel_holder
-            _step_sentinel_actor(c, w, [])
-            if c.pc - 1 == 0 and c.acquired and before is not None:
-                holders_overlap = True  # pragma: no cover - would fail
-            if c.acquired and c.pc - 1 == 0:
-                held.add(c.ident)
-        assert not holders_overlap, sched
+        spans = _sentinel_hold_spans(sched, _step_sentinel_actor)
+        if len(spans) == 2:
+            (a1, r1), (a2, r2) = spans["s0"], spans["s1"]
+            assert r1 <= a2 or r2 <= a1, (sched, spans)
+            overlaps_possible += 1
+    assert overlaps_possible > 0  # both-acquire schedules were exercised
+
+    # negative control: an acquire that skips the exclusive-create
+    # check must produce overlapping spans under SOME schedule
+    def broken_step(c: SentinelActor, w: World, appends) -> None:
+        if c.pc == 0:
+            c.acquired = True  # ignores the current holder (bug)
+            w.sentinel_holder = c.ident
+            c.pc += 1
+            return
+        _step_sentinel_actor(c, w, appends)
+
+    found_overlap = False
+    for sched in _multiset_permutations({"s0": 4, "s1": 4}):
+        spans = _sentinel_hold_spans(sched, broken_step)
+        if len(spans) == 2:
+            (a1, r1), (a2, r2) = spans["s0"], spans["s1"]
+            if not (r1 <= a2 or r2 <= a1):
+                found_overlap = True
+                break
+    assert found_overlap, "sabotaged acquire was not detected — model too weak"
