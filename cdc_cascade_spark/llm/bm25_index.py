@@ -73,6 +73,7 @@ tests/test_bm25_index.py.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from contextlib import contextmanager
 from pathlib import Path
@@ -236,6 +237,21 @@ def _acquire_compaction_lock(
     while True:
         claims = _live_append_claims(out_path)
         if claims:
+            # a held sentinel outranks the claims diagnosis (review
+            # finding r14 #2): if a sibling compaction/rebuild is LIVE,
+            # the claims we see may be transient refusals against ITS
+            # sentinel, and the claims error's remediation (run
+            # recover_compaction) would unlock the live sibling.
+            # Raise the running-maintenance error instead — waiting
+            # for claims cannot help while another run holds the lock.
+            if _sentinel(out_path).exists():
+                raise FileExistsError(
+                    f"{_sentinel(out_path)} already exists — another "
+                    "compaction or rebuild is running, or a prior one "
+                    "crashed holding the lock. If neither is in "
+                    "progress, repair with recover_compaction"
+                    "(out_path)."
+                )
             now = time.monotonic()
             if deadline is None or now >= deadline:
                 _raise_claims(claims)
@@ -450,8 +466,29 @@ def _run_rebuild(out_path: str, write_compact) -> None:
     # commit phase — deliberately NOT unlocked on failure: a mid-swap
     # state must not serve, and with the commit record present
     # recover_compaction completes the swap deterministically.
+    #
+    # The record is fsynced (file AND directory entry) BEFORE the
+    # first rename (review finding r14): without the fsync, a POWER
+    # loss could journal the postings rename while losing the record,
+    # and the recover decision would roll BACK a half-forward state —
+    # new postings kept, the complete stats.compact cleared — i.e.
+    # serve new postings against old stats. With the ordering
+    # durable, recover always sees the record whenever any swap
+    # rename could have reached disk. (The renames themselves ride
+    # the filesystem journal's ordering, the same assumption
+    # _swap_compacted has always made; object stores delegate the
+    # whole protocol to the storage layer's atomic commit, per the
+    # sentinel comment.)
     commit = Path(out_path) / _REBUILD_COMMIT
-    commit.write_text("rebuild swap in progress\n")
+    with open(commit, "w", encoding="utf-8") as f:
+        f.write("rebuild swap in progress\n")
+        f.flush()
+        os.fsync(f.fileno())
+    dfd = os.open(out_path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     for name in ("postings", "stats"):
         _swap_compacted(out_path, name)
     (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
@@ -958,15 +995,9 @@ def recover_compaction(
         tmp = Path(out_path) / f"{name}.compact"
         old = Path(out_path) / f"{name}.old"
         if roll_forward and tmp.exists():
-            # complete-by-record: safe to clear old copies before the
-            # promote (a crash mid-branch re-enters this same path)
-            if old.exists():
-                shutil.rmtree(old)
-            if live.exists():
-                live.rename(old)
-            tmp.rename(live)
-            if old.exists():
-                shutil.rmtree(old)
+            # complete-by-record: finish the swap with the one shared
+            # rename sequence (a crash mid-swap re-enters this path)
+            _swap_compacted(out_path, name)
         elif live.exists():
             if tmp.exists():
                 shutil.rmtree(tmp)

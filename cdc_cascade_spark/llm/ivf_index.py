@@ -170,7 +170,11 @@ def ann_against_ivf_index(
     if len(cids) == 0:
         return _empty_ann(spark, "centroid", "bigint")
     probes = probe_cells(qvec, cids, C, normC, nprobe)
-    qcell = probe_cells(qvec, cids, C, normC, 1)[0]
+    # the query's own cell is by definition the top-ranked probe —
+    # probe_cells orders by (-cos, cid), so probes[0] IS the nprobe=1
+    # answer (re-running the full centroid ranking for it was a
+    # per-probe numpy redundancy, review finding r14)
+    qcell = probes[0]
     cells = spark.read.parquet(f"{index_path}/cells")
     # ONE job fetches the query row from its pruned cell directory and
     # the collected values seed the broadcast frame below — the r13
