@@ -330,18 +330,92 @@ def _release_compaction_lock(out_path: str) -> None:
 # ignore and the next compaction removes.
 _WATERMARK_MARKER = "_SQUASH_WATERMARK"
 
-# Rebuild swap commit record (review finding r14): an overwrite build
-# writes its fresh artifacts to the ``.compact`` temp names and swaps
-# them in atomically, creating this marker just before the first swap
-# and removing it after the last — so EVERY crash point is mechanically
-# decidable: marker absent → the build never committed, its temp
-# residue is rolled BACK (the old layout was never touched and keeps
-# serving); marker present → both temp copies were fully written, the
-# swap is rolled FORWARD. Without the record, a crash between the two
-# artifact swaps would leave new postings serving against old stats —
-# silently wrong BM25 scalars — which is exactly the state the old
-# in-place overwrite build could reach through ANY mid-build failure.
+# Swap commit record (review finding r14; extended to compaction in
+# r15): any writer that swaps fresh ``.compact`` artifacts over the
+# live pair — a rebuild OR a whole-index compaction — creates this
+# marker just before the first swap and removes it after the last, so
+# EVERY crash point is mechanically decidable: marker absent → the
+# write never committed, its temp residue is rolled BACK (the old
+# layout was never touched and keeps serving); marker present → both
+# temp copies were fully written, the swap is rolled FORWARD. Without
+# the record, a crash BETWEEN the two artifact swaps leaves new
+# postings serving against old stats — and recover_compaction's
+# "live present → residue is stale" rule would then delete the
+# complete ``stats.compact``, FINALIZING the mix (r14 verdict:
+# the BM25 scalars still sum right, but the squash watermark advance
+# is lost, so an at-least-once replay of an epoch the squash already
+# absorbed lands above the stale watermark and double-counts term
+# frequencies silently). The record's payload distinguishes the two
+# writers because their recovery tails differ: a rebuild starts a
+# fresh batch-id lineage (watermark marker unlinked), a compaction
+# carries its new watermark forward (marker re-written with the
+# recorded value).
 _REBUILD_COMMIT = "_REBUILD_SWAP"
+_COMPACT_PAYLOAD = "compact"
+
+
+def _write_commit_record(out_path: str, payload: str) -> None:
+    """Create the swap commit record durably: the file content AND the
+    directory entry are fsynced BEFORE the caller's first rename
+    (review finding r14): without the fsync, a POWER loss could
+    journal the postings rename while losing the record, and the
+    recover decision would roll BACK a half-forward state — new
+    postings kept, the complete stats.compact cleared — i.e. serve new
+    postings against old stats. With the ordering durable, recover
+    always sees the record whenever any swap rename could have reached
+    disk. (The renames themselves ride the filesystem journal's
+    ordering, the same assumption _swap_compacted has always made;
+    object stores delegate the whole protocol to the storage layer's
+    atomic commit, per the sentinel comment.)"""
+    commit = Path(out_path) / _REBUILD_COMMIT
+    with open(commit, "w", encoding="utf-8") as f:
+        f.write(payload + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    dfd = os.open(out_path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _commit_record_watermark(out_path: str) -> int | None:
+    """Parse the commit record's payload: a compaction records
+    ``compact <new_wm>`` (its recovery re-writes the watermark marker
+    with that value); a rebuild records anything else (its recovery
+    unlinks the marker — fresh batch-id lineage). Returns the
+    watermark, or ``None`` for the rebuild form."""
+    try:
+        text = (Path(out_path) / _REBUILD_COMMIT).read_text().strip()
+    except FileNotFoundError:
+        return None
+    parts = text.split()
+    if len(parts) == 2 and parts[0] == _COMPACT_PAYLOAD:
+        try:
+            return int(parts[1])
+        except ValueError:
+            return None
+    return None
+
+
+def _commit_compaction_swap(out_path: str, new_wm: int) -> None:
+    """The whole-index compaction's commit phase: fsynced commit
+    record → postings swap → stats swap → watermark marker → record
+    unlink → unlock. Callers must NOT wrap this in an unlock-on-
+    failure ``finally``: a failure inside the swap pair must keep the
+    sentinel held (reads blocked loudly) so :func:`recover_compaction`
+    rolls the commit FORWARD — the record proves both temps were
+    complete — instead of a probe serving new postings against old
+    stats (r14 verdict finding: without the record, a crash between
+    the two renames was finalized into exactly that mix by recover's
+    stale-residue rule, silently losing the squash watermark
+    advance)."""
+    _write_commit_record(out_path, f"{_COMPACT_PAYLOAD} {int(new_wm)}")
+    _swap_compacted(out_path, "postings")
+    _swap_compacted(out_path, "stats")
+    _write_watermark_marker(out_path, new_wm)
+    (Path(out_path) / _REBUILD_COMMIT).unlink()
+    _release_compaction_lock(out_path)
 
 
 def _marker_watermark(out_path: str) -> int:
@@ -452,6 +526,7 @@ def _run_rebuild(out_path: str, write_compact) -> None:
     sentinel check before touching anything."""
     import shutil
 
+    created_out_path = not Path(out_path).is_dir()
     _acquire_compaction_lock(out_path, create=True)
     try:
         write_compact()
@@ -462,37 +537,32 @@ def _run_rebuild(out_path: str, write_compact) -> None:
         for name in ("postings", "stats"):
             shutil.rmtree(f"{out_path}/{name}.compact", ignore_errors=True)
         _release_compaction_lock(out_path)
+        if created_out_path:
+            # a FAILED first-ever build also removes the directory it
+            # just created, if nothing else landed in it (r14 advice
+            # #3: the bare empty dir would pass the compactor's
+            # is_dir() fail-fast — added precisely to catch never-built
+            # paths — and die later inside the stats parquet scan, the
+            # exact late-failure shape that fail-fast exists to
+            # prevent). Non-empty is left alone: something we didn't
+            # write lives there, and rmdir on it raises anyway.
+            try:
+                os.rmdir(out_path)
+            except OSError:
+                pass
         raise
     # commit phase — deliberately NOT unlocked on failure: a mid-swap
     # state must not serve, and with the commit record present
-    # recover_compaction completes the swap deterministically.
-    #
-    # The record is fsynced (file AND directory entry) BEFORE the
-    # first rename (review finding r14): without the fsync, a POWER
-    # loss could journal the postings rename while losing the record,
-    # and the recover decision would roll BACK a half-forward state —
-    # new postings kept, the complete stats.compact cleared — i.e.
-    # serve new postings against old stats. With the ordering
-    # durable, recover always sees the record whenever any swap
-    # rename could have reached disk. (The renames themselves ride
-    # the filesystem journal's ordering, the same assumption
-    # _swap_compacted has always made; object stores delegate the
-    # whole protocol to the storage layer's atomic commit, per the
-    # sentinel comment.)
-    commit = Path(out_path) / _REBUILD_COMMIT
-    with open(commit, "w", encoding="utf-8") as f:
-        f.write("rebuild swap in progress\n")
-        f.flush()
-        os.fsync(f.fileno())
-    dfd = os.open(out_path, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    # recover_compaction completes the swap deterministically. The
+    # record is written durably first (see _write_commit_record's
+    # fsync-ordering rationale); its payload is the rebuild form, so
+    # recovery UNLINKS the watermark marker — a rebuilt index starts a
+    # fresh batch-id lineage.
+    _write_commit_record(out_path, "rebuild swap in progress")
     for name in ("postings", "stats"):
         _swap_compacted(out_path, name)
     (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
-    commit.unlink()
+    (Path(out_path) / _REBUILD_COMMIT).unlink()
     _release_compaction_lock(out_path)
 
 
@@ -819,11 +889,16 @@ def compact_postings_index(
     raises and the operator runs :func:`recover_compaction` once.
 
     ``wait_for_appends_s`` (opt-in): instead of raising when appends
-    are in flight, hold the sentinel (which blocks NEW appends from
-    starting) and wait up to this many seconds for the in-flight
-    claims to drain before compacting — for deployments that cannot
-    schedule an ingest-quiet window. The deadline raise preserves the
-    loud default for crashed writers' claims, which never drain (see
+    are in flight, poll the claim listing FLAGLESSLY for up to this
+    many seconds and take the lock only in an observed claim-free
+    instant — for deployments that cannot schedule an ingest-quiet
+    window. No sentinel is held during the wait: probes keep serving
+    and new appends keep landing the whole time, which also means a
+    gapless back-to-back ingest can starve the compactor to the
+    deadline — the wait gives a QUIET-ENOUGH ingest a window, it does
+    not guarantee the compactor eventually wins against a continuous
+    one. The deadline raise preserves the loud default for crashed
+    writers' claims, which never drain (see
     :func:`_acquire_compaction_lock`).
     """
     _acquire_compaction_lock(out_path, wait_for_appends_s)
@@ -876,11 +951,21 @@ def compact_postings_index(
         stats.coalesce(1).write.mode("overwrite").parquet(
             f"{out_path}/stats.compact"
         )
-        _swap_compacted(out_path, "postings")
-        _swap_compacted(out_path, "stats")
-        _write_watermark_marker(out_path, new_wm)
-    finally:
+    except BaseException:
+        # roll back: the live layout was never touched — clear our
+        # temp residue and unlock; the compaction simply re-runs.
+        import shutil
+
+        for name in ("postings", "stats"):
+            shutil.rmtree(f"{out_path}/{name}.compact", ignore_errors=True)
         _release_compaction_lock(out_path)
+        raise
+    # commit phase — deliberately NOT unlocked on failure (see
+    # _commit_compaction_swap: a crash or error between the two swap
+    # renames keeps the sentinel held and recover_compaction rolls the
+    # recorded commit FORWARD, instead of finalizing new postings
+    # against old stats and silently losing the watermark advance).
+    _commit_compaction_swap(out_path, new_wm)
 
 
 def _swap_compacted(out_path: str, name: str) -> None:
@@ -921,10 +1006,13 @@ def recover_compaction(
     at the top of every compact so an operator can simply re-run it.
 
     Per artifact directory, exactly one of these crash states exists
-    (plus the rebuild commit record, which overrides them — see the
+    (plus the swap commit record, which overrides them — see the
     ``_REBUILD_COMMIT`` comment: record present → roll every remaining
-    ``.compact`` FORWARD; the crashed rebuild's fresh artifacts were
-    complete before the record was written):
+    ``.compact`` FORWARD; the crashed rebuild's or compaction's fresh
+    artifacts were complete before the record was written, and the
+    record's payload decides the watermark-marker tail — re-written
+    with the recorded value for a compaction, unlinked for a rebuild's
+    fresh lineage):
 
     - live present: any ``.compact``/``.old`` residue is stale (a
       crash before the swap started, or after it finished) — clear it.
@@ -976,11 +1064,12 @@ def recover_compaction(
     import glob as _glob
     import shutil
 
-    # Rebuild commit record (see _REBUILD_COMMIT): present means a
-    # rebuild finished writing BOTH fresh artifacts and crashed inside
-    # its swap phase — roll the swap FORWARD (any artifact still
-    # carrying a .compact copy gets it promoted over the live dir), so
-    # the repaired layout is the consistent new build, never a mix of
+    # Swap commit record (see _REBUILD_COMMIT): present means a
+    # rebuild OR a whole-index compaction finished writing BOTH fresh
+    # artifacts and crashed inside its swap phase — roll the swap
+    # FORWARD (any artifact still carrying a .compact copy gets it
+    # promoted over the live dir), so the repaired layout is the
+    # consistent new one, never a mix of
     # new postings and old stats. Absent means any .compact residue
     # never committed: it is rolled BACK below (live present → residue
     # cleared; live absent WITH .old → the compaction mid-swap state,
@@ -990,6 +1079,7 @@ def recover_compaction(
     # simply re-runs).
     commit = Path(out_path) / _REBUILD_COMMIT
     roll_forward = commit.exists()
+    commit_wm = _commit_record_watermark(out_path)
     for name in names:
         live = Path(out_path) / name
         tmp = Path(out_path) / f"{name}.compact"
@@ -1012,8 +1102,16 @@ def recover_compaction(
         elif old.exists():
             old.rename(live)
     if roll_forward:
-        # the swap's tail: fresh lineage marker reset + record removal
-        (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
+        # the swap's tail, per the record's payload: a COMPACTION
+        # carries its watermark forward (re-write the marker with the
+        # recorded value — the authoritative copy is already live in
+        # the promoted stats squash row; this restores the append
+        # guard's cheap skip); a REBUILD starts a fresh batch-id
+        # lineage (marker unlinked). Then the record is removed.
+        if commit_wm is not None:
+            _write_watermark_marker(out_path, commit_wm)
+        else:
+            (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
         commit.unlink(missing_ok=True)
     # per-bucket compaction residue (compact_table naming, hidden form
     # ".bucket=K._compact_bak" plus the legacy visible form): a bak

@@ -64,6 +64,7 @@ from cdc_cascade_spark.llm.bm25_index import (
     _acquire_compaction_lock,
     _append_guard,
     _check_not_compacting,
+    _commit_compaction_swap,
     _dedup_stats,
     _live_batches,
     _marker_watermark,
@@ -74,8 +75,6 @@ from cdc_cascade_spark.llm.bm25_index import (
     _stats_raw,
     _stats_summary,
     _WATERMARK_MARKER,
-    _write_watermark_marker,
-    _swap_compacted,
     compact_hot_buckets,  # noqa: F401 — re-export: the per-bucket pass
     # is unit-agnostic (it only rewrites bucket dirs), so it applies to
     # the chunk layout verbatim; recover_compaction likewise sweeps its
@@ -364,8 +363,19 @@ def compact_chunk_index(
         stats.coalesce(1).write.mode("overwrite").parquet(
             f"{out_path}/stats.compact"
         )
-        _swap_compacted(out_path, "postings")
-        _swap_compacted(out_path, "stats")
-        _write_watermark_marker(out_path, new_wm)
-    finally:
+    except BaseException:
+        # roll back: the live layout was never touched — clear our
+        # temp residue and unlock; the compaction simply re-runs.
+        import shutil
+
+        for name in ("postings", "stats"):
+            shutil.rmtree(f"{out_path}/{name}.compact", ignore_errors=True)
         _release_compaction_lock(out_path)
+        raise
+    # commit phase — deliberately NOT unlocked on failure (see
+    # bm25_index._commit_compaction_swap: a crash or error between the
+    # two swap renames keeps the sentinel held and recover_compaction
+    # rolls the recorded commit FORWARD, instead of finalizing new
+    # postings against old stats and silently losing the watermark
+    # advance).
+    _commit_compaction_swap(out_path, new_wm)

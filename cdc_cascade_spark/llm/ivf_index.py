@@ -166,6 +166,13 @@ def ann_against_ivf_index(
     instead of scanning every cell (r13: the probe used to pay a
     full-layout scan just to fetch the query's norm — the one
     corpus-sized read in an otherwise pruned plan)."""
+    if nprobe < 1:
+        # r14 advice: probes[0] below would otherwise die with a bare
+        # IndexError before the contract-violation guard can speak
+        # (the pre-r14 shape returned a typed empty top-k for
+        # nprobe=0, which silently hid a caller bug — a degenerate
+        # probe width is a caller error, name it).
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cids, C, normC = _load_centroids(spark, index_path)
     if len(cids) == 0:
         return _empty_ann(spark, "centroid", "bigint")

@@ -399,9 +399,34 @@ def ann_lsh_topk_bucketed(
         np.asarray(qvec, dtype=np.float64), LSH_PLANES, probes
     )
     emb = spark.read.parquet(index_path)
-    qrow = emb.filter(F.col("vec_id") == qid).select(
-        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    # Caller contract (the ivf_index pattern): ``qvec`` is the STORED
+    # embedding of ``qid``, so the query row's own bucket is
+    # probe_buckets[0] — _query_probe_buckets uses the same strict
+    # left-to-right fold as the build's _bucket_udf, making the ids
+    # bit-identical. That prunes the 1-row qrow lookup to ONE bucket
+    # directory (r13 verdict: it used to scan the whole layout — the
+    # one corpus-sized read in an otherwise pruned plan), and the ONE
+    # take(1) job both fetches the row and guards the contract.
+    qrows = (
+        emb.filter(F.col("bucket") == probe_buckets[0])
+        .filter(F.col("vec_id") == qid)
+        .select(F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm"))
+        .take(1)
     )
+    # An empty pruned lookup means the caller contract is violated (or
+    # probe/build kernels drifted); an empty 1-row broadcast would
+    # silently yield an empty top-k — fail loudly instead (the
+    # ivf_index loud-fail).
+    if not qrows:
+        raise ValueError(
+            f"LSH probe: vec_id={qid} not found in its computed bucket "
+            f"bucket={probe_buckets[0]} of {index_path} — either the "
+            "caller contract (qvec IS the stored embedding of qid) is "
+            "violated, or _query_probe_buckets drifted from the "
+            "build's _bucket_udf fold. Refusing to return a silently "
+            "empty top-k."
+        )
+    qrow = spark.createDataFrame(qrows, "qvec array<float>, qnorm double")
     return (
         emb.filter(F.col("bucket").isin(probe_buckets))
         .filter(F.col("vec_id") != qid)

@@ -63,83 +63,87 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r14 window. CORRECTNESS_r13 was 50/50 green (verified: the
-    # registry's first 50 exactly, in order). Slot arithmetic,
-    # machine-counted from the committed CORRECTNESS files before any
-    # code was written: the 37-query r11-green cohort (r11 minus every
-    # query re-evidenced in r12/r13) hits the 2-report staleness
-    # deadline THIS round — all 37 take CHECK_FIRST slots (the r13
-    # verdict's item #1; matches BUILD_NOTES' explicit r14 ledger). On
-    # top: 4 changed-fingerprint re-pins, every one an r13 ADVICE item
-    # landing: retrieval_mrr_indexed + retrieval_mrr_summary
-    # (bm25_index/chunk_index: rebuilds now take the SENTINEL side of
-    # the two-flag protocol — mechanical writer-vs-writer exclusion of
-    # a rebuild against live appends, r13 ADVICE low #2 — and
-    # recover_compaction logs swept claims and refuses fresh ones
-    # without force=True, low #3), plus ann_ivf_indexed +
-    # ann_lsh_indexed (ivf_index's pruned 1-row query lookup now fails
-    # LOUDLY when the caller contract is violated instead of returning
-    # a silently empty top-k, low #1; the LSH face shares ann_indexed's
-    # module whose closure includes ivf_index). 4 + 37 = 41 hard pins,
-    # under the 45-slot margin cap; 0 new + 4 changed is inside the
-    # ≤8 budget. CHECK_NEXT's 9 slots pre-pay r15's r12-green debt
-    # with its highest-plan-risk members OUTSIDE llm/similarity's
-    # closure — the 12 r12-green queries INSIDE that closure are
-    # excluded on purpose: r15 ships the scheduled
-    # ann_lsh_topk_bucketed qrow-pruning fix, which re-pins them as
-    # CHANGED anyway, so a pre-pay slot spent on them would be wasted.
-    # Pre-committed r15 arithmetic: 18 similarity-closure re-pins
-    # (12 r12-green + 6 in-window) + the 27 remaining r12-green debt
-    # = 45 CHECK_FIRST (exactly the cap) + 5 CHECK_NEXT for r16.
-    # --- changed-fingerprint re-pins (r14 edits, see header) ---
-    "retrieval_mrr_indexed",
-    "ann_ivf_indexed",
+    # --- r15 window (the pre-committed BUILD_NOTES plan, executed).
+    # CORRECTNESS_r14 was 50/50 green (verified: the registry's first
+    # 50 exactly, in order), so the r14 CHECK_NEXT pre-pays cleared
+    # and the r12-green debt is exactly 39 (machine-recomputed from
+    # CORRECTNESS_r01–r14 before any code was written: last-green
+    # distribution r12=39 / r13=46 / r14=50). Slot arithmetic:
+    # 18 similarity-closure CHANGED re-pins — r15 ships the scheduled
+    # ann_lsh_topk_bucketed qrow-pruning fix
+    # (docs/r15_lsh_qrow_pruning.patch, pre-verified in r14), which
+    # moves llm/similarity's fingerprint and with it every query whose
+    # import closure contains it: the 12 r12-green debt members
+    # (ann_cosine_topk … knn_join_topk below) plus 6 r13/r14-green
+    # in-window faces (ann_ivf_indexed, ann_lsh_indexed,
+    # retrieval_mrr_indexed, retrieval_mrr_summary,
+    # hybrid_retrieval_rrf, dedup_embedding_cosine — the last four
+    # also carry this round's bm25_index/chunk_index compaction
+    # swap-pair commit record and the ivf_index nprobe guard, so they
+    # re-pin as CHANGED on two counts). Plus the 27 remaining
+    # r12-green non-closure debt. 18 + 27 = 45 CHECK_FIRST (exactly
+    # the margin cap); 0 new + 18 changed — the changed count exceeds
+    # the usual ≤8 budget because ONE staged one-line semantic fix
+    # fans out through the similarity closure; the verdict's r15 plan
+    # (#1/#2) pre-approved exactly this shape. CHECK_NEXT's 5 slots
+    # pre-pay r16's 46-query r13-green debt with its highest-plan-risk
+    # members (capstone incremental pair, banded/clustered dedup,
+    # chunked retrieval eval), dropping r16's deadline cohort to 41.
+    # --- changed-fingerprint re-pins (similarity closure + this
+    # round's index-maintenance edits) — probe faces first ---
     "ann_lsh_indexed",
+    "ann_ivf_indexed",
+    "retrieval_mrr_indexed",
     "retrieval_mrr_summary",
-    # --- the 37-query r11-green staleness cohort (deadline round;
-    # ledger in BUILD_NOTES.md) — multi-stage / plan-risk first ---
-    # dedup family (banded/blocked plans, union-find caps)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_simhash",
-    "dedup_simhash_weighted",
-    "minhash_jaccard_estimate",
-    "split_leakage_pairs",
-    # multimodal plumbing (binary columns, Arrow batch UDF shapes)
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_dedup",
-    # sketches / scoring / packing
-    "sketch_kmv_distinct",
-    "sketch_kmv_setops",
-    "lm_score_filter",
-    "source_reputation",
-    "pack_sequences",
-    "bigram_lift",
-    # events / funnels / anomalies
-    "events_rate_anomaly",
-    "funnel_conversion",
-    "cohort_retention",
-    # relational / window suites
-    "q06_customers_without_orders",
-    "q07_rollup_sales",
-    "q08_topk_customers_per_segment",
-    "q09_monthly_revenue_window",
-    "q10_set_operations",
-    "q11_scalar_functions",
-    "q12_json_extraction",
-    "q16_distinct_stats",
-    "q21_above_segment_average",
-    "q22_in_subquery",
-    "q24_explode_lateral",
-    "q25_datetime_functions",
-    "q26_string_functions",
-    "q28_window_suite",
-    "q29_array_functions",
-    "q30_null_semantics",
-    "q31_unpivot_metrics",
+    "hybrid_retrieval_rrf",
+    "dedup_embedding_cosine",
+    # --- similarity-closure r12-green debt (CHANGED + deadline) ---
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multitable_topk",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_recall_report",
+    "knn_join_topk",
+    "embedding_top_pairs",
+    "embedding_quantize",
+    "embedding_cluster_profile",
+    # --- the 27-query r12-green non-closure staleness cohort
+    # (deadline round; ledger in BUILD_NOTES.md) — multi-stage /
+    # plan-risk first ---
+    # as-of / range / interval joins (bucketed plans)
+    "asof_latest_order",
+    "asof_prev_click_tolerance",
+    "range_join_signup_activity",
+    "overlap_join_order_windows",
+    # corpus curation / mixing reports (multi-join, sampling)
+    "corpus_diff",
+    "corpus_profile",
+    "corpus_split",
+    "corpus_mixture_plan",
+    "corpus_mixture_sample",
+    "token_budget_selection",
+    "packing_efficiency",
+    "minhash_novelty",
+    "shingle_containment",
+    "source_dedup_matrix",
+    "doc_chunks",
+    "dq_constraint_report",
+    "embedding_quality_report",
+    # events suites (gap-fill, hot keys, hopping windows)
+    "events_gap_fill",
+    "events_gap_fill_segmented",
+    "events_hot_keys",
+    "q33_hopping_windows",
+    # relational core
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q03_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_order_priority_semi",
+    "quantile_histogram",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -147,24 +151,19 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r14: all 9 slots pre-pay r15's
-# r12-green rotation debt with its highest-plan-risk members that are
-# NOT in llm/similarity's closure (those 12 re-enter r15 as CHANGED
-# pins when the scheduled qrow-pruning fix lands — pre-paying them
-# here would be wasted slots): the 4-stage curation family, the two
-# index-probe faces' sparse siblings, and three multi-join reports.
-# If the driver checks the usual 50, r15's non-closure debt drops
-# from 36 to 27, making r15's window exactly 45 CHECK_FIRST + 5 free.
+# never for changed or new code. r15: all 5 slots pre-pay r16's
+# 46-query r13-green rotation debt with its highest-plan-risk members
+# (the incremental-curation capstone pair — storage-backed state,
+# multi-batch replay — the two banded/clustered dedup plans, and the
+# chunked retrieval eval). If the driver checks the usual 50, r16's
+# deadline cohort drops from 46 to 41 CHECK_FIRST — inside the cap
+# with room for changed re-pins.
 CHECK_NEXT: list[str] = [
-    "curate_corpus",
-    "curate_corpus_segmented",
-    "curation_audit",
-    "curation_audit_segmented",
-    "bm25_topk",
-    "dedup_index_probe",
-    "contamination_check",
-    "minhash_banding_curve",
-    "corpus_drift_report",
+    "curate_corpus_incremental",
+    "curation_invalidation_report",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "chunk_retrieval_eval",
 ]
 
 

@@ -50,14 +50,53 @@ def test_ann_indexed_equals_adhoc_face(spark):
 
 
 def test_ann_indexed_plan_partition_prunes(spark):
-    """The probe's scan must carry a bucket PartitionFilter — the
-    whole point of the persistent layout (only the probed bucket's
-    directory is read)."""
+    """EVERY scan of the probe — the probed-buckets rerank AND the
+    1-row query lookup — must carry a bucket PartitionFilter; the
+    query-row lookup used to be the one full-layout scan in the plan
+    (r13 verdict: the IVF pin, extended to the LSH face)."""
+    import re
+
     from cdc_cascade_spark.llm.ann_indexed import ann_lsh_indexed
     from cdc_cascade_spark.plans.explain import physical_plan
 
     plan = physical_plan(ann_lsh_indexed(spark, SFS[0]))
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert scans and all("bucket" in s for s in scans), scans
+
+
+def test_lsh_probe_contract_violation_fails_loudly(spark, tmp_path):
+    """A caller passing a qvec that is NOT the stored embedding of qid
+    (or kernel drift between _query_probe_buckets and the build's
+    _bucket_udf) makes the pruned 1-row lookup empty — that must raise,
+    not silently return an empty top-k (the ivf_index loud-fail,
+    extended to the LSH face)."""
+    import numpy as np
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm.similarity import (
+        ann_lsh_topk_bucketed,
+        write_lsh_bucketed,
+    )
+
+    idx = str(tmp_path / "lsh")
+    write_lsh_bucketed(spark, SFS[0], idx)
+    emb = load_table(spark, SFS[0], "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = np.array(qrow.embedding, dtype=np.float64)
+
+    # contract honored → serves
+    assert ann_lsh_topk_bucketed(spark, idx, qvec, int(qrow.vec_id)).count()
+
+    # absent vec_id → loud
+    with pytest.raises(ValueError, match="not found in its computed"):
+        ann_lsh_topk_bucketed(spark, idx, qvec, -999_999)
+
+    # non-stored qvec whose own bucket differs from qid's stored
+    # bucket → loud (flip the vector: every hyperplane sign inverts,
+    # so the computed bucket is the complement, never qid's)
+    with pytest.raises(ValueError, match="not found in its computed"):
+        ann_lsh_topk_bucketed(spark, idx, -qvec, int(qrow.vec_id))
 
 
 def test_session_layout_cache_reuses_the_build(spark):

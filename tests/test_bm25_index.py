@@ -1538,3 +1538,194 @@ def test_compact_missing_path_fails_fast(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="nothing to compact"):
         compact_chunk_index(spark, missing)
     assert not Path(missing).exists()
+
+
+def test_compaction_swap_crash_rolls_forward_under_recover(
+    spark, tmp_path, monkeypatch
+):
+    """r14 verdict finding #2: a crash BETWEEN compaction's two
+    artifact swaps left new postings + OLD stats live — and
+    recover_compaction's "live present → residue is stale" rule then
+    deleted the complete ``stats.compact``, FINALIZING the mix. The
+    BM25 scalars still summed right, but the squash-watermark advance
+    was lost, so an at-least-once replay of an epoch the squash had
+    already absorbed landed ABOVE the stale watermark and silently
+    double-counted term frequencies. With the fsynced commit record
+    around the swap pair (the rebuild protocol, shared): the crash
+    state blocks reads loudly (sentinel held), recover rolls the
+    commit FORWARD to the consistent new layout with the recorded
+    watermark re-written, and the replayed squashed epoch is
+    rejected."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    bi._write_batch(half, idx, "overwrite", -1)
+    bi.append_postings_index(rest, idx, batch_id=1)
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+
+    real_swap = bi._swap_compacted
+    swapped: list[str] = []
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+        swapped.append(name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    assert swapped == ["postings"]
+
+    # the EXACT cross-artifact crash state the r14 verdict named:
+    # postings swapped (live = new squash), stats not (live = old
+    # deltas, COMPLETE stats.compact still beside it), commit record
+    # present carrying the compaction watermark — and the sentinel
+    # held, so the inconsistent mix cannot serve
+    assert (Path(idx) / "stats.compact").exists()
+    assert not (Path(idx) / "postings.compact").exists()
+    assert bi._sentinel(idx).exists()
+    assert (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert bi._commit_record_watermark(idx) == 1
+    with pytest.raises(RuntimeError, match="compacted or rebuilt"):
+        bi.bm25_against_index(spark, SF, idx).collect()
+
+    # operator repair: the record rolls the swap FORWARD — never the
+    # pre-fix finalized mix (which deleted stats.compact and kept the
+    # old stats' watermark)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+    bi.recover_compaction(idx)
+    assert not bi._sentinel(idx).exists()
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not (Path(idx) / "stats.compact").exists()
+    assert not (Path(idx) / "postings.compact").exists()
+    # the compaction's watermark advance SURVIVED the crash (the
+    # pre-fix mix silently reverted it)
+    assert bi._marker_watermark(idx) == 1
+
+    # the repaired layout serves the same rows as before the crash
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+    # the at-least-once replay of the squashed epoch is REJECTED — the
+    # silent double-count the pre-fix state allowed
+    bi.append_postings_index(rest, idx, batch_id=1)
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+
+def test_chunk_compaction_swap_crash_rolls_forward_too(
+    spark, tmp_path, monkeypatch
+):
+    """The chunk twin of the cross-artifact compaction crash: the
+    chunk compactor shares bm25_index's commit phase, so the same
+    crash point rolls forward under recover with the watermark
+    intact."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+    from cdc_cascade_spark.llm import chunk_index as ci
+
+    idx = str(tmp_path / "chunks")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    ci._write_batch(half, idx, "overwrite", -1)
+    ci.append_chunk_index(rest, idx, batch_id=1)
+
+    def _chunk_rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = _chunk_rows(ci.chunked_against_index(spark, SF, idx))
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        ci.compact_chunk_index(spark, idx)
+    assert (Path(idx) / "stats.compact").exists()
+    assert bi._sentinel(idx).exists()
+    assert bi._commit_record_watermark(idx) == 1
+
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+    bi.recover_compaction(idx)
+    assert bi._marker_watermark(idx) == 1
+    assert _chunk_rows(ci.chunked_against_index(spark, SF, idx)) == want
+    ci.append_chunk_index(rest, idx, batch_id=1)  # squashed replay
+    assert _chunk_rows(ci.chunked_against_index(spark, SF, idx)) == want
+
+
+def test_failed_compaction_rolls_back_and_rerunns_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction that FAILS before its commit record (e.g. the
+    stats.compact write dies) must roll BACK: temps cleared, lock
+    released, live layout byte-untouched and serving — and the
+    compaction simply re-runs. (The commit-phase restructure removed
+    the old unlock-always ``finally``; this pins that the rollback
+    path still unlocks.)"""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs, idx, "overwrite", -1)
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+
+    # inject the failure INSIDE the try block (well before the commit
+    # record): the stats read is the first thing the compactor does
+    real_stats_raw = bi._stats_raw
+
+    def failing_stats_raw(spark_, out_path):
+        raise RuntimeError("write failure (injected)")
+
+    monkeypatch.setattr(bi, "_stats_raw", failing_stats_raw)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    assert not bi._sentinel(idx).exists()  # rolled back AND unlocked
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not (Path(idx) / "postings.compact").exists()
+    assert not (Path(idx) / "stats.compact").exists()
+
+    monkeypatch.setattr(bi, "_stats_raw", real_stats_raw)
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+    bi.compact_postings_index(spark, idx)  # re-run compacts cleanly
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+
+def test_failed_first_build_removes_created_empty_dir(
+    spark, tmp_path, monkeypatch
+):
+    """r14 advice #3: a FAILED first-ever build used to leave the
+    freshly-mkdir'd EMPTY out_path behind — which then passed the
+    compactor's is_dir() fail-fast (added precisely to catch
+    never-built paths) and died later inside the stats parquet scan.
+    The rollback now removes the directory it created, so the
+    compactor's FileNotFoundError fires as designed."""
+    import pytest
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "never_built")
+
+    def failing_write_batch(*a, **kw):
+        raise RuntimeError("build failure (injected)")
+
+    monkeypatch.setattr(bi, "_write_batch", failing_write_batch)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.write_postings_index(spark, SF, idx)
+    assert not Path(idx).exists()
+    with pytest.raises(FileNotFoundError, match="nothing to compact"):
+        bi.compact_postings_index(spark, idx)

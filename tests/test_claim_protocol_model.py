@@ -44,7 +44,11 @@ against the post-swap layout, so it cannot be lost.
 Liveness is intentionally NOT asserted: mutual refusal (both actors
 abort) is an accepted outcome of the loud-raise design — the bounded
 wait variant (wait_for_appends_s) trades it for a drain, tested with
-real threads in tests/test_bm25_index.py.
+real threads in tests/test_bm25_index.py. The wait variant's
+release-and-re-poll loop IS swept for safety here (r14 verdict #4,
+r15): see WaitingCompactor below — a 2-attempt unrolling against 1
+and 2 appends (495 / 900,900 interleavings) plus a sibling sentinel
+actor, with a stale-poll-observation negative control.
 """
 
 from __future__ import annotations
@@ -293,3 +297,182 @@ def test_sentinel_exclusive_create_never_double_grants():
                 found_overlap = True
                 break
     assert found_overlap, "sabotaged acquire was not detected — model too weak"
+
+
+@dataclass
+class WaitingCompactor:
+    """The ``wait_for_appends_s`` variant's release-and-re-poll loop
+    (r14 verdict #4, taken in r15), unrolled to a bounded number of
+    acquire attempts — the real loop only ever repeats the same
+    already-verified acquire, so a 2-attempt unrolling exercises every
+    novel ordering the loop adds: the flagless poll observing a stale
+    claim-free instant, the acquire racing a fresh claim, the
+    release-on-refusal, and the RE-poll + RE-acquire afterwards.
+
+    Program (8 steps, two attempts then commit):
+      attempt k: poll (flagless claim observation — NO world change)
+                 → create-sentinel (exclusive; a held sibling sentinel
+                   is a terminal abort, as in the code)
+                 → check-claims (release + fall through to the next
+                   attempt on refusal — THE loop edge)
+      then:      read+swap → release
+    """
+
+    ident: str
+    pc: int = 0
+    attempt: int = 0  # 0 or 1 while looping; 2 = out of attempts
+    holding: bool = False
+    proceeded: bool | None = None
+    aborted: bool = False
+    read_ok: bool | None = None
+    # saboteur hook (negative control): when True, every attempt's
+    # check step trusts that attempt's POLL observation instead of
+    # re-reading the claims AFTER the sentinel create — i.e. the
+    # flagless poll used as the claim check itself, the exact race the
+    # code's comment names ("an append that claimed between our
+    # observation and our sentinel create")
+    trust_poll_observation: bool = False
+    _poll_saw_clear: bool = False
+
+    def steps_total(self) -> int:
+        return 8
+
+
+def _step_waiting_compactor(c: WaitingCompactor, w: World, appends) -> None:
+    step = c.pc
+    c.pc += 1
+    if c.aborted or c.proceeded:
+        # terminal abort / already committed: remaining attempt steps
+        # are no-ops; READ/RELEASE below still key off `proceeded`
+        if step == 6 and c.proceeded:
+            c.read_ok = all(
+                (a.proceeded is not True) or (a.ident in w.landed)
+                for a in appends
+            )
+        elif step == 7 and c.proceeded:
+            w.sentinel_holder = None
+            c.holding = False
+        return
+    phase = step % 3 if step < 6 else None
+    if step < 6:
+        if c.attempt != step // 3:
+            return  # this attempt was consumed early or not reached
+        if phase == 0:  # flagless poll
+            c._poll_saw_clear = not w.claims
+            if not c._poll_saw_clear and w.sentinel_holder is not None:
+                c.aborted = True  # claims + sibling sentinel → raise
+            elif not c._poll_saw_clear:
+                c.attempt += 1  # claims seen: wait, try next attempt
+                if c.attempt >= 2:
+                    c.aborted = True  # deadline raise
+        elif phase == 1:  # exclusive sentinel create
+            if w.sentinel_holder is not None:
+                c.aborted = True  # FileExistsError — terminal, no retry
+            else:
+                w.sentinel_holder = c.ident
+                c.holding = True
+        elif phase == 2:  # claim check AFTER the create
+            if c.trust_poll_observation:
+                clear = c._poll_saw_clear  # stale observation (bug)
+            else:
+                clear = not w.claims
+            if clear:
+                c.proceeded = True
+            else:
+                w.sentinel_holder = None  # release and re-poll
+                c.holding = False
+                c.attempt += 1
+                if c.attempt >= 2:
+                    c.aborted = True  # deadline raise
+    elif step == 6 and c.proceeded:
+        c.read_ok = all(
+            (a.proceeded is not True) or (a.ident in w.landed)
+            for a in appends
+        )
+    elif step == 7 and c.proceeded:
+        w.sentinel_holder = None
+        c.holding = False
+
+
+def _sweep_wait(n_appends: int, with_plain_compactor: bool = False,
+                sabotage: bool = False) -> tuple[int, int]:
+    counts = {f"a{i}": 4 for i in range(n_appends)}
+    counts["w"] = 8
+    if with_plain_compactor:
+        counts["s"] = 4
+    n_inter = 0
+    n_reads = 0
+    for sched in _multiset_permutations(counts):
+        n_inter += 1
+        appends = [Append(f"a{i}") for i in range(n_appends)]
+        wait = WaitingCompactor("w", trust_poll_observation=sabotage)
+        plain = SentinelActor("s") if with_plain_compactor else None
+        by_id: dict = {a.ident: a for a in appends}
+        w = World()
+        for aid in sched:
+            if aid == "w":
+                _step_waiting_compactor(wait, w, appends)
+            elif aid == "s":
+                _step_sentinel_actor(plain, w, appends)
+            else:
+                _step_append(by_id[aid], w)
+        checked = [wait.read_ok] + (
+            [plain.read_ok] if plain is not None else []
+        )
+        for ok in checked:
+            if ok is not None:
+                n_reads += 1
+                assert ok, (
+                    f"LOST APPEND under schedule {sched}: a proceeded "
+                    "append had not landed when the rewrite read the "
+                    "layout"
+                )
+        assert w.sentinel_holder is None, sched
+    return n_inter, n_reads
+
+
+def test_wait_variant_loop_every_interleaving_safe():
+    """The release-and-re-poll loop, swept exhaustively against one
+    append: C(12;4,8) = 495 interleavings. The loop's novel edge —
+    refusal releases the sentinel, the NEXT attempt re-acquires and
+    re-checks — never lets a proceeded append be missing from the
+    rewrite's read."""
+    n_inter, n_reads = _sweep_wait(1)
+    assert n_inter == 495  # 12!/(4!8!) — exhaustive
+    assert n_reads > 0
+
+
+def test_wait_variant_two_appends_every_interleaving_safe():
+    """Two appends vs the looping compactor: C(16;4,4,8) = 900,900
+    interleavings — the largest sweep in the file, still seconds. Two
+    appends cover all claim-interaction the protocol has (appends are
+    commutative by construction), and the loop adds the cross-attempt
+    orderings a single-shot acquire cannot reach."""
+    n_inter, n_reads = _sweep_wait(2)
+    assert n_inter == 900_900
+    assert n_reads > 0
+
+
+def test_wait_variant_vs_plain_compactor_every_interleaving_safe():
+    """The looping compactor against a plain sentinel actor (sibling
+    compaction/rebuild): sentinel exclusivity must hold across the
+    loop's release points, and a sibling's held sentinel is a terminal
+    abort for the waiter (never a silent co-hold)."""
+    n_inter, _ = _sweep_wait(0, with_plain_compactor=True)
+    assert n_inter == 495  # C(12;8,4)
+
+
+def test_wait_model_detects_stale_poll_observation():
+    """Negative control — the loop sweep has teeth: a waiter that
+    trusts its flagless POLL observation as the claim check (instead
+    of re-reading the claims AFTER the sentinel create — the exact
+    race the acquire's comment names: an append can claim between the
+    observation and the create) must lose an append under some
+    schedule. The witness is: poll sees clear → append claims and
+    passes its sentinel check → waiter creates the sentinel and
+    "verifies" via the stale poll → rewrite reads before the append's
+    write lands."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="LOST APPEND"):
+        _sweep_wait(1, sabotage=True)

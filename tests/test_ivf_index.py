@@ -208,3 +208,30 @@ def test_ivf_probe_contract_violation_fails_loudly(spark, tmp_path):
 
     # the contract-honoring call still serves
     assert ann_against_ivf_index(spark, idx, qvec, qid).count() > 0
+
+
+def test_ivf_probe_degenerate_nprobe_raises_valueerror(spark, tmp_path):
+    """r14 advice: nprobe <= 0 used to die with a bare IndexError at
+    ``probes[0]`` before the contract guard could speak (and the
+    pre-r14 shape silently returned a typed empty top-k, hiding the
+    caller bug). A degenerate probe width is a caller error with a
+    name."""
+    import pytest
+
+    from cdc_cascade_spark.llm.ivf_index import (
+        ann_against_ivf_index,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, SF, idx)
+    qid, qvec = _query(spark)
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="nprobe must be >= 1"):
+            ann_against_ivf_index(spark, idx, qvec, qid, nprobe=bad)
+
+    # the guard sits before any IO: a bogus path still names the real
+    # error, not a scan failure
+    with pytest.raises(ValueError, match="nprobe must be >= 1"):
+        ann_against_ivf_index(spark, str(tmp_path / "nope"), qvec, qid, nprobe=0)
