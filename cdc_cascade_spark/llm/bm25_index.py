@@ -1101,13 +1101,18 @@ def recover_compaction(
                 shutil.rmtree(tmp)
         elif old.exists():
             old.rename(live)
-    if roll_forward:
+    if roll_forward and {"postings", "stats"} <= set(names):
         # the swap's tail, per the record's payload: a COMPACTION
         # carries its watermark forward (re-write the marker with the
         # recorded value — the authoritative copy is already live in
         # the promoted stats squash row; this restores the append
         # guard's cheap skip); a REBUILD starts a fresh batch-id
-        # lineage (marker unlinked). Then the record is removed.
+        # lineage (marker unlinked). Then the record is removed. The
+        # tail (and especially the record unlink) runs ONLY when this
+        # call processed BOTH swap artifacts — a caller-restricted
+        # ``names`` must not consume the record while the other
+        # artifact's ``.compact`` is still waiting to be promoted
+        # (the record is the only proof it is complete).
         if commit_wm is not None:
             _write_watermark_marker(out_path, commit_wm)
         else:
@@ -1161,6 +1166,21 @@ def recover_compaction(
                 claim.name,
             )
             claim.unlink(missing_ok=True)
+        if (Path(out_path) / _REBUILD_COMMIT).exists():
+            # a commit record survived this call (only possible when a
+            # caller-restricted ``names`` skipped one swap artifact) —
+            # the layout is still mid-commit, so the sentinel stays:
+            # unlocking would let appends land stats deltas that the
+            # eventual full roll-forward's stats swap would then
+            # silently discard. A full-names recover completes the
+            # swap and unlocks.
+            raise RuntimeError(
+                f"recover_compaction({out_path}): the swap commit "
+                f"record is still present after repairing {names} — "
+                "run recover_compaction with BOTH artifacts "
+                "(names=('postings', 'stats'), the default) to finish "
+                "the committed swap before unlocking."
+            )
         _release_compaction_lock(out_path)
 
 

@@ -1729,3 +1729,53 @@ def test_failed_first_build_removes_created_empty_dir(
     assert not Path(idx).exists()
     with pytest.raises(FileNotFoundError, match="nothing to compact"):
         bi.compact_postings_index(spark, idx)
+
+
+def test_restricted_names_recover_never_consumes_commit_record(
+    spark, tmp_path, monkeypatch
+):
+    """Second-review hardening of the r15 commit-record extension: a
+    caller-restricted ``names`` (public API) repairing only ONE swap
+    artifact must neither unlink the commit record (the only proof the
+    other artifact's ``.compact`` is complete) nor release the
+    sentinel over the still-mid-commit layout — unlocking there would
+    let appends land stats deltas that the eventual full roll-forward
+    would silently discard with the stats swap."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+
+    # postings-only repair: refuses to unlock, record + sentinel stay
+    with pytest.raises(RuntimeError, match="still present"):
+        bi.recover_compaction(idx, names=("postings",))
+    assert (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert bi._sentinel(idx).exists()
+    assert (Path(idx) / "stats.compact").exists()
+
+    # the default full-names recover finishes the committed swap
+    bi.recover_compaction(idx)
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not bi._sentinel(idx).exists()
+    assert bi._marker_watermark(idx) == 1
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
