@@ -1779,3 +1779,62 @@ def test_restricted_names_recover_never_consumes_commit_record(
     assert not bi._sentinel(idx).exists()
     assert bi._marker_watermark(idx) == 1
     assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+
+def test_compaction_crash_recovery_advances_marker_across_cycles(
+    spark, tmp_path, monkeypatch
+):
+    """The commit record must carry the SECOND compaction's watermark,
+    not resurrect the first's: compact cleanly (marker=1), append
+    epoch 2, crash the second compaction between its swaps, recover —
+    the marker reads 2 and a replay of epoch 2 is rejected. Also pins
+    the tail's idempotence: a crash AFTER both swaps but BEFORE the
+    record unlink re-enters recover's roll-forward with no temps left
+    and must still finish (marker re-written, record consumed)."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    rest1 = docs.filter(F.col("doc_id") % 3 == 1)
+    rest2 = docs.filter(F.col("doc_id") % 3 == 2)
+    bi._write_batch(third, idx, "overwrite", -1)
+    bi.append_postings_index(rest1, idx, batch_id=1)
+    bi.compact_postings_index(spark, idx)
+    assert bi._marker_watermark(idx) == 1
+
+    bi.append_postings_index(rest2, idx, batch_id=2)
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+    # mid-crash, the live marker still reads the FIRST squash
+    assert bi._marker_watermark(idx) == 1
+    assert bi._commit_record_watermark(idx) == 2
+
+    bi.recover_compaction(idx)
+    assert bi._marker_watermark(idx) == 2  # advanced, not resurrected
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+    bi.append_postings_index(rest2, idx, batch_id=2)  # squashed replay
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+    # tail idempotence: crash AFTER both swaps, BEFORE the unlink —
+    # simulate by re-creating the record on the healthy layout
+    bi._write_commit_record(idx, f"{bi._COMPACT_PAYLOAD} 2")
+    bi._sentinel(idx).write_text("compaction/rebuild in progress\n")
+    bi.recover_compaction(idx)
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert bi._marker_watermark(idx) == 2
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
