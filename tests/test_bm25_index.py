@@ -1838,3 +1838,155 @@ def test_compaction_crash_recovery_advances_marker_across_cycles(
     assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
     assert bi._marker_watermark(idx) == 2
     assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+
+def test_random_lifecycle_walk_with_crashing_compactions(
+    spark, tmp_path, monkeypatch
+):
+    """Composition walk for the r15 commit-record protocol: a seeded
+    sequence of appends / replays / compactions in which EVERY crash
+    point of a compaction fires exactly once (in seeded order, with
+    random traffic between): during the temp write (the rollback path
+    — auto-unlocked, watermark must NOT advance), after the temps but
+    before the record (sentinel held, recover rolls BACK, no advance),
+    at the postings swap, between the two swaps, and after both swaps
+    before the marker write (record present — recover rolls FORWARD,
+    watermark must advance exactly as a clean compaction's would).
+    After every step the probe's corpus scalars, watermark, and marker
+    file must match a pure-Python model in which a
+    crashed-then-recovered compaction is indistinguishable from either
+    a no-op (rolled back) or a clean compaction (rolled forward). The
+    deterministic tests pin each crash point once; this pins their
+    COMPOSITIONS across cycles (crash, recover, append, crash again at
+    a different point, replay a squashed epoch, ...)."""
+    import random
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    rng = random.Random(20260816)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{(i * 3) % 7} common") for i in ids],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "crashwalk")
+    bi._write_batch(batch(range(0, 4)), idx, "overwrite", -1)
+    live = set(range(0, 4))
+    appended: dict[int, list[int]] = {}
+    wm = -1
+    next_doc = 4
+    qterms = spark.createDataFrame(
+        [(0, "common"), (1, "tok1"), (2, "tok3")], "qid long, term string"
+    )
+    real_swap = bi._swap_compacted
+    real_marker = bi._write_watermark_marker
+    real_commit = bi._commit_compaction_swap
+
+    def check():
+        got = {
+            r.doc_id
+            for r in bi.probe_postings_index(spark, qterms, idx)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert got <= live, (got - live, "probe surfaced a dead doc")
+        n_docs, _sum_dl, got_wm = bi._stats_summary(spark, idx)
+        assert n_docs == len(live)
+        assert got_wm == wm
+        # marker agrees with the authoritative stats watermark (-1 ⇒
+        # marker may be absent; after any recovered compaction the
+        # marker must carry the recorded value)
+        assert bi._marker_watermark(idx) == wm
+
+    real_stats_raw = bi._stats_raw
+    crash_points = [
+        "during_temp_write",  # inside the try → rollback, auto-unlock
+        "before_record",      # temps done, record not written yet
+        "postings_swap",
+        "stats_swap",
+        "before_marker",
+    ]
+
+    def crashing_compact(point):
+        if point == "during_temp_write":
+            def crash_stats_raw(spark_, out_path):
+                raise RuntimeError("crash (injected)")
+            monkeypatch.setattr(bi, "_stats_raw", crash_stats_raw)
+        elif point == "before_record":
+            def no_commit(out_path, new_wm):
+                raise RuntimeError("crash (injected)")
+            monkeypatch.setattr(bi, "_commit_compaction_swap", no_commit)
+        elif point in ("postings_swap", "stats_swap"):
+            target = "postings" if point == "postings_swap" else "stats"
+            def crash_swap(out_path, name):
+                if name == target:
+                    raise RuntimeError("crash (injected)")
+                real_swap(out_path, name)
+            monkeypatch.setattr(bi, "_swap_compacted", crash_swap)
+        elif point == "before_marker":
+            def crash_marker(out_path, new_wm):
+                raise RuntimeError("crash (injected)")
+            monkeypatch.setattr(bi, "_write_watermark_marker", crash_marker)
+        import pytest as _pytest
+
+        try:
+            with _pytest.raises(RuntimeError, match="injected"):
+                bi.compact_postings_index(spark, idx)
+        finally:
+            monkeypatch.setattr(bi, "_stats_raw", real_stats_raw)
+            monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+            monkeypatch.setattr(bi, "_write_watermark_marker", real_marker)
+            monkeypatch.setattr(bi, "_commit_compaction_swap", real_commit)
+        if point == "during_temp_write":
+            # the rollback path: temps cleared AND auto-unlocked
+            assert not bi._sentinel(idx).exists()
+            assert not Path(f"{idx}/postings.compact").exists()
+            return False  # watermark did NOT advance
+        # every commit-phase crash keeps the sentinel: reads refuse
+        # loudly until the operator recovers
+        assert bi._sentinel(idx).exists()
+        with _pytest.raises(RuntimeError, match="compacted or rebuilt"):
+            bi.bm25_against_index(spark, SF, idx).collect()
+        bi.recover_compaction(idx)
+        assert not bi._sentinel(idx).exists()
+        if point == "before_record":
+            # no record → recover rolled BACK (temps cleared)
+            assert not Path(f"{idx}/postings.compact").exists()
+            return False
+        return True  # record present → roll-forward: wm advanced
+
+    # every crash point fires exactly once, in a seeded order, with
+    # random append/replay/compact traffic between — so the walk
+    # composes ALL of them across cycles rather than sampling a few
+    forced = list(crash_points)
+    rng.shuffle(forced)
+    crash_steps = dict(zip(range(2, 3 * len(forced) + 2, 3), forced))
+    for step in range(3 * len(forced) + 2):
+        if step in crash_steps:
+            advanced = crashing_compact(crash_steps[step])
+            if advanced and appended:
+                wm = max(max(appended), wm)
+            check()
+            continue
+        op = rng.choice(["append", "append", "replay", "compact"])
+        if op == "append":
+            epoch = max(max(appended, default=-1), wm) + 1
+            ids = list(range(next_doc, next_doc + rng.randint(1, 3)))
+            next_doc += len(ids)
+            bi.append_postings_index(batch(ids), idx, batch_id=epoch)
+            appended[epoch] = ids
+            live |= set(ids)
+        elif op == "replay" and appended:
+            epoch = rng.choice(sorted(appended))
+            bi.append_postings_index(
+                batch(appended[epoch]), idx, batch_id=epoch
+            )
+            # model: dedup or watermark rejects it — no change
+        elif op == "compact":
+            bi.compact_postings_index(spark, idx)
+            if appended:
+                wm = max(max(appended), wm)
+        check()
