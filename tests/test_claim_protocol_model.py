@@ -47,8 +47,9 @@ wait variant (wait_for_appends_s) trades it for a drain, tested with
 real threads in tests/test_bm25_index.py. The wait variant's
 release-and-re-poll loop IS swept for safety here (r14 verdict #4,
 r15): see WaitingCompactor below — a 2-attempt unrolling against 1
-and 2 appends (495 / 900,900 interleavings) plus a sibling sentinel
-actor, with a stale-poll-observation negative control.
+and 2 appends (495 / 900,900 interleavings), a sibling sentinel
+actor (495), and the full append + waiter + sibling three-way
+(900,900), with a stale-poll-observation negative control.
 """
 
 from __future__ import annotations
@@ -476,3 +477,16 @@ def test_wait_model_detects_stale_poll_observation():
 
     with pytest.raises(AssertionError, match="LOST APPEND"):
         _sweep_wait(1, sabotage=True)
+
+
+def test_wait_variant_vs_compactor_vs_append_every_interleaving_safe():
+    """The full three-way: one append, the looping waiter, AND a plain
+    sentinel-side sibling — C(16;4,8,4) = 900,900 interleavings. The
+    novel orderings here are the waiter re-polling across the
+    sibling's whole hold span (terminal abort, never a co-hold) and
+    the sibling acquiring inside one of the waiter's released refusal
+    windows; the no-lost-append invariant must hold at BOTH actors'
+    read steps."""
+    n_inter, n_reads = _sweep_wait(1, with_plain_compactor=True)
+    assert n_inter == 900_900
+    assert n_reads > 0
