@@ -77,10 +77,11 @@ CHECK_FIRST: list[str] = [
     # (ann_cosine_topk … knn_join_topk below) plus 6 r13/r14-green
     # in-window faces (ann_ivf_indexed, ann_lsh_indexed,
     # retrieval_mrr_indexed, retrieval_mrr_summary,
-    # hybrid_retrieval_rrf, dedup_embedding_cosine — the last four
-    # also carry this round's bm25_index/chunk_index compaction
-    # swap-pair commit record and the ivf_index nprobe guard, so they
-    # re-pin as CHANGED on two counts). Plus the 27 remaining
+    # hybrid_retrieval_rrf, dedup_embedding_cosine — the first four
+    # of those also carry this round's bm25_index/chunk_index
+    # compaction swap-pair commit record and the ivf_index nprobe
+    # guard, so they re-pin as CHANGED on two counts). Plus the 27
+    # remaining
     # r12-green non-closure debt. 18 + 27 = 45 CHECK_FIRST (exactly
     # the margin cap); 0 new + 18 changed — the changed count exceeds
     # the usual ≤8 budget because ONE staged one-line semantic fix
