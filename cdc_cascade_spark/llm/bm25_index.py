@@ -293,11 +293,26 @@ def _acquire_append_claim(out_path: str) -> Path:
     import uuid
 
     root = Path(out_path)
-    root.mkdir(parents=True, exist_ok=True)
     claim = root / f"{_APPEND_CLAIM_PREFIX}{uuid.uuid4().hex}"
-    with open(claim, "x", encoding="utf-8") as f:
-        f.write("append in progress\n")
-    return claim
+    for _ in range(3):
+        root.mkdir(parents=True, exist_ok=True)
+        try:
+            with open(claim, "x", encoding="utf-8") as f:
+                f.write("append in progress\n")
+            return claim
+        except FileNotFoundError:
+            # the directory vanished between our mkdir and the claim
+            # open: a FAILED first-ever rebuild's rollback rmdir'd the
+            # empty out_path it had created (_run_rebuild; r15 advice
+            # #2). Benign — the epoch replays against an empty layout
+            # either way — so recreate and retry instead of leaking
+            # the raw error; the rollback cannot repeat without a new
+            # failing build, so the bounded loop converges.
+            continue
+    raise FileNotFoundError(
+        f"append claim {claim} could not be created: {root} kept "
+        "vanishing (repeated failed-first-build rollbacks?)"
+    )
 
 
 @contextmanager
@@ -352,6 +367,29 @@ _WATERMARK_MARKER = "_SQUASH_WATERMARK"
 # recorded value).
 _REBUILD_COMMIT = "_REBUILD_SWAP"
 _COMPACT_PAYLOAD = "compact"
+_REBUILD_PAYLOAD = "rebuild"
+# the pre-r16 rebuild payload, accepted on read only: a layout that
+# crashed mid-swap under the old writer must still recover under this
+# parser (the record is transient, so this is the one upgrade window
+# where both spellings can be on disk).
+_LEGACY_REBUILD_PAYLOAD = "rebuild swap in progress"
+
+
+class TornCommitRecordError(RuntimeError):
+    """The swap commit record exists but its payload is garbled — a
+    torn write (crash during :func:`_write_commit_record` where the
+    directory entry was journaled but the content was not: truncated
+    payload, missing newline terminator, NUL-filled block).
+
+    Recovery REFUSES rather than guesses (r15 verdict #1): the old
+    parser silently treated any unparseable payload as the REBUILD
+    form, so recover unlinked the squash-watermark marker — exactly
+    the lost-watermark → replayed-squashed-epoch double-count path the
+    record exists to prevent. A torn payload means the record's fsync
+    never returned, so NO swap rename was issued: the operator can
+    verify no ``.old`` artifacts exist, remove the record file, and
+    re-run recover — which then rolls the uncommitted temps BACK.
+    """
 
 
 def _write_commit_record(out_path: str, payload: str) -> None:
@@ -380,22 +418,50 @@ def _write_commit_record(out_path: str, payload: str) -> None:
 
 
 def _commit_record_watermark(out_path: str) -> int | None:
-    """Parse the commit record's payload: a compaction records
-    ``compact <new_wm>`` (its recovery re-writes the watermark marker
-    with that value); a rebuild records anything else (its recovery
-    unlinks the marker — fresh batch-id lineage). Returns the
-    watermark, or ``None`` for the rebuild form."""
+    """Parse the commit record's payload under a STRICT grammar: a
+    compaction records ``compact <new_wm>\\n`` (its recovery re-writes
+    the watermark marker with that value, returned here); a rebuild
+    records ``rebuild\\n`` (its recovery unlinks the marker — fresh
+    batch-id lineage; returns ``None``). ``None`` is also the
+    no-record case.
+
+    Anything else raises :class:`TornCommitRecordError` (r15 verdict
+    #1). The newline is the torn-write sentinel: the payload is
+    written in one ``write()`` and fsynced before any rename, so a
+    tear can only lose a SUFFIX — and every lost suffix also loses the
+    terminator (``compact 12\\n`` torn to ``compact 1`` would
+    otherwise parse as a VALID record with the wrong watermark). A
+    payload with the newline but matching neither grammar (NUL fill,
+    corruption) is equally refused — the decision must not guess
+    between unlink-the-marker and carry-it-forward."""
     try:
-        text = (Path(out_path) / _REBUILD_COMMIT).read_text().strip()
+        raw = (Path(out_path) / _REBUILD_COMMIT).read_text()
     except FileNotFoundError:
+        return None
+    if not raw.endswith("\n"):
+        raise TornCommitRecordError(
+            f"swap commit record {Path(out_path) / _REBUILD_COMMIT} is "
+            f"torn (no terminating newline; payload {raw!r}): its fsync "
+            "never returned, so no swap rename was issued. Verify no "
+            "*.old artifacts exist, remove the record file, and re-run "
+            "recover_compaction to roll the uncommitted temps back."
+        )
+    text = raw.strip()
+    if text in (_REBUILD_PAYLOAD, _LEGACY_REBUILD_PAYLOAD):
         return None
     parts = text.split()
     if len(parts) == 2 and parts[0] == _COMPACT_PAYLOAD:
         try:
             return int(parts[1])
         except ValueError:
-            return None
-    return None
+            pass
+    raise TornCommitRecordError(
+        f"swap commit record {Path(out_path) / _REBUILD_COMMIT} has an "
+        f"unrecognized payload {text!r} (expected "
+        f"'{_REBUILD_PAYLOAD}' or '{_COMPACT_PAYLOAD} <watermark>'). "
+        "Refusing to choose a recovery tail for it — inspect the "
+        "layout by hand before removing the record."
+    )
 
 
 def _commit_compaction_swap(out_path: str, new_wm: int) -> None:
@@ -545,7 +611,14 @@ def _run_rebuild(out_path: str, write_compact) -> None:
             # paths — and die later inside the stats parquet scan, the
             # exact late-failure shape that fail-fast exists to
             # prevent). Non-empty is left alone: something we didn't
-            # write lives there, and rmdir on it raises anyway.
+            # write lives there, and rmdir on it raises anyway. The
+            # sentinel unlink directly above and this rmdir leave a
+            # window where an append's mkdir can see the directory
+            # and then lose it before its claim open — that race is
+            # closed on the append side (_acquire_append_claim retries
+            # on FileNotFoundError; r15 advice #2). Parents created by
+            # mkdir(parents=True) are deliberately left: they may be
+            # shared with unrelated paths.
             try:
                 os.rmdir(out_path)
             except OSError:
@@ -558,7 +631,7 @@ def _run_rebuild(out_path: str, write_compact) -> None:
     # fsync-ordering rationale); its payload is the rebuild form, so
     # recovery UNLINKS the watermark marker — a rebuilt index starts a
     # fresh batch-id lineage.
-    _write_commit_record(out_path, "rebuild swap in progress")
+    _write_commit_record(out_path, _REBUILD_PAYLOAD)
     for name in ("postings", "stats"):
         _swap_compacted(out_path, name)
     (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
@@ -1140,6 +1213,23 @@ def recover_compaction(
         for tmp_dir in _glob.glob(pattern):
             shutil.rmtree(tmp_dir)
     if clear_lock:
+        if (Path(out_path) / _REBUILD_COMMIT).exists():
+            # a commit record survived this call (only possible when a
+            # caller-restricted ``names`` skipped one swap artifact) —
+            # the layout is still mid-commit, so the sentinel stays:
+            # unlocking would let appends land stats deltas that the
+            # eventual full roll-forward's stats swap would then
+            # silently discard. Checked BEFORE the claim sweep (r15
+            # verdict #2) so a refused recover changes NOTHING — the
+            # crashed-writer claims it would have swept are still on
+            # disk for the full-names re-run to sweep.
+            raise RuntimeError(
+                f"recover_compaction({out_path}): the swap commit "
+                f"record is still present after repairing {names} — "
+                "run recover_compaction with BOTH artifacts "
+                "(names=('postings', 'stats'), the default) to finish "
+                "the committed swap before unlocking."
+            )
         claims = _live_append_claims(out_path)
         if claims and not force:
             now = time.time()
@@ -1166,21 +1256,6 @@ def recover_compaction(
                 claim.name,
             )
             claim.unlink(missing_ok=True)
-        if (Path(out_path) / _REBUILD_COMMIT).exists():
-            # a commit record survived this call (only possible when a
-            # caller-restricted ``names`` skipped one swap artifact) —
-            # the layout is still mid-commit, so the sentinel stays:
-            # unlocking would let appends land stats deltas that the
-            # eventual full roll-forward's stats swap would then
-            # silently discard. A full-names recover completes the
-            # swap and unlocks.
-            raise RuntimeError(
-                f"recover_compaction({out_path}): the swap commit "
-                f"record is still present after repairing {names} — "
-                "run recover_compaction with BOTH artifacts "
-                "(names=('postings', 'stats'), the default) to finish "
-                "the committed swap before unlocking."
-            )
         _release_compaction_lock(out_path)
 
 

@@ -63,88 +63,74 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r15 window (the pre-committed BUILD_NOTES plan, executed).
-    # CORRECTNESS_r14 was 50/50 green (verified: the registry's first
-    # 50 exactly, in order), so the r14 CHECK_NEXT pre-pays cleared
-    # and the r12-green debt is exactly 39 (machine-recomputed from
-    # CORRECTNESS_r01–r14 before any code was written: last-green
-    # distribution r12=39 / r13=46 / r14=50). Slot arithmetic:
-    # 18 similarity-closure CHANGED re-pins — r15 ships the scheduled
-    # ann_lsh_topk_bucketed qrow-pruning fix
-    # (docs/r15_lsh_qrow_pruning.patch, pre-verified in r14), which
-    # moves llm/similarity's fingerprint and with it every query whose
-    # import closure contains it: the 12 r12-green debt members
-    # (ann_cosine_topk … knn_join_topk below) plus 6 r13/r14-green
-    # in-window faces (ann_ivf_indexed, ann_lsh_indexed,
-    # retrieval_mrr_indexed, retrieval_mrr_summary,
-    # hybrid_retrieval_rrf, dedup_embedding_cosine — the first four
-    # of those also carry this round's bm25_index/chunk_index
-    # compaction swap-pair commit record and the ivf_index nprobe
-    # guard, so they re-pin as CHANGED on two counts). Plus the 27
-    # remaining
-    # r12-green non-closure debt. 18 + 27 = 45 CHECK_FIRST (exactly
-    # the margin cap); 0 new + 18 changed — the changed count exceeds
-    # the usual ≤8 budget because ONE staged one-line semantic fix
-    # fans out through the similarity closure; the verdict's r15 plan
-    # (#1/#2) pre-approved exactly this shape. CHECK_NEXT's 5 slots
-    # pre-pay r16's 46-query r13-green debt with its highest-plan-risk
-    # members (capstone incremental pair, banded/clustered dedup,
-    # chunked retrieval eval), dropping r16's deadline cohort to 41.
-    # --- changed-fingerprint re-pins (similarity closure + this
-    # round's index-maintenance edits) — probe faces first ---
-    "ann_lsh_indexed",
-    "ann_ivf_indexed",
+    # --- r16 window (the pre-committed BUILD_NOTES "r16 window plan",
+    # executed; r15 verdict "Next round" #1 ordered exactly this).
+    # CORRECTNESS_r15 was 50/50 green (verified before this edit: the
+    # registry's first 50 exactly, in order, zero mismatches/errs), so
+    # the r15 CHECK_NEXT pre-pays cleared and the deadline cohort is
+    # exactly the 39 r13-green queries (machine-recomputed from
+    # CORRECTNESS_r01–r15: last-green distribution r13=39 / r14=46 /
+    # r15=50). Slot arithmetic: 2 CHANGED re-pins — r16 ships the
+    # bm25_index.py commit-record hardening (torn-payload refusal +
+    # recover ordering + claim-retry; r15 verdict #3/#4, ADVICE
+    # #1/#2), whose fingerprint closure is exactly
+    # {retrieval_mrr_indexed, retrieval_mrr_summary} (computed, and
+    # matching the verdict's "two retrieval faces" budget) — plus the
+    # 39 deadline members. 2 + 39 = 41 CHECK_FIRST (≤ the 45 margin
+    # cap); 0 new registrations, as ordered. CHECK_NEXT's 5 slots
+    # pre-pay r17's 46-query r14-green debt with its highest-plan-risk
+    # members, dropping r17's deadline cohort to 41.
+    # --- changed-fingerprint re-pins (bm25_index closure) ---
     "retrieval_mrr_indexed",
     "retrieval_mrr_summary",
-    "hybrid_retrieval_rrf",
-    "dedup_embedding_cosine",
-    # --- similarity-closure r12-green debt (CHANGED + deadline) ---
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_multitable_topk",
-    "ann_cosine_topk",
-    "ann_int8_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_recall_report",
-    "knn_join_topk",
-    "embedding_top_pairs",
-    "embedding_quantize",
-    "embedding_cluster_profile",
-    # --- the 27-query r12-green non-closure staleness cohort
-    # (deadline round; ledger in BUILD_NOTES.md) — multi-stage /
-    # plan-risk first ---
-    # as-of / range / interval joins (bucketed plans)
-    "asof_latest_order",
-    "asof_prev_click_tolerance",
-    "range_join_signup_activity",
-    "overlap_join_order_windows",
-    # corpus curation / mixing reports (multi-join, sampling)
-    "corpus_diff",
-    "corpus_profile",
-    "corpus_split",
-    "corpus_mixture_plan",
-    "corpus_mixture_sample",
-    "token_budget_selection",
-    "packing_efficiency",
-    "minhash_novelty",
-    "shingle_containment",
-    "source_dedup_matrix",
-    "doc_chunks",
-    "dq_constraint_report",
-    "embedding_quality_report",
-    # events suites (gap-fill, hot keys, hopping windows)
-    "events_gap_fill",
-    "events_gap_fill_segmented",
-    "events_hot_keys",
-    "q33_hopping_windows",
-    # relational core
-    "q01_pricing_summary",
-    "q02_topk_orders",
-    "q03_supplier_volume",
-    "q04_forecast_revenue",
-    "q05_order_priority_semi",
-    "quantile_histogram",
+    # --- the 39-query r13-green deadline cohort, multi-stage /
+    # plan-risk first (the pre-committed order) ---
+    # BPE family (iterative merges, driver-side loop bounds)
+    "bpe_train_k_merges",
+    "bpe_encode_corpus",
+    "bpe_apply_top_merge",
+    "bpe_merge_pairs",
+    "bpe_fertility_by_lang",
+    # dedup / sketch plans
+    "segment_dedup",
+    "dedup_simhash_pairs",
+    "sketch_cms_heavy_hitters",
+    # quality gates / calibration / sampling
+    "quality_calibration_report",
+    "quality_floor_filter",
+    "gopher_quality_rules",
+    "label_quality_profile",
+    "label_skew_report",
+    "stratified_sample",
+    "stratified_sample_exact",
+    "temperature_mixture_sample",
+    # text analysis
+    "pii_redaction",
+    "doc_repetition",
+    "doc_fingerprint",
+    "lang_id",
+    "text_stats",
+    "text_salient_terms",
+    "text_bigrams",
+    "text_vocabulary",
+    # CDC family (the reference's own core semantics)
+    "cdc_latest_state",
+    "cdc_op_routing",
+    "cdc_scd2_history",
+    "cdc_invalidation_summary",
+    # sessionization / time windows / window frames
+    "q13_sessionize_events",
+    "q34_session_window_stats",
+    "q17_tumbling_hourly",
+    "q23_timeseries_rollup",
+    "q32_range_frame_window",
+    # relational shapes (pivot, outer joins, percentiles, cube/sets)
+    "q14_pivot_status",
+    "q15_outer_join_part_activity",
+    "q27_full_outer_join",
+    "q18_price_percentiles",
+    "q19_cube_volume",
+    "q20_grouping_sets",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -152,19 +138,18 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r15: all 5 slots pre-pay r16's
-# 46-query r13-green rotation debt with its highest-plan-risk members
-# (the incremental-curation capstone pair — storage-backed state,
-# multi-batch replay — the two banded/clustered dedup plans, and the
-# chunked retrieval eval). If the driver checks the usual 50, r16's
-# deadline cohort drops from 46 to 41 CHECK_FIRST — inside the cap
-# with room for changed re-pins.
+# never for changed or new code. r16: all 5 slots pre-pay r17's
+# 46-query r14-green rotation debt with its highest-plan-risk members
+# (the two banded near-dup plans, the split-leakage pair join, the
+# bin-packing plan, and the funnel sessionization). If the driver
+# checks the usual 50, r17's deadline cohort drops from 46 to 41
+# CHECK_FIRST — inside the cap with room for changed re-pins.
 CHECK_NEXT: list[str] = [
-    "curate_corpus_incremental",
-    "curation_invalidation_report",
-    "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    "chunk_retrieval_eval",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_weighted",
+    "split_leakage_pairs",
+    "pack_sequences",
+    "funnel_conversion",
 ]
 
 

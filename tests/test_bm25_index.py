@@ -4,6 +4,8 @@ append ≡ rebuild, and the bucket partition-pruning plan shape."""
 from __future__ import annotations
 
 import glob
+import os
+import time
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -1990,3 +1992,173 @@ def test_random_lifecycle_walk_with_crashing_compactions(
             if appended:
                 wm = max(max(appended), wm)
         check()
+
+
+def test_torn_commit_record_refuses_recovery(spark, tmp_path):
+    """r15 verdict #1: a commit-record payload that fails to parse used
+    to silently decode as the REBUILD form, so recover unlinked the
+    squash-watermark marker — the lost-watermark → replayed-squashed-
+    epoch double-count the record exists to prevent. The parser now
+    enforces a strict grammar with the terminating newline as the
+    torn-write sentinel and recover REFUSES (named error, layout and
+    marker byte-untouched) on anything else. The nastiest tear —
+    ``compact 12\\n`` losing its tail to ``compact 1`` — would parse
+    as a VALID record with the WRONG watermark without the newline
+    requirement; pinned explicitly."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    bi.compact_postings_index(spark, idx)
+    assert bi._marker_watermark(idx) == 1
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=2
+    )
+    want = _rows(bi.bm25_against_index(spark, SF, idx))
+
+    record = Path(idx) / bi._REBUILD_COMMIT
+    for torn in (
+        b"compac",            # prefix tear inside the token
+        b"compact 1",         # 'compact 12\n' torn — would be VALID+WRONG
+        b"rebuil",            # rebuild form torn
+        b"compact xyz\n",     # newline intact, non-integer watermark
+        b"garbage payload\n", # newline intact, unknown grammar
+        b"\x00" * 16,         # NUL-filled journal block
+    ):
+        record.write_bytes(torn)
+        bi._sentinel(idx).write_text("compaction/rebuild in progress\n")
+        with pytest.raises(bi.TornCommitRecordError):
+            bi.recover_compaction(idx)
+        # the refusal changed NOTHING: record, sentinel, marker intact
+        assert record.read_bytes() == torn
+        assert bi._sentinel(idx).exists()
+        assert bi._marker_watermark(idx) == 1
+
+    # the documented operator remediation: no .old artifacts exist, so
+    # remove the record and re-run — recover proceeds and unlocks
+    record.unlink()
+    assert not list(Path(idx).glob("*.old"))
+    bi.recover_compaction(idx)
+    assert not bi._sentinel(idx).exists()
+    assert bi._marker_watermark(idx) == 1  # marker never lost
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+    # the squashed epoch's replay is still rejected (the double-count
+    # the pre-fix rebuild-default silently allowed)
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, batch_id=1
+    )
+    assert _rows(bi.bm25_against_index(spark, SF, idx)) == want
+
+
+def test_legacy_rebuild_payload_still_recovers(spark, tmp_path):
+    """One-round upgrade window: a layout that crashed mid-rebuild-swap
+    under the pre-r16 writer carries the legacy prose payload — the
+    strict parser must still decode it as the rebuild form (marker
+    unlinked, fresh lineage), not refuse it as torn."""
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs, idx, "overwrite", -1)
+    bi._write_watermark_marker(idx, 7)
+    bi._write_commit_record(idx, bi._LEGACY_REBUILD_PAYLOAD)
+    bi._sentinel(idx).write_text("compaction/rebuild in progress\n")
+    assert bi._commit_record_watermark(idx) is None  # rebuild form
+    bi.recover_compaction(idx)
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not bi._sentinel(idx).exists()
+    assert bi._marker_watermark(idx) == -1  # fresh lineage: unlinked
+
+
+def test_refused_restricted_recover_sweeps_no_claims(
+    spark, tmp_path, monkeypatch
+):
+    """r15 verdict #2: the restricted-``names`` refusal used to fire
+    AFTER the claim sweep, so a refused recover had already unlinked
+    the crashed writer's claims. The check now runs first: a refused
+    recover changes nothing — the claims are still on disk for the
+    full-names re-run to sweep."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+
+    # a crashed writer's claim, aged past the fresh-claim threshold
+    claim = Path(idx) / f"{bi._APPEND_CLAIM_PREFIX}deadbeef"
+    claim.write_text("append in progress\n")
+    aged = time.time() - 300
+    os.utime(claim, (aged, aged))
+
+    with pytest.raises(RuntimeError, match="still present"):
+        bi.recover_compaction(idx, names=("postings",))
+    assert claim.exists()  # pre-fix: already swept before the raise
+    assert (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert bi._sentinel(idx).exists()
+
+    bi.recover_compaction(idx)  # full-names run finishes + sweeps
+    assert not claim.exists()
+    assert not bi._sentinel(idx).exists()
+    assert bi._marker_watermark(idx) == 1
+
+
+def test_append_claim_retries_when_out_path_vanishes(tmp_path, monkeypatch):
+    """r15 advice #2: a failed first-ever rebuild's rollback rmdirs the
+    empty out_path it created; an append racing into the window between
+    its own mkdir and its claim ``open('x')`` used to die with a raw
+    FileNotFoundError. The claim acquire now re-mkdirs and retries, so
+    the append proceeds against a fresh empty layout (its epoch replays
+    cleanly either way)."""
+    import builtins
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = tmp_path / "racy"
+    real_open = builtins.open
+    raced = {"done": False}
+
+    def racing_open(file, *args, **kwargs):
+        mode = args[0] if args else kwargs.get("mode", "r")
+        if (
+            not raced["done"]
+            and "x" in mode
+            and str(file).startswith(str(idx / bi._APPEND_CLAIM_PREFIX))
+        ):
+            # the racing rollback removes the dir AFTER our mkdir and
+            # BEFORE the claim create — the real open then raises the
+            # organic FileNotFoundError
+            raced["done"] = True
+            os.rmdir(idx)
+        return real_open(file, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "open", racing_open)
+    claim = bi._acquire_append_claim(str(idx))
+    assert raced["done"]
+    assert claim.exists()
+    claim.unlink()
