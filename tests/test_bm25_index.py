@@ -1860,8 +1860,15 @@ def test_random_lifecycle_walk_with_crashing_compactions(
     a no-op (rolled back) or a clean compaction (rolled forward). The
     deterministic tests pin each crash point once; this pins their
     COMPOSITIONS across cycles (crash, recover, append, crash again at
-    a different point, replay a squashed epoch, ...)."""
+    a different point, replay a squashed epoch, ...).
+
+    r15 verdict #7 extension: at the INSTANT each crash point fires —
+    sentinel held, layout frozen mid-commit — a probe runs from a
+    separate thread, and the walk pins that what it observes is the
+    NAMED sentinel raise, never a stale or mixed read; after every
+    recover, a threaded probe must see exactly the model state."""
     import random
+    import threading
 
     from cdc_cascade_spark.llm import bm25_index as bi
 
@@ -1912,25 +1919,60 @@ def test_random_lifecycle_walk_with_crashing_compactions(
         "before_marker",
     ]
 
+    def probe_in_thread():
+        """Run a probe from a SEPARATE thread and report what it saw:
+        {'docs': set} for a served read, {'raise': msg} for a refusal.
+        Concurrency is the point — the mid-commit refusal must not
+        depend on being on the compactor's own thread."""
+        out: dict = {}
+
+        def run():
+            try:
+                rows = (
+                    bi.probe_postings_index(spark, qterms, idx)
+                    .select("doc_id")
+                    .distinct()
+                    .collect()
+                )
+                out["docs"] = {r.doc_id for r in rows}
+            except Exception as e:  # noqa: BLE001 — observation, not control
+                out["raise"] = str(e)
+
+        t = threading.Thread(target=run)
+        t.start()
+        t.join(120)
+        assert not t.is_alive(), "concurrent probe thread hung"
+        return out
+
     def crashing_compact(point):
+        # at the crash instant — BEFORE the injected error unwinds the
+        # compactor, with the sentinel held and the layout frozen at
+        # this exact mid-commit state — a concurrent probe must see
+        # the named sentinel raise, never a stale or mixed read
+        seen_at_crash: dict = {}
+
+        def observe_then_crash():
+            seen_at_crash.update(probe_in_thread())
+            raise RuntimeError("crash (injected)")
+
         if point == "during_temp_write":
             def crash_stats_raw(spark_, out_path):
-                raise RuntimeError("crash (injected)")
+                observe_then_crash()
             monkeypatch.setattr(bi, "_stats_raw", crash_stats_raw)
         elif point == "before_record":
             def no_commit(out_path, new_wm):
-                raise RuntimeError("crash (injected)")
+                observe_then_crash()
             monkeypatch.setattr(bi, "_commit_compaction_swap", no_commit)
         elif point in ("postings_swap", "stats_swap"):
             target = "postings" if point == "postings_swap" else "stats"
             def crash_swap(out_path, name):
                 if name == target:
-                    raise RuntimeError("crash (injected)")
+                    observe_then_crash()
                 real_swap(out_path, name)
             monkeypatch.setattr(bi, "_swap_compacted", crash_swap)
         elif point == "before_marker":
             def crash_marker(out_path, new_wm):
-                raise RuntimeError("crash (injected)")
+                observe_then_crash()
             monkeypatch.setattr(bi, "_write_watermark_marker", crash_marker)
         import pytest as _pytest
 
@@ -1942,18 +1984,40 @@ def test_random_lifecycle_walk_with_crashing_compactions(
             monkeypatch.setattr(bi, "_swap_compacted", real_swap)
             monkeypatch.setattr(bi, "_write_watermark_marker", real_marker)
             monkeypatch.setattr(bi, "_commit_compaction_swap", real_commit)
+        # every crash point fires under the held sentinel (the lock is
+        # taken before the temp write), so the concurrent observation
+        # must be the refusal — a {'docs': ...} here would mean a read
+        # was SERVED against a frozen mid-commit layout
+        assert "raise" in seen_at_crash, (point, seen_at_crash)
+        assert "compacted or rebuilt" in seen_at_crash["raise"], (
+            point,
+            seen_at_crash,
+        )
         if point == "during_temp_write":
             # the rollback path: temps cleared AND auto-unlocked
             assert not bi._sentinel(idx).exists()
             assert not Path(f"{idx}/postings.compact").exists()
             return False  # watermark did NOT advance
         # every commit-phase crash keeps the sentinel: reads refuse
-        # loudly until the operator recovers
+        # loudly until the operator recovers — from a separate thread
+        # too (the crashed run is GONE now, unlike the mid-commit
+        # observation above)
         assert bi._sentinel(idx).exists()
         with _pytest.raises(RuntimeError, match="compacted or rebuilt"):
             bi.bm25_against_index(spark, SF, idx).collect()
+        crashed_seen = probe_in_thread()
+        assert "compacted or rebuilt" in crashed_seen.get("raise", ""), (
+            point,
+            crashed_seen,
+        )
         bi.recover_compaction(idx)
         assert not bi._sentinel(idx).exists()
+        # post-recover, a threaded probe serves exactly the live set
+        recovered_seen = probe_in_thread()
+        assert recovered_seen.get("docs", set()) <= live, (
+            point,
+            recovered_seen,
+        )
         if point == "before_record":
             # no record → recover rolled BACK (temps cleared)
             assert not Path(f"{idx}/postings.compact").exists()
