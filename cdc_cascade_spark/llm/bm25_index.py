@@ -435,9 +435,19 @@ def _commit_record_watermark(out_path: str) -> int | None:
     corruption) is equally refused — the decision must not guess
     between unlink-the-marker and carry-it-forward."""
     try:
-        raw = (Path(out_path) / _REBUILD_COMMIT).read_text()
+        raw_bytes = (Path(out_path) / _REBUILD_COMMIT).read_bytes()
     except FileNotFoundError:
         return None
+    try:
+        raw = raw_bytes.decode("utf-8")
+    except UnicodeDecodeError as e:
+        # a corrupt block is the same refusal as a torn one — never a
+        # leaked UnicodeDecodeError that reads as an engine bug
+        raise TornCommitRecordError(
+            f"swap commit record {Path(out_path) / _REBUILD_COMMIT} is "
+            f"not valid UTF-8 ({e}) — torn or corrupt. Inspect the "
+            "layout by hand before removing the record."
+        ) from e
     if not raw.endswith("\n"):
         raise TornCommitRecordError(
             f"swap commit record {Path(out_path) / _REBUILD_COMMIT} is "

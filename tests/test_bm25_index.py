@@ -1863,10 +1863,11 @@ def test_random_lifecycle_walk_with_crashing_compactions(
     a different point, replay a squashed epoch, ...).
 
     r15 verdict #7 extension: at the INSTANT each crash point fires —
-    sentinel held, layout frozen mid-commit — a probe runs from a
-    separate thread, and the walk pins that what it observes is the
-    NAMED sentinel raise, never a stale or mixed read; after every
-    recover, a threaded probe must see exactly the model state."""
+    sentinel held, layout frozen mid-commit — a probe AND an append
+    each run from separate threads, and the walk pins that both
+    observe the NAMED sentinel raise (never a stale/mixed read, never
+    a landed write, never a leaked claim); after every recover, a
+    threaded probe must see exactly the model state."""
     import random
     import threading
 
@@ -1944,15 +1945,41 @@ def test_random_lifecycle_walk_with_crashing_compactions(
         assert not t.is_alive(), "concurrent probe thread hung"
         return out
 
+    def append_in_thread():
+        """Attempt an append from a separate thread; report the raise
+        (or that it landed). A mid-commit append must refuse at its
+        sentinel check AND release its claim on the way out — a leaked
+        claim would block the eventual recover."""
+        out: dict = {}
+
+        def run():
+            try:
+                bi.append_postings_index(
+                    batch([next_doc + 10_000]), idx, batch_id=wm + 10_000
+                )
+                out["landed"] = True
+            except Exception as e:  # noqa: BLE001 — observation
+                out["raise"] = str(e)
+
+        t = threading.Thread(target=run)
+        t.start()
+        t.join(120)
+        assert not t.is_alive(), "concurrent append thread hung"
+        return out
+
     def crashing_compact(point):
         # at the crash instant — BEFORE the injected error unwinds the
         # compactor, with the sentinel held and the layout frozen at
         # this exact mid-commit state — a concurrent probe must see
-        # the named sentinel raise, never a stale or mixed read
+        # the named sentinel raise (never a stale or mixed read), a
+        # concurrent append must refuse at its sentinel check without
+        # leaking its claim, and neither may write anything
         seen_at_crash: dict = {}
+        append_at_crash: dict = {}
 
         def observe_then_crash():
             seen_at_crash.update(probe_in_thread())
+            append_at_crash.update(append_in_thread())
             raise RuntimeError("crash (injected)")
 
         if point == "during_temp_write":
@@ -1992,6 +2019,16 @@ def test_random_lifecycle_walk_with_crashing_compactions(
         assert "compacted or rebuilt" in seen_at_crash["raise"], (
             point,
             seen_at_crash,
+        )
+        # the concurrent append refused at its sentinel check and its
+        # claim was released on the raise path (_append_guard finally)
+        assert "compacted or rebuilt" in append_at_crash.get("raise", ""), (
+            point,
+            append_at_crash,
+        )
+        assert bi._live_append_claims(idx) == [], (
+            point,
+            "mid-commit append leaked a claim",
         )
         if point == "during_temp_write":
             # the rollback path: temps cleared AND auto-unlocked
@@ -2226,3 +2263,111 @@ def test_append_claim_retries_when_out_path_vanishes(tmp_path, monkeypatch):
     assert raced["done"]
     assert claim.exists()
     claim.unlink()
+
+
+def test_every_proper_prefix_of_a_valid_record_refuses(tmp_path):
+    """Exhaustive torn-write sweep: for every payload the two writers
+    can produce (and the legacy prose form), the FULL record parses to
+    exactly the writer's intent, and EVERY proper byte-prefix — every
+    possible suffix-losing tear, including the empty file — refuses
+    with the named error. This is the complete tear space: the payload
+    is written in one ``write()`` and fsynced before any rename, so a
+    tear can only lose a suffix."""
+    import pytest
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    out = tmp_path / "idx"
+    out.mkdir()
+    rec = out / bi._REBUILD_COMMIT
+    cases = [
+        (bi._REBUILD_PAYLOAD, None),
+        (bi._LEGACY_REBUILD_PAYLOAD, None),
+        ("compact 0", 0),
+        ("compact 7", 7),
+        ("compact 12", 12),
+        ("compact 987654321", 987654321),
+        ("compact -1", -1),  # a first-ever squash can record wm=-1
+    ]
+    for payload, want in cases:
+        full = (payload + "\n").encode()
+        rec.write_bytes(full)
+        got = bi._commit_record_watermark(str(out))
+        assert (got is None) if want is None else got == want, (payload, got)
+        for i in range(len(full)):
+            rec.write_bytes(full[:i])
+            with pytest.raises(bi.TornCommitRecordError):
+                bi._commit_record_watermark(str(out))
+    # invalid UTF-8 refuses with the SAME named error, never a leaked
+    # UnicodeDecodeError
+    rec.write_bytes(b"compact \xff\xfe\n")
+    with pytest.raises(bi.TornCommitRecordError, match="UTF-8"):
+        bi._commit_record_watermark(str(out))
+    rec.unlink()
+    assert bi._commit_record_watermark(str(out)) is None  # no record
+
+
+def test_commit_record_parser_matches_grammar_model(tmp_path):
+    """Differential fuzz of the strict parser against an independent
+    restatement of the grammar: for arbitrary unicode payloads (with
+    and without the terminator) the parser must return exactly what
+    the grammar says or raise exactly when the grammar says refuse —
+    no third behavior (wrong value, silent rebuild default, leaked
+    non-named exception)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    out = tmp_path / "idx"
+    out.mkdir()
+    rec = out / bi._REBUILD_COMMIT
+
+    def grammar(raw: str):
+        """(kind, value): the spec, restated independently."""
+        if not raw.endswith("\n"):
+            return ("refuse", None)
+        text = raw.strip()
+        if text in (bi._REBUILD_PAYLOAD, bi._LEGACY_REBUILD_PAYLOAD):
+            return ("rebuild", None)
+        parts = text.split()
+        if len(parts) == 2 and parts[0] == bi._COMPACT_PAYLOAD:
+            try:
+                return ("compact", int(parts[1]))
+            except ValueError:
+                return ("refuse", None)
+        return ("refuse", None)
+
+    payloads = st.one_of(
+        st.text(max_size=40),
+        st.from_regex(r"compact -?[0-9]{1,12}", fullmatch=True),
+        st.sampled_from(
+            [bi._REBUILD_PAYLOAD, bi._LEGACY_REBUILD_PAYLOAD, "compact",
+             "compact 1 2", "COMPACT 5", "rebuild extra"]
+        ),
+    )
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(payloads, st.booleans())
+    def run(payload, terminated):
+        raw = payload + ("\n" if terminated else "")
+        rec.write_bytes(raw.encode())
+        kind, value = grammar(raw)
+        if kind == "refuse":
+            try:
+                bi._commit_record_watermark(str(out))
+            except bi.TornCommitRecordError:
+                pass
+            else:
+                raise AssertionError(f"parser accepted {raw!r}")
+        else:
+            got = bi._commit_record_watermark(str(out))
+            if kind == "rebuild":
+                assert got is None, (raw, got)
+            else:
+                assert got == value, (raw, got, value)
+
+    run()
