@@ -490,3 +490,154 @@ def test_wait_variant_vs_compactor_vs_append_every_interleaving_safe():
     n_inter, n_reads = _sweep_wait(1, with_plain_compactor=True)
     assert n_inter == 900_900
     assert n_reads > 0
+
+
+@dataclass
+class RecoverThenCompact:
+    """An OPERATOR sequence: ``recover_compaction`` (crash repair with
+    the fresh-claim guard, r13 advice) followed — only if the recover
+    did not raise — by a compaction. Models the r16 question: can a
+    MISTAKEN recover, invoked while ingest is still live, sweep a live
+    writer's claim and thereby let its compaction read a layout the
+    append is still writing into?
+
+    The freshness model maps the code's mtime threshold onto actor
+    identity: a claim owned by a live Append actor is always FRESH
+    (claims are held for one append's duration, far under the 60 s
+    threshold), the pre-seeded crashed claim is OLD. ``force=True``
+    skips the guard — the documented just-killed-the-ingest override —
+    and the negative control below shows exactly the lost-append
+    schedule it re-opens.
+
+    Program (8 steps):
+      0 list-claims (the glob snapshot)
+      1 freshness check over the snapshot (re-stat: a claim already
+        released is skipped, as the code's FileNotFoundError handler)
+        → raise (halt the WHOLE sequence) if any fresh, unless force
+      2 sweep: unlink every snapshot member (only reached fresh-free)
+      3 release any sentinel (crash repair tail; no live maintenance
+        exists in this scenario, per recover's standing contract)
+      4-7 the compactor half, verbatim SentinelActor semantics
+    """
+
+    ident: str
+    force: bool = False
+    pc: int = 0
+    snapshot: tuple = ()
+    refused: bool | None = None
+    acquired: bool | None = None
+    proceeded: bool | None = None
+    read_ok: bool | None = None
+
+    def steps_total(self) -> int:
+        return 8
+
+
+def _step_recover_then_compact(
+    r: RecoverThenCompact, w: World, appends: list[Append]
+) -> None:
+    live_idents = {a.ident for a in appends}
+    if r.pc == 0:
+        r.snapshot = tuple(w.claims)
+    elif r.pc == 1:
+        fresh = [
+            c for c in r.snapshot if c in w.claims and c in live_idents
+        ]
+        r.refused = (not r.force) and bool(fresh)
+    elif r.pc == 2:
+        if not r.refused:
+            for c in r.snapshot:
+                w.claims.discard(c)
+    elif r.pc == 3:
+        if not r.refused:
+            w.sentinel_holder = None  # missing_ok unlink
+    elif r.pc == 4:
+        if not r.refused:
+            r.acquired = w.sentinel_holder is None
+            if r.acquired:
+                w.sentinel_holder = r.ident
+    elif r.pc == 5:
+        if r.acquired:
+            r.proceeded = not w.claims
+            if not r.proceeded:
+                w.sentinel_holder = None
+    elif r.pc == 6:
+        if r.acquired and r.proceeded:
+            r.read_ok = all(
+                (a.proceeded is not True) or (a.ident in w.landed)
+                for a in appends
+            )
+    elif r.pc == 7:
+        if r.acquired and r.proceeded:
+            w.sentinel_holder = None
+    r.pc += 1
+
+
+def _sweep_recover(n_appends: int, force: bool) -> tuple[int, int, int, int]:
+    """Every interleaving of n live appends vs one recover-then-compact
+    operator sequence, against a layout holding one CRASHED writer's
+    claim. Returns (n_interleavings, n_reads_checked, n_refusals,
+    n_crashed_sweeps); raises on any lost append."""
+    counts = {f"a{i}": 4 for i in range(n_appends)} | {"r": 8}
+    n_inter = n_reads = n_refused = n_swept = 0
+    for sched in _multiset_permutations(counts):
+        n_inter += 1
+        appends = [Append(f"a{i}") for i in range(n_appends)]
+        by_id = {a.ident: a for a in appends}
+        r = RecoverThenCompact("r", force=force)
+        w = World(claims={"crashed0"})
+        for aid in sched:
+            if aid == "r":
+                _step_recover_then_compact(r, w, appends)
+            else:
+                _step_append(by_id[aid], w)
+        if r.read_ok is not None:
+            n_reads += 1
+            assert r.read_ok, (
+                f"LOST APPEND under schedule {sched}: recover swept a "
+                "live claim and the compaction read mid-write"
+            )
+        if r.refused:
+            n_refused += 1
+        if "crashed0" not in w.claims:
+            n_swept += 1
+        assert w.sentinel_holder is None, sched
+    return n_inter, n_reads, n_refused, n_swept
+
+
+def test_recover_then_compact_vs_live_append_every_interleaving_safe():
+    """The fresh-claim guard is what makes a mistaken mid-ingest
+    recover safe: in EVERY interleaving it either refuses (a live
+    claim was in its listing) or sweeps only the crashed claim — and
+    the compaction that follows never reads a layout a proceeded
+    append has not finished writing."""
+    n_inter, n_reads, n_refused, n_swept = _sweep_recover(1, force=False)
+    assert n_inter == 495  # C(12;4,8)
+    assert n_reads > 0     # the compaction half actually ran somewhere
+    assert n_refused > 0   # the guard actually fired somewhere
+    assert n_swept > 0     # the crashed claim actually got swept somewhere
+
+
+def test_recover_then_compact_vs_two_appends_every_interleaving_safe():
+    """Two live writers racing the operator sequence — 900,900
+    schedules (16!/(4!4!8!)), the same completeness bound as the
+    two-append compactor sweep (claims never interact, so 2-append
+    coverage projects any k>2 violation onto a swept schedule)."""
+    n_inter, n_reads, n_refused, n_swept = _sweep_recover(2, force=False)
+    assert n_inter == 900_900
+    assert n_reads > 0
+    assert n_refused > 0
+    assert n_swept > 0
+
+
+def test_recover_force_reopens_the_race_model_detects_it():
+    """Negative control: ``force=True`` (the documented override for a
+    just-killed ingest) skips the freshness guard — against a STILL
+    LIVE append the sweep must find the lost-append schedule (recover
+    unlinks the live claim, the compaction acquires over the append's
+    in-flight write and reads early). This is why force's contract
+    demands the ingest be stopped first."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="LOST APPEND"):
+        _sweep_recover(1, force=True)
