@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import time
 from contextlib import contextmanager
 from pathlib import Path
@@ -417,13 +418,22 @@ def _write_commit_record(out_path: str, payload: str) -> None:
         os.close(dfd)
 
 
-def _commit_record_watermark(out_path: str) -> int | None:
-    """Parse the commit record's payload under a STRICT grammar: a
-    compaction records ``compact <new_wm>\\n`` (its recovery re-writes
-    the watermark marker with that value, returned here); a rebuild
-    records ``rebuild\\n`` (its recovery unlinks the marker — fresh
-    batch-id lineage; returns ``None``). ``None`` is also the
-    no-record case.
+# a non-default artifact pair recorded in a rebuild payload:
+# comma-joined lowercase names, e.g. "features,bands"
+_PAIRSPEC_RE = re.compile(r"^[a-z_]+(,[a-z_]+)+$")
+
+
+def _commit_record_parts(out_path: str) -> list[str] | None:
+    """Read + validate the commit record under the STRICT grammar;
+    return its token list, or ``None`` when no record exists.
+
+    Grammar (one line, newline-terminated):
+      ``rebuild``                      — rebuild, default artifact pair
+      ``rebuild <name>,<name>[,…]``    — rebuild, recorded pair (the
+                                         MinHash dedup layout writes
+                                         ``rebuild features,bands``)
+      ``compact <watermark>``          — whole-index compaction
+      (legacy prose rebuild payload accepted, normalized to [rebuild])
 
     Anything else raises :class:`TornCommitRecordError` (r15 verdict
     #1). The newline is the torn-write sentinel: the payload is
@@ -431,7 +441,7 @@ def _commit_record_watermark(out_path: str) -> int | None:
     tear can only lose a SUFFIX — and every lost suffix also loses the
     terminator (``compact 12\\n`` torn to ``compact 1`` would
     otherwise parse as a VALID record with the wrong watermark). A
-    payload with the newline but matching neither grammar (NUL fill,
+    payload with the newline but matching no grammar form (NUL fill,
     corruption) is equally refused — the decision must not guess
     between unlink-the-marker and carry-it-forward."""
     try:
@@ -457,21 +467,55 @@ def _commit_record_watermark(out_path: str) -> int | None:
             "recover_compaction to roll the uncommitted temps back."
         )
     text = raw.strip()
-    if text in (_REBUILD_PAYLOAD, _LEGACY_REBUILD_PAYLOAD):
-        return None
+    if text == _LEGACY_REBUILD_PAYLOAD:
+        return [_REBUILD_PAYLOAD]
     parts = text.split()
+    if parts == [_REBUILD_PAYLOAD]:
+        return parts
+    if (
+        len(parts) == 2
+        and parts[0] == _REBUILD_PAYLOAD
+        and _PAIRSPEC_RE.match(parts[1])
+    ):
+        return parts
     if len(parts) == 2 and parts[0] == _COMPACT_PAYLOAD:
         try:
-            return int(parts[1])
+            int(parts[1])
+            return parts
         except ValueError:
             pass
     raise TornCommitRecordError(
         f"swap commit record {Path(out_path) / _REBUILD_COMMIT} has an "
         f"unrecognized payload {text!r} (expected "
-        f"'{_REBUILD_PAYLOAD}' or '{_COMPACT_PAYLOAD} <watermark>'). "
+        f"'{_REBUILD_PAYLOAD}[ <name>,<name>]' or "
+        f"'{_COMPACT_PAYLOAD} <watermark>'). "
         "Refusing to choose a recovery tail for it — inspect the "
         "layout by hand before removing the record."
     )
+
+
+def _commit_record_watermark(out_path: str) -> int | None:
+    """The compaction form's recorded watermark (its recovery re-writes
+    the marker with it); ``None`` for the rebuild forms (recovery
+    unlinks the marker — fresh batch-id lineage) and the no-record
+    case. Raises :class:`TornCommitRecordError` on a garbled record
+    (see :func:`_commit_record_parts`)."""
+    parts = _commit_record_parts(out_path)
+    if parts and parts[0] == _COMPACT_PAYLOAD:
+        return int(parts[1])
+    return None
+
+
+def _commit_record_pair(out_path: str) -> tuple | None:
+    """The artifact pair a rebuild record declares, or ``None`` when
+    the record is absent or carries no pairspec (the bm25/chunk default
+    pair, and every compaction record). A recover invoked with the
+    WRONG layout's names is gated on this, so it refuses instead of
+    consuming a record whose artifacts it never promoted."""
+    parts = _commit_record_parts(out_path)
+    if parts and parts[0] == _REBUILD_PAYLOAD and len(parts) == 2:
+        return tuple(parts[1].split(","))
+    return None
 
 
 def _commit_compaction_swap(out_path: str, new_wm: int) -> None:
@@ -570,9 +614,15 @@ def _write_batch(
     ).parquet(f"{out_path}/{stats_dir}")
 
 
-def _run_rebuild(out_path: str, write_compact) -> None:
-    """Crash-safe overwrite build, shared by :func:`write_postings_index`
-    and ``chunk_index.write_chunk_index``.
+def _run_rebuild(
+    out_path: str,
+    write_compact,
+    names: tuple = ("postings", "stats"),
+) -> None:
+    """Crash-safe overwrite build, shared by :func:`write_postings_index`,
+    ``chunk_index.write_chunk_index``, and (with ``names=("features",
+    "bands")``) ``dedup_index.write_minhash_index`` — ``names`` is the
+    layout's full artifact pair, swapped together under one record.
 
     The old form overwrote the live directories in place under the
     sentinel, then released the lock in a ``finally`` — so ANY
@@ -610,7 +660,7 @@ def _run_rebuild(out_path: str, write_compact) -> None:
         # roll back: the live layout was never touched. Clear our temp
         # residue (a half-written .compact on a FIRST-ever build would
         # otherwise be promotable by a later repair) and unlock.
-        for name in ("postings", "stats"):
+        for name in names:
             shutil.rmtree(f"{out_path}/{name}.compact", ignore_errors=True)
         _release_compaction_lock(out_path)
         if created_out_path:
@@ -641,8 +691,13 @@ def _run_rebuild(out_path: str, write_compact) -> None:
     # fsync-ordering rationale); its payload is the rebuild form, so
     # recovery UNLINKS the watermark marker — a rebuilt index starts a
     # fresh batch-id lineage.
-    _write_commit_record(out_path, _REBUILD_PAYLOAD)
-    for name in ("postings", "stats"):
+    payload = (
+        _REBUILD_PAYLOAD
+        if names == ("postings", "stats")
+        else f"{_REBUILD_PAYLOAD} {','.join(names)}"
+    )
+    _write_commit_record(out_path, payload)
+    for name in names:
         _swap_compacted(out_path, name)
     (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
     (Path(out_path) / _REBUILD_COMMIT).unlink()
@@ -874,7 +929,7 @@ def probe_postings_index(
     return topk_from_postings(tf, qterms, stats)
 
 
-def _repair_for_read(out_path: str) -> None:
+def _repair_for_read(out_path: str, names: tuple = ("postings", "stats")) -> None:
     """Promote-only crash repair, safe to run before any read even if
     a compaction acquires the lock an instant after the caller's
     sentinel check (review finding r12: the earlier probe-side FULL
@@ -893,7 +948,7 @@ def _repair_for_read(out_path: str) -> None:
     import glob as _glob
     import shutil
 
-    for name in ("postings", "stats"):
+    for name in names:
         live = Path(out_path) / name
         tmp = Path(out_path) / f"{name}.compact"
         old = Path(out_path) / f"{name}.old"
@@ -1083,10 +1138,19 @@ def recover_compaction(
     clear_lock: bool = True,
     force: bool = False,
     fresh_claim_age_s: float = 60.0,
+    artifact_pair: tuple = ("postings", "stats"),
 ) -> None:
     """Repair the index layout after a crash anywhere inside a
     compaction run. Idempotent, and a no-op on a clean layout — called
     at the top of every compact so an operator can simply re-run it.
+
+    ``artifact_pair`` names the layout's FULL artifact set — the pair a
+    swap commit record covers. The bm25/chunk layouts use the default
+    ``("postings", "stats")``; the MinHash dedup layout passes
+    ``("features", "bands")`` (its recover entry,
+    ``dedup_index.recover_minhash_index``, pins both ``names`` and
+    ``artifact_pair`` so the record tail below is gated on the right
+    pair).
 
     Per artifact directory, exactly one of these crash states exists
     (plus the swap commit record, which overrides them — see the
@@ -1163,6 +1227,12 @@ def recover_compaction(
     commit = Path(out_path) / _REBUILD_COMMIT
     roll_forward = commit.exists()
     commit_wm = _commit_record_watermark(out_path)
+    # the record's own pairspec outranks the caller's hint: a recover
+    # invoked with the WRONG layout's names (e.g. the bm25 default on a
+    # MinHash features/bands layout) must not consume a record whose
+    # artifacts it never promoted — the tail gate below refuses and
+    # clear_lock raises, naming the right pair.
+    pair = _commit_record_pair(out_path) or artifact_pair
     for name in names:
         live = Path(out_path) / name
         tmp = Path(out_path) / f"{name}.compact"
@@ -1184,7 +1254,7 @@ def recover_compaction(
                 shutil.rmtree(tmp)
         elif old.exists():
             old.rename(live)
-    if roll_forward and {"postings", "stats"} <= set(names):
+    if roll_forward and set(pair) <= set(names):
         # the swap's tail, per the record's payload: a COMPACTION
         # carries its watermark forward (re-write the marker with the
         # recorded value — the authoritative copy is already live in
@@ -1236,8 +1306,8 @@ def recover_compaction(
             raise RuntimeError(
                 f"recover_compaction({out_path}): the swap commit "
                 f"record is still present after repairing {names} — "
-                "run recover_compaction with BOTH artifacts "
-                "(names=('postings', 'stats'), the default) to finish "
+                "run recover_compaction with the layout's FULL "
+                f"artifact pair (names={pair!r}) to finish "
                 "the committed swap before unlocking."
             )
         claims = _live_append_claims(out_path)

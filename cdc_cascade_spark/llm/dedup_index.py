@@ -29,6 +29,26 @@ is the MinHash analog of the bucketed-ANN index lifecycle in
   run ``dedup_minhash_lsh`` over the batch alone for those; this
   operator answers "is any of today's docs already in the corpus?".
 
+Maintenance protocol (r16 — the bm25_index protocol, shared code):
+rebuilds write ``features.compact``/``bands.compact`` and swap both
+under the fsynced ``_REBUILD_SWAP`` commit record inside the
+claim/sentinel two-flag exclusion (``bm25_index._run_rebuild``), so a
+FAILED rebuild leaves the old index serving and a CRASHED swap rolls
+forward under :func:`recover_minhash_index`; appends hold a writer
+claim (refused while maintenance runs, excluded from a starting
+rebuild); probes refuse under a held sentinel and run the promote-only
+read repair first. Replay semantics: an at-least-once re-append of the
+same batch lands byte-duplicate rows on disk (parquet append keeps
+O(batch) cost — no read-modify-write); probes are IMMUNE — candidate
+pairs are ``distinct`` and the verification side dedups per corpus doc
+at candidate scope — and a rebuild (this index's compaction) squashes
+the disk duplicates away. Crash order: an append writes features THEN
+bands, so a mid-append crash leaves a featurized doc with no band rows
+— invisible to candidacy (never a wrong answer); the batch's replay
+re-appends both relations.
+
+See docs/index_maintenance_protocol.md for the operator runbook.
+
 Oracle-gate exclusion: like the bucketed-ANN lifecycle, the semantics
 here are a path-dependent physical layout (parquet index directory,
 incremental appends), which a single ANSI statement over the raw tables
@@ -47,12 +67,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_cascade_spark.llm.bm25_index import (
+    _append_guard,
+    _check_not_compacting,
+    _repair_for_read,
+    _run_rebuild,
+    recover_compaction,
+)
 from cdc_cascade_spark.llm.dedup import (
     JACCARD_THRESHOLD,
     _lsh_band_structs,
     _minhash_sig_aggs,
 )
 from cdc_cascade_spark.llm.prep import jaccard, shingle_hash_set, tokens
+
+# the layout's full artifact pair — swapped together under one commit
+# record, exactly like bm25's (postings, stats)
+_PAIR = ("features", "bands")
 
 
 def _batch_features(docs: DataFrame) -> DataFrame:
@@ -80,18 +111,34 @@ def _batch_bands(features: DataFrame) -> DataFrame:
 
 
 def write_minhash_index(docs: DataFrame, out_path: str) -> None:
-    """Build the on-disk index from a (doc_id, text, ...) corpus frame:
-    band relation under ``out_path/bands`` (partitioned by band) and
-    feature relation under ``out_path/features``. For the standard
-    tables, pass ``load_table(spark, sf_dir, "documents")``."""
-    feats = _batch_features(docs)
-    feats.write.mode("overwrite").parquet(f"{out_path}/features")
-    # derive bands from the persisted features so the expensive
-    # shingle featurization runs once, not once per relation
-    persisted = docs.sparkSession.read.parquet(f"{out_path}/features")
-    _batch_bands(persisted).write.mode("overwrite").partitionBy("band").parquet(
-        f"{out_path}/bands"
-    )
+    """Build (or REBUILD — this index's compaction) the on-disk index
+    from a (doc_id, text, ...) corpus frame: band relation under
+    ``out_path/bands`` (partitioned by band) and feature relation under
+    ``out_path/features``. For the standard tables, pass
+    ``load_table(spark, sf_dir, "documents")``.
+
+    Crash-safe and writer-excluded via the shared bm25_index protocol
+    (``_run_rebuild`` with this layout's artifact pair): fresh
+    ``features.compact``/``bands.compact`` are fully written before
+    anything live is touched, then swapped under the fsynced commit
+    record — the pre-r16 form was two bare ``mode("overwrite")``
+    writes, so a crash between (or inside) them served a silently
+    mixed or partial index. A rebuild over the unioned corpus also
+    squashes replayed appends' duplicate rows away."""
+
+    def write_compact() -> None:
+        feats = _batch_features(docs)
+        feats.write.mode("overwrite").parquet(f"{out_path}/features.compact")
+        # derive bands from the persisted features so the expensive
+        # shingle featurization runs once, not once per relation
+        persisted = docs.sparkSession.read.parquet(
+            f"{out_path}/features.compact"
+        )
+        _batch_bands(persisted).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{out_path}/bands.compact")
+
+    _run_rebuild(out_path, write_compact, names=_PAIR)
 
 
 def append_minhash_index(docs_batch: DataFrame, out_path: str) -> None:
@@ -99,14 +146,30 @@ def append_minhash_index(docs_batch: DataFrame, out_path: str) -> None:
 
     Parquet append only — existing files are untouched, so the append
     cost is O(batch). Caller owns doc_id uniqueness vs the corpus (the
-    same contract as ``append_lsh_bucketed``)."""
-    # eager localCheckpoint: the feature frame feeds two write actions
-    # (features, bands); snapshotting it runs the shingle featurization
-    # once instead of once per action
-    feats = _batch_features(docs_batch).localCheckpoint(eager=True)
-    feats.write.mode("append").parquet(f"{out_path}/features")
-    _batch_bands(feats).write.mode("append").partitionBy("band").parquet(
-        f"{out_path}/bands"
+    same contract as ``append_lsh_bucketed``); an at-least-once REPLAY
+    of a batch is safe (probe-immune, squashed by the next rebuild —
+    module docstring). Holds a writer claim for the append's duration:
+    refused while a rebuild runs, and a rebuild cannot start mid-append
+    (the two-flag protocol). Features are written BEFORE bands so a
+    mid-append crash leaves only candidacy-invisible feature rows."""
+    with _append_guard(out_path):
+        # eager localCheckpoint: the feature frame feeds two write
+        # actions (features, bands); snapshotting it runs the shingle
+        # featurization once instead of once per action
+        feats = _batch_features(docs_batch).localCheckpoint(eager=True)
+        feats.write.mode("append").parquet(f"{out_path}/features")
+        _batch_bands(feats).write.mode("append").partitionBy("band").parquet(
+            f"{out_path}/bands"
+        )
+
+
+def recover_minhash_index(out_path: str, force: bool = False) -> None:
+    """Operator crash repair for this layout — the shared
+    :func:`bm25_index.recover_compaction` decision table gated on THIS
+    layout's artifact pair (a committed swap rolls forward only when
+    both ``features`` and ``bands`` are processed together)."""
+    recover_compaction(
+        out_path, names=_PAIR, force=force, artifact_pair=_PAIR
     )
 
 
@@ -119,7 +182,17 @@ def dedup_against_index(
     The batch side is broadcast into both corpus scans (bands, then
     features), so the corpus never shuffles; only candidates are
     verified. Returns (doc_a=corpus id, doc_b=batch id, jaccard).
+
+    Refuses while maintenance holds the lock sentinel, runs the
+    promote-only read repair first (the bm25_index probe discipline),
+    and is immune to replayed-append duplicates: candidate pairs are
+    ``distinct`` and the corpus verification side dedups per doc at
+    CANDIDATE scope (bounded by the batch's matches — the corpus-sized
+    relations still never shuffle; replay duplicates are byte-identical
+    hsets, so any survivor verifies identically).
     """
+    _check_not_compacting(index_path)
+    _repair_for_read(index_path, names=_PAIR)
     # lazy localCheckpoint: the batch feature subtree appears on BOTH
     # sides of the plan (band candidacy + verification); truncating its
     # lineage materializes the featurization once on first action and
@@ -141,11 +214,18 @@ def dedup_against_index(
         .distinct()
     )
     idx_feats = spark.read.parquet(f"{index_path}/features")
-    corpus_side = idx_feats.join(
-        F.broadcast(cand.select("doc_a").distinct()),
-        idx_feats["doc_id"] == F.col("doc_a"),
-        "left_semi",
-    ).select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    corpus_side = (
+        idx_feats.join(
+            F.broadcast(cand.select("doc_a").distinct()),
+            idx_feats["doc_id"] == F.col("doc_a"),
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+        # replay immunity: a re-appended batch duplicates feature rows
+        # byte-identically; dedup AFTER the candidate prune so the
+        # exchange is candidate-bounded, never corpus-sized
+        .dropDuplicates(["doc_a"])
+    )
     batch_side = feats.select(
         F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b")
     )

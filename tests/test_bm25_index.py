@@ -2283,6 +2283,7 @@ def test_every_proper_prefix_of_a_valid_record_refuses(tmp_path):
     cases = [
         (bi._REBUILD_PAYLOAD, None),
         (bi._LEGACY_REBUILD_PAYLOAD, None),
+        ("rebuild features,bands", None),  # pair-qualified rebuild
         ("compact 0", 0),
         ("compact 7", 7),
         ("compact 12", 12),
@@ -2322,6 +2323,8 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
     out.mkdir()
     rec = out / bi._REBUILD_COMMIT
 
+    import re as _re
+
     def grammar(raw: str):
         """(kind, value): the spec, restated independently."""
         if not raw.endswith("\n"):
@@ -2330,6 +2333,12 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
         if text in (bi._REBUILD_PAYLOAD, bi._LEGACY_REBUILD_PAYLOAD):
             return ("rebuild", None)
         parts = text.split()
+        if (
+            len(parts) == 2
+            and parts[0] == bi._REBUILD_PAYLOAD
+            and _re.match(r"^[a-z_]+(,[a-z_]+)+$", parts[1])
+        ):
+            return ("rebuild", None)  # pair-qualified rebuild form
         if len(parts) == 2 and parts[0] == bi._COMPACT_PAYLOAD:
             try:
                 return ("compact", int(parts[1]))
@@ -2342,7 +2351,9 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
         st.from_regex(r"compact -?[0-9]{1,12}", fullmatch=True),
         st.sampled_from(
             [bi._REBUILD_PAYLOAD, bi._LEGACY_REBUILD_PAYLOAD, "compact",
-             "compact 1 2", "COMPACT 5", "rebuild extra"]
+             "compact 1 2", "COMPACT 5", "rebuild extra",
+             "rebuild features,bands", "rebuild features,", "rebuild ,x",
+             "rebuild a,b extra"]
         ),
     )
 
