@@ -418,9 +418,12 @@ def _write_commit_record(out_path: str, payload: str) -> None:
         os.close(dfd)
 
 
-# a non-default artifact pair recorded in a rebuild payload:
-# comma-joined lowercase names, e.g. "features,bands"
+# an artifact pair recorded in a rebuild payload: comma-joined
+# lowercase names, e.g. "postings,stats" or "features,bands"
 _PAIRSPEC_RE = re.compile(r"^[a-z_]+(,[a-z_]+)+$")
+# the compact form's watermark: ASCII digits only (int() alone accepts
+# underscores / '+' / unicode digits — see _commit_record_parts)
+_WATERMARK_TOKEN_RE = re.compile(r"-?[0-9]+")
 
 
 def _commit_record_parts(out_path: str) -> list[str] | None:
@@ -428,12 +431,23 @@ def _commit_record_parts(out_path: str) -> list[str] | None:
     return its token list, or ``None`` when no record exists.
 
     Grammar (one line, newline-terminated):
-      ``rebuild``                      — rebuild, default artifact pair
-      ``rebuild <name>,<name>[,…]``    — rebuild, recorded pair (the
-                                         MinHash dedup layout writes
-                                         ``rebuild features,bands``)
-      ``compact <watermark>``          — whole-index compaction
+      ``rebuild <name>,<name>[,…]``    — rebuild, recorded pair; EVERY
+                                         writer spells its pair since
+                                         r17 (``rebuild postings,stats``
+                                         for bm25/chunk, ``rebuild
+                                         features,bands`` for MinHash)
+      ``rebuild``                      — pre-r17 bm25/chunk rebuild,
+                                         accepted on READ only
+      ``compact <watermark>``          — whole-index compaction (only
+                                         the bm25/chunk layouts have a
+                                         compactor)
       (legacy prose rebuild payload accepted, normalized to [rebuild])
+
+    The watermark token is anchored to ASCII digits (optional leading
+    ``-``) BEFORE ``int()`` — Python's int() leniencies (underscores,
+    ``+``, non-ASCII unicode digits) would otherwise let a
+    corrupted-but-terminated payload like ``compact 1_0`` parse as
+    VALID with the wrong watermark instead of refusing (r16 ADVICE).
 
     Anything else raises :class:`TornCommitRecordError` (r15 verdict
     #1). The newline is the torn-write sentinel: the payload is
@@ -478,12 +492,12 @@ def _commit_record_parts(out_path: str) -> list[str] | None:
         and _PAIRSPEC_RE.match(parts[1])
     ):
         return parts
-    if len(parts) == 2 and parts[0] == _COMPACT_PAYLOAD:
-        try:
-            int(parts[1])
-            return parts
-        except ValueError:
-            pass
+    if (
+        len(parts) == 2
+        and parts[0] == _COMPACT_PAYLOAD
+        and _WATERMARK_TOKEN_RE.fullmatch(parts[1])
+    ):
+        return parts
     raise TornCommitRecordError(
         f"swap commit record {Path(out_path) / _REBUILD_COMMIT} has an "
         f"unrecognized payload {text!r} (expected "
@@ -507,15 +521,35 @@ def _commit_record_watermark(out_path: str) -> int | None:
 
 
 def _commit_record_pair(out_path: str) -> tuple | None:
-    """The artifact pair a rebuild record declares, or ``None`` when
-    the record is absent or carries no pairspec (the bm25/chunk default
-    pair, and every compaction record). A recover invoked with the
-    WRONG layout's names is gated on this, so it refuses instead of
-    consuming a record whose artifacts it never promoted."""
+    """The artifact pair the commit record declares; ``None`` only when
+    no record exists. A recover invoked with the WRONG layout's names
+    is gated on this, so it refuses instead of consuming a record whose
+    artifacts it never promoted.
+
+    Every on-disk form maps to a pair (r16 verdict #1: the pre-r17
+    guard was one-directional — ``compact`` and bare ``rebuild``
+    records carried no pairspec, so the tail gate fell back to the
+    CALLER's hint and a mis-invoked ``recover_minhash_index`` on a
+    mid-commit bm25/chunk layout consumed the record, stranded
+    ``stats.compact`` unpromoted, and wrote the watermark marker ahead
+    of the authoritative stats squash row):
+
+    - ``rebuild <pairspec>`` — the recorded pair (every writer spells
+      it since r17);
+    - ``compact <wm>`` — ``('postings', 'stats')``: only the bm25/chunk
+      layouts have a whole-index compactor, and both use the default
+      pair;
+    - bare ``rebuild`` / the legacy prose payload — also
+      ``('postings', 'stats')``: only the pre-r17 bm25/chunk writers
+      ever wrote the bare forms (the MinHash layout has written
+      ``rebuild features,bands`` since its r16 protocol adoption), so
+      the bare form IS self-describing."""
     parts = _commit_record_parts(out_path)
-    if parts and parts[0] == _REBUILD_PAYLOAD and len(parts) == 2:
+    if parts is None:
+        return None
+    if parts[0] == _REBUILD_PAYLOAD and len(parts) == 2:
         return tuple(parts[1].split(","))
-    return None
+    return ("postings", "stats")
 
 
 def _commit_compaction_swap(out_path: str, new_wm: int) -> None:
@@ -690,13 +724,12 @@ def _run_rebuild(
     # record is written durably first (see _write_commit_record's
     # fsync-ordering rationale); its payload is the rebuild form, so
     # recovery UNLINKS the watermark marker — a rebuilt index starts a
-    # fresh batch-id lineage.
-    payload = (
-        _REBUILD_PAYLOAD
-        if names == ("postings", "stats")
-        else f"{_REBUILD_PAYLOAD} {','.join(names)}"
-    )
-    _write_commit_record(out_path, payload)
+    # fresh batch-id lineage. The pairspec is written UNCONDITIONALLY
+    # (r16 verdict #1): the record must describe its own layout so a
+    # recover mis-invoked with another layout's names refuses in BOTH
+    # directions (the bare form is still accepted on read, for layouts
+    # crashed mid-swap under a pre-r17 writer).
+    _write_commit_record(out_path, f"{_REBUILD_PAYLOAD} {','.join(names)}")
     for name in names:
         _swap_compacted(out_path, name)
     (Path(out_path) / _WATERMARK_MARKER).unlink(missing_ok=True)
@@ -1227,11 +1260,17 @@ def recover_compaction(
     commit = Path(out_path) / _REBUILD_COMMIT
     roll_forward = commit.exists()
     commit_wm = _commit_record_watermark(out_path)
-    # the record's own pairspec outranks the caller's hint: a recover
-    # invoked with the WRONG layout's names (e.g. the bm25 default on a
-    # MinHash features/bands layout) must not consume a record whose
-    # artifacts it never promoted — the tail gate below refuses and
-    # clear_lock raises, naming the right pair.
+    # the record's own pair ALWAYS outranks the caller's hint: a
+    # recover invoked with the WRONG layout's names (the bm25 default
+    # on a MinHash features/bands layout, OR recover_minhash_index on
+    # a bm25/chunk layout mid-compaction/rebuild — r16 verdict #1,
+    # both directions) must not consume a record whose artifacts it
+    # never promoted — the tail gate below refuses and clear_lock
+    # raises, naming the right pair. Every record form now maps to a
+    # pair (_commit_record_pair), so ``artifact_pair`` is reached only
+    # when no record exists — where the tail never runs and the value
+    # is inert. The parameter survives as the layout entry points'
+    # self-documentation.
     pair = _commit_record_pair(out_path) or artifact_pair
     for name in names:
         live = Path(out_path) / name

@@ -2283,7 +2283,8 @@ def test_every_proper_prefix_of_a_valid_record_refuses(tmp_path):
     cases = [
         (bi._REBUILD_PAYLOAD, None),
         (bi._LEGACY_REBUILD_PAYLOAD, None),
-        ("rebuild features,bands", None),  # pair-qualified rebuild
+        ("rebuild features,bands", None),   # pair-qualified rebuild
+        ("rebuild postings,stats", None),   # the r17 default-writer form
         ("compact 0", 0),
         ("compact 7", 7),
         ("compact 12", 12),
@@ -2340,10 +2341,14 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
         ):
             return ("rebuild", None)  # pair-qualified rebuild form
         if len(parts) == 2 and parts[0] == bi._COMPACT_PAYLOAD:
-            try:
+            # anchored ASCII digits, NOT bare int() (r16 ADVICE low:
+            # int() leniencies — underscores, '+', unicode digits —
+            # would let a corrupt payload parse as valid with the
+            # wrong watermark; restating int() here would blind the
+            # fuzz to exactly that class)
+            if _re.fullmatch(r"-?[0-9]+", parts[1]):
                 return ("compact", int(parts[1]))
-            except ValueError:
-                return ("refuse", None)
+            return ("refuse", None)
         return ("refuse", None)
 
     payloads = st.one_of(
@@ -2352,8 +2357,11 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
         st.sampled_from(
             [bi._REBUILD_PAYLOAD, bi._LEGACY_REBUILD_PAYLOAD, "compact",
              "compact 1 2", "COMPACT 5", "rebuild extra",
-             "rebuild features,bands", "rebuild features,", "rebuild ,x",
-             "rebuild a,b extra"]
+             "rebuild features,bands", "rebuild postings,stats",
+             "rebuild features,", "rebuild ,x", "rebuild a,b extra",
+             # int() leniencies the anchored grammar must refuse
+             "compact 1_0", "compact +5", "compact １２",
+             "compact ١٢", "compact - 1", "compact --1"]
         ),
     )
 

@@ -248,3 +248,142 @@ def test_probe_plan_still_never_shuffles_the_corpus(spark, tmp_path):
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def _crashed_bm25_compaction(spark, tmp_path, monkeypatch):
+    """A bm25 layout frozen BETWEEN its compaction's two swap renames:
+    postings swapped, COMPLETE stats.compact unpromoted, sentinel held,
+    `compact 1` commit record on disk."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.compact_postings_index(spark, idx)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+    return idx
+
+
+def test_minhash_recover_refuses_on_bm25_compact_record(
+    spark, tmp_path, monkeypatch
+):
+    """The MIRROR of test_default_pair_recover_refuses_on_minhash_record
+    (r16 verdict #1 / ADVICE #1, empirically reproduced there):
+    `recover_minhash_index` mis-invoked on a bm25/chunk layout crashed
+    between its compaction's two swap renames must REFUSE — pre-fix,
+    the `compact <wm>` record carried no pairspec, the tail gate fell
+    back to the caller's features/bands hint, and the mis-invocation
+    consumed the record, unlinked the sentinel, stranded the complete
+    `stats.compact` unpromoted (a later recover rolled it BACK → new
+    postings serving old stats), and wrote the watermark marker AHEAD
+    of the authoritative stats squash row (appends of epochs ≤ wm then
+    skipped as already-squashed — silently lost)."""
+    import pytest
+
+    from cdc_cascade_spark.llm import bm25_index as bi
+    from cdc_cascade_spark.llm import dedup_index as di
+
+    idx = _crashed_bm25_compaction(spark, tmp_path, monkeypatch)
+    assert bi._commit_record_watermark(idx) == 1
+    assert bi._commit_record_pair(idx) == ("postings", "stats")
+
+    with pytest.raises(RuntimeError, match="postings.*stats"):
+        di.recover_minhash_index(idx)  # MinHash entry — wrong layout
+    # a true no-op: record + sentinel survive, stats.compact intact,
+    # and the watermark marker was NOT written ahead of the stats row
+    assert (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert bi._sentinel(idx).exists()
+    assert (Path(idx) / "stats.compact").exists()
+    assert bi._marker_watermark(idx) == -1
+
+    bi.recover_compaction(idx)  # the right entry finishes the swap
+    assert not bi._sentinel(idx).exists()
+    assert not (Path(idx) / bi._REBUILD_COMMIT).exists()
+    assert not (Path(idx) / "stats.compact").exists()
+    assert bi._marker_watermark(idx) == 1
+    # the repaired layout rejects a replay of the squashed epoch
+    from cdc_cascade_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    want = sorted(
+        map(tuple, bi.bm25_against_index(spark, SF, idx).collect())
+    )
+    bi.append_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    got = sorted(map(tuple, bi.bm25_against_index(spark, SF, idx).collect()))
+    assert got == want and want
+
+
+def test_minhash_recover_refuses_on_bm25_rebuild_record(
+    spark, tmp_path, monkeypatch
+):
+    """Same mirror for the REBUILD form: the bm25 writer now records
+    `rebuild postings,stats` (pairspec unconditional since r17), so a
+    mis-invoked `recover_minhash_index` on a bm25 layout crashed
+    mid-rebuild-swap refuses instead of consuming the record. The
+    pre-r17 bare `rebuild` form — accepted on read only — must refuse
+    identically (only the bm25/chunk writers ever wrote it, so it is
+    self-describing too)."""
+    import pytest
+
+    from cdc_cascade_spark.catalog import load_table
+    from cdc_cascade_spark.llm import bm25_index as bi
+    from cdc_cascade_spark.llm import dedup_index as di
+
+    idx = str(tmp_path / "bm25")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bi._write_batch(docs.filter(F.col("doc_id") % 2 == 0), idx, "overwrite", -1)
+
+    real_swap = bi._swap_compacted
+
+    def crashing_swap(out_path, name):
+        if name == "stats":
+            raise RuntimeError("process death (injected)")
+        real_swap(out_path, name)
+
+    monkeypatch.setattr(bi, "_swap_compacted", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected"):
+        bi.write_postings_index(spark, SF, idx)
+    monkeypatch.setattr(bi, "_swap_compacted", real_swap)
+
+    rec = Path(idx) / bi._REBUILD_COMMIT
+    assert rec.read_text() == "rebuild postings,stats\n"
+    assert bi._commit_record_pair(idx) == ("postings", "stats")
+
+    for payload in (None, "rebuild", "rebuild swap in progress"):
+        if payload is not None:  # replay the state under a legacy record
+            rec.write_text(payload + "\n")
+            assert bi._commit_record_pair(idx) == ("postings", "stats")
+        with pytest.raises(RuntimeError, match="postings.*stats"):
+            di.recover_minhash_index(idx)
+        assert rec.exists()
+        assert bi._sentinel(idx).exists()
+        assert (Path(idx) / "stats.compact").exists()
+
+    bi.recover_compaction(idx)  # completes under the legacy record too
+    assert not bi._sentinel(idx).exists()
+    assert not rec.exists()
+    got = sorted(map(tuple, bi.bm25_against_index(spark, SF, idx).collect()))
+    rebuilt = str(tmp_path / "reference")
+    bi.write_postings_index(spark, SF, rebuilt)
+    want = sorted(
+        map(tuple, bi.bm25_against_index(spark, SF, rebuilt).collect())
+    )
+    assert got == want and want
