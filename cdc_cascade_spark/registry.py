@@ -63,74 +63,81 @@ from pyspark.sql import DataFrame, SparkSession
 CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r16 window (the pre-committed BUILD_NOTES "r16 window plan",
-    # executed; r15 verdict "Next round" #1 ordered exactly this).
-    # CORRECTNESS_r15 was 50/50 green (verified before this edit: the
+    # --- r17 window (the pre-committed BUILD_NOTES "r17 window plan",
+    # executed; r16 verdict "Next round" #1 ordered exactly this).
+    # CORRECTNESS_r16 was 50/50 green (verified before this edit: the
     # registry's first 50 exactly, in order, zero mismatches/errs), so
-    # the r15 CHECK_NEXT pre-pays cleared and the deadline cohort is
-    # exactly the 39 r13-green queries (machine-recomputed from
-    # CORRECTNESS_r01–r15: last-green distribution r13=39 / r14=46 /
-    # r15=50). Slot arithmetic: 2 CHANGED re-pins — r16 ships the
-    # bm25_index.py commit-record hardening (torn-payload refusal +
-    # recover ordering + claim-retry; r15 verdict #3/#4, ADVICE
-    # #1/#2), whose fingerprint closure is exactly
-    # {retrieval_mrr_indexed, retrieval_mrr_summary} (computed, and
-    # matching the verdict's "two retrieval faces" budget) — plus the
-    # 39 deadline members. 2 + 39 = 41 CHECK_FIRST (≤ the 45 margin
-    # cap); 0 new registrations, as ordered. CHECK_NEXT's 5 slots
-    # pre-pay r17's 46-query r14-green debt with its highest-plan-risk
-    # members, dropping r17's deadline cohort to 41.
+    # the r16 CHECK_NEXT pre-pays cleared and the deadline cohort is
+    # exactly the 41 r14-green queries (machine-recomputed from
+    # CORRECTNESS_r01–r16: last-green distribution r14=41 / r15=44 /
+    # r16=50, zero never-green). Slot arithmetic: 2 CHANGED re-pins —
+    # r17 ships the bm25_index.py commit-record fix (pairspec written
+    # unconditionally + every record form maps to its layout's pair,
+    # incl. ``compact``; anchored watermark token; r16 verdict #1,
+    # ADVICE #1/#2), whose fingerprint closure is exactly
+    # {retrieval_mrr_indexed, retrieval_mrr_summary} (computed against
+    # the committed manifest, matching the verdict's "two retrieval
+    # faces" budget) — plus the 41 deadline members. 2 + 41 = 43
+    # CHECK_FIRST (≤ the 45 margin cap); 0 new registrations, as
+    # ordered. CHECK_NEXT's 5 slots pre-pay r18's r15-green debt with
+    # NON-similarity-closure members only (the planned r18
+    # similarity.py edit must not invalidate their fresh evidence —
+    # verified: none of the five sits in the similarity query closure).
     # --- changed-fingerprint re-pins (bm25_index closure) ---
     "retrieval_mrr_indexed",
     "retrieval_mrr_summary",
-    # --- the 39-query r13-green deadline cohort, multi-stage /
+    # --- the 41-query r14-green deadline cohort, multi-stage /
     # plan-risk first (the pre-committed order) ---
-    # BPE family (iterative merges, driver-side loop bounds)
-    "bpe_train_k_merges",
-    "bpe_encode_corpus",
-    "bpe_apply_top_merge",
-    "bpe_merge_pairs",
-    "bpe_fertility_by_lang",
+    # incremental curation capstone (multi-stage, segment-pruned)
+    "curate_corpus",
+    "curate_corpus_segmented",
+    "curation_audit",
+    "curation_audit_segmented",
+    # multimodal plumbing (binary columns, Arrow batch shapes)
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
     # dedup / sketch plans
-    "segment_dedup",
-    "dedup_simhash_pairs",
-    "sketch_cms_heavy_hitters",
-    # quality gates / calibration / sampling
-    "quality_calibration_report",
-    "quality_floor_filter",
-    "gopher_quality_rules",
-    "label_quality_profile",
-    "label_skew_report",
-    "stratified_sample",
-    "stratified_sample_exact",
-    "temperature_mixture_sample",
-    # text analysis
-    "pii_redaction",
-    "doc_repetition",
-    "doc_fingerprint",
-    "lang_id",
-    "text_stats",
-    "text_salient_terms",
-    "text_bigrams",
-    "text_vocabulary",
-    # CDC family (the reference's own core semantics)
-    "cdc_latest_state",
-    "cdc_op_routing",
-    "cdc_scd2_history",
-    "cdc_invalidation_summary",
-    # sessionization / time windows / window frames
-    "q13_sessionize_events",
-    "q34_session_window_stats",
-    "q17_tumbling_hourly",
-    "q23_timeseries_rollup",
-    "q32_range_frame_window",
-    # relational shapes (pivot, outer joins, percentiles, cube/sets)
-    "q14_pivot_status",
-    "q15_outer_join_part_activity",
-    "q27_full_outer_join",
-    "q18_price_percentiles",
-    "q19_cube_volume",
-    "q20_grouping_sets",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_index_probe",
+    "minhash_banding_curve",
+    "minhash_jaccard_estimate",
+    # retrieval / corpus profiling
+    "bm25_topk",
+    "contamination_check",
+    "corpus_drift_report",
+    "lm_score_filter",
+    "sketch_kmv_distinct",
+    "sketch_kmv_setops",
+    # events / behavioral analytics
+    "events_rate_anomaly",
+    "cohort_retention",
+    "source_reputation",
+    "bigram_lift",
+    # window-frame suites
+    "q28_window_suite",
+    "q09_monthly_revenue_window",
+    "q21_above_segment_average",
+    "q08_topk_customers_per_segment",
+    # relational shapes (rollup, set ops, subqueries, anti joins)
+    "q07_rollup_sales",
+    "q16_distinct_stats",
+    "q10_set_operations",
+    "q22_in_subquery",
+    "q06_customers_without_orders",
+    # lateral / JSON / arrays
+    "q24_explode_lateral",
+    "q12_json_extraction",
+    "q29_array_functions",
+    # scalar-function surfaces
+    "q25_datetime_functions",
+    "q26_string_functions",
+    "q11_scalar_functions",
+    "q30_null_semantics",
+    "q31_unpivot_metrics",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -138,18 +145,21 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r16: all 5 slots pre-pay r17's
-# 46-query r14-green rotation debt with its highest-plan-risk members
-# (the two banded near-dup plans, the split-leakage pair join, the
-# bin-packing plan, and the funnel sessionization). If the driver
-# checks the usual 50, r17's deadline cohort drops from 46 to 41
-# CHECK_FIRST — inside the cap with room for changed re-pins.
+# never for changed or new code. r17: all 5 slots pre-pay r18's
+# r15-green rotation debt, chosen ONLY from members OUTSIDE the
+# similarity.py query closure (r18 ships the planned similarity.py
+# edit — LSH/IVF persistent-layout protocol adoption + the qrow-guard
+# collision caveat — which would invalidate a closure member's fresh
+# evidence; membership verified by computing the closure). If the
+# driver checks the usual 50, r18's deadline cohort drops from 44 to
+# 39 CHECK_FIRST — inside the cap with room for the similarity-closure
+# re-pins that r18's own edit will force.
 CHECK_NEXT: list[str] = [
-    "dedup_ngram_jaccard",
-    "dedup_simhash_weighted",
-    "split_leakage_pairs",
-    "pack_sequences",
-    "funnel_conversion",
+    "curate_corpus_incremental",
+    "curation_invalidation_report",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "chunk_retrieval_eval",
 ]
 
 
