@@ -641,3 +641,226 @@ def test_recover_force_reopens_the_race_model_detects_it():
 
     with pytest.raises(AssertionError, match="LOST APPEND"):
         _sweep_recover(1, force=True)
+
+
+# ---------------------------------------------------------------------------
+# The commit-record pair gate (r16 verdict #1, fixed in r17; swept here
+# per r16 "next round" #7: the flag sweeps above model the
+# claim/sentinel protocol but not the RECORD-pair gate)
+# ---------------------------------------------------------------------------
+
+_PAIR_BM25 = ("postings", "stats")
+_PAIR_MINHASH = ("features", "bands")
+
+
+@dataclass
+class RecordWorld:
+    """The swap-commit state one layout directory carries, at the
+    granularity the record-pair gate reads it: the record (and the pair
+    its payload declares — ``None`` models the pre-r17 bare ``rebuild``
+    form, which the FIXED reader maps to the bm25/chunk default pair),
+    the two artifacts' staged/swapped flags, the squash-watermark
+    marker, and the sentinel."""
+
+    record_pair: tuple | None = None  # payload pair; None = bare form
+    record_present: bool = False
+    staged: dict = field(default_factory=lambda: {n: False for n in _PAIR_BM25})
+    swapped: dict = field(default_factory=lambda: {n: False for n in _PAIR_BM25})
+    marker_present: bool = True  # pre-existing append lineage
+    sentinel_holder: str | None = None
+
+
+@dataclass
+class RecordRebuild:
+    """``_run_rebuild`` on the bm25/chunk layout, one atomic filesystem
+    op per step (bm25_index.py:690-737): acquire sentinel → stage both
+    ``.compact`` artifacts → write the commit record → swap both →
+    unlink marker → unlink record → release. ``bare_record`` writes the
+    pre-r17 payload form (no pairspec) — accepted on read only; the
+    sweep runs both forms."""
+
+    ident: str
+    bare_record: bool = False
+    pc: int = 0
+
+    def steps_total(self) -> int:
+        return 9
+
+    def step(self, w: RecordWorld) -> None:
+        s = self.pc
+        self.pc += 1
+        if s == 0:
+            assert w.sentinel_holder is None  # exclusive create
+            w.sentinel_holder = self.ident
+        elif s in (1, 2):
+            w.staged[_PAIR_BM25[s - 1]] = True
+        elif s == 3:
+            w.record_present = True
+            w.record_pair = None if self.bare_record else _PAIR_BM25
+        elif s in (4, 5):
+            name = _PAIR_BM25[s - 4]
+            w.swapped[name] = True
+            w.staged[name] = False
+        elif s == 6:
+            w.marker_present = False  # fresh batch-id lineage
+        elif s == 7:
+            w.record_present = False
+        elif s == 8:
+            if w.sentinel_holder == self.ident:
+                w.sentinel_holder = None  # unlink missing_ok
+
+
+def _read_record_pair(w: RecordWorld, broken: bool) -> tuple | None:
+    """``_commit_record_pair``: ``None`` only when no record exists.
+    The FIXED reader maps every on-disk form to its layout's pair (the
+    bare form was only ever written by bm25/chunk writers). ``broken``
+    restates the PRE-r17 reader, which returned ``None`` for the bare
+    and ``compact`` forms — the caller's hint then won the tail gate,
+    the exact one-directional guard the r16 verdict reproduced."""
+    if not w.record_present:
+        return None
+    if w.record_pair is not None:
+        return w.record_pair
+    return None if broken else _PAIR_BM25
+
+
+@dataclass
+class WrongPairRecover:
+    """``recover_compaction`` invoked with the MinHash layout's names
+    on a bm25/chunk layout (the mis-invocation direction the r16
+    verdict empirically reproduced), one atomic read/mutation per step
+    (bm25_index.py:1260-1351):
+
+      0 read record existence (``roll_forward``)
+      1 re-read the record → pair (record vanished → caller fallback,
+        the code's ``or artifact_pair`` — reachable only recordless)
+      2 artifact repair over the CALLER's names (features/bands do not
+        exist on this layout — a no-op, modeled as such)
+      3 tail gate: ``roll_forward and set(pair) <= set(names)`` →
+        marker write/unlink + record unlink (THE consumption)
+      4 record still present → RAISE (refusal, before any sweep); else
+        claim sweep + sentinel clear
+
+    ``mutated`` records every world change the recover makes, so the
+    refusal-is-a-no-op invariant is checked mechanically."""
+
+    ident: str
+    names: tuple = _PAIR_MINHASH
+    broken_reader: bool = False
+    pc: int = 0
+    roll_forward: bool | None = None
+    pair: tuple | None = None
+    raised: bool = False
+    consumed_record: bool = False
+    mutated: list = field(default_factory=list)
+
+    def steps_total(self) -> int:
+        return 5
+
+    def step(self, w: RecordWorld) -> None:
+        s = self.pc
+        self.pc += 1
+        if self.raised:
+            return
+        if s == 0:
+            self.roll_forward = w.record_present
+        elif s == 1:
+            self.pair = _read_record_pair(w, self.broken_reader) or self.names
+        elif s == 2:
+            pass  # caller-named artifacts absent on this layout
+        elif s == 3:
+            if self.roll_forward and set(self.pair) <= set(self.names):
+                if w.marker_present:
+                    w.marker_present = False  # rebuild-form tail
+                    self.mutated.append("marker")
+                if w.record_present:
+                    w.record_present = False
+                    self.consumed_record = True
+                    self.mutated.append("record")
+        elif s == 4:
+            if w.record_present:
+                self.raised = True  # refusal BEFORE the claim sweep
+            else:
+                if w.sentinel_holder is not None:
+                    w.sentinel_holder = None
+                    self.mutated.append("sentinel")
+
+
+def _sweep_record_gate(
+    bare_record: bool, broken_reader: bool
+) -> tuple[int, int, int]:
+    """Every interleaving of a wrong-pair recover's 5 steps with the
+    first k steps of a live rebuild, for EVERY crash point k (0..9 —
+    k=9 is the crash-free lifecycle). Returns (n_interleavings,
+    n_refusals, n_consumed); asserts per interleaving that
+
+    - the recover never consumes a live record (its pair can never
+      satisfy the wrong-layout gate — the r17 guarantee);
+    - a refusing recover mutated NOTHING (marker, record, sentinel);
+    - the END state is repairable: a half-swapped layout (postings
+      swapped, stats not) still carries its commit record, so the
+      right-pair recover can finish the committed swap — the exact
+      stranded state the r16 verdict reproduced is unreachable.
+    """
+    n_inter = n_refused = n_consumed = 0
+    for k in range(10):
+        for sched in _multiset_permutations({"b": k, "r": 5}):
+            n_inter += 1
+            w = RecordWorld()
+            rb = RecordRebuild("b", bare_record=bare_record)
+            rc = WrongPairRecover("r", broken_reader=broken_reader)
+            for aid in sched:
+                (rb if aid == "b" else rc).step(w)
+            n_refused += rc.raised
+            n_consumed += rc.consumed_record
+            assert not rc.consumed_record, (
+                f"RECORD CONSUMED by wrong-pair recover under crash "
+                f"point k={k}, schedule {sched}"
+            )
+            if rc.raised:
+                assert not rc.mutated, (k, sched, rc.mutated)
+            if w.swapped["postings"] != w.swapped["stats"]:
+                assert w.record_present, (
+                    f"STRANDED MIXED STATE (half-swapped, no record) "
+                    f"under crash point k={k}, schedule {sched}"
+                )
+    return n_inter, n_refused, n_consumed
+
+
+def test_wrong_pair_recover_never_consumes_record_any_crash_point():
+    """The r17 pairspec-unconditional form: sweep all 5005 interleavings
+    (sum over k of C(k+5,5) = C(15,6)) of a wrong-pair recover vs a
+    live pair-qualified rebuild at every crash point. The recover must
+    refuse whenever it reaches its gate with the record on disk, never
+    consume it, and never leave the half-swapped/no-record state."""
+    n_inter, n_refused, n_consumed = _sweep_record_gate(
+        bare_record=False, broken_reader=False
+    )
+    assert n_inter == 5005
+    assert n_refused > 0   # the refusal path was actually exercised
+    assert n_consumed == 0
+
+
+def test_wrong_pair_recover_refuses_on_bare_record_form_too():
+    """The pre-r17 bare ``rebuild`` payload, read by the FIXED reader
+    (bare → the bm25/chunk default pair): the wrong-pair recover
+    refuses identically — the bare form is self-describing because
+    only the bm25/chunk writers ever wrote it."""
+    n_inter, n_refused, n_consumed = _sweep_record_gate(
+        bare_record=True, broken_reader=False
+    )
+    assert n_inter == 5005
+    assert n_refused > 0
+    assert n_consumed == 0
+
+
+def test_record_gate_model_detects_the_pre_r17_reader():
+    """Negative control — the sweep has teeth: restate the PRE-r17
+    ``_commit_record_pair`` (bare/compact forms → ``None`` → the
+    CALLER's hint wins the gate) and the sweep must find the r16
+    verdict's exact witness: the wrong-pair recover consumes the bare
+    record mid-swap and strands the half-swapped layout recordless."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="RECORD CONSUMED"):
+        _sweep_record_gate(bare_record=True, broken_reader=True)
