@@ -864,3 +864,101 @@ def test_record_gate_model_detects_the_pre_r17_reader():
 
     with pytest.raises(AssertionError, match="RECORD CONSUMED"):
         _sweep_record_gate(bare_record=True, broken_reader=True)
+
+
+@dataclass
+class RecordCompactor:
+    """``compact_postings_index``'s commit phase on the bm25/chunk
+    layout — the writer of the ``compact <wm>`` record form, the exact
+    form the r16 ADVICE #1 repro consumed (it carried no pairspec, so
+    the pre-r17 reader fell back to the caller's hint). One atomic op
+    per step: acquire sentinel → stage both ``.compact`` artifacts →
+    write ``compact <wm>`` → swap both → write marker(wm) → unlink
+    record → release. Differs from the rebuild in the tail: the
+    watermark marker is (re)WRITTEN with the recorded value, not
+    unlinked — a compaction carries its lineage forward."""
+
+    ident: str
+    pc: int = 0
+
+    def steps_total(self) -> int:
+        return 9
+
+    def step(self, w: RecordWorld) -> None:
+        s = self.pc
+        self.pc += 1
+        if s == 0:
+            assert w.sentinel_holder is None
+            w.sentinel_holder = self.ident
+        elif s in (1, 2):
+            w.staged[_PAIR_BM25[s - 1]] = True
+        elif s == 3:
+            w.record_present = True
+            # the compact form never carries a pairspec on disk; the
+            # FIXED reader maps it to the bm25/chunk pair (only those
+            # layouts have a compactor)
+            w.record_pair = None
+        elif s in (4, 5):
+            name = _PAIR_BM25[s - 4]
+            w.swapped[name] = True
+            w.staged[name] = False
+        elif s == 6:
+            w.marker_present = True  # marker re-written with the wm
+        elif s == 7:
+            w.record_present = False
+        elif s == 8:
+            if w.sentinel_holder == self.ident:
+                w.sentinel_holder = None
+
+
+def _sweep_record_gate_compactor(broken_reader: bool) -> tuple[int, int, int]:
+    """The wrong-pair recover swept against every crash point of a
+    live COMPACTION — the ``compact <wm>`` record form. Same
+    invariants as the rebuild sweep."""
+    n_inter = n_refused = n_consumed = 0
+    for k in range(10):
+        for sched in _multiset_permutations({"c": k, "r": 5}):
+            n_inter += 1
+            w = RecordWorld()
+            cp = RecordCompactor("c")
+            rc = WrongPairRecover("r", broken_reader=broken_reader)
+            for aid in sched:
+                (cp if aid == "c" else rc).step(w)
+            n_refused += rc.raised
+            n_consumed += rc.consumed_record
+            assert not rc.consumed_record, (
+                f"RECORD CONSUMED by wrong-pair recover (compact form) "
+                f"under crash point k={k}, schedule {sched}"
+            )
+            if rc.raised:
+                assert not rc.mutated, (k, sched, rc.mutated)
+            if w.swapped["postings"] != w.swapped["stats"]:
+                assert w.record_present, (
+                    f"STRANDED MIXED STATE (half-swapped, no record) "
+                    f"under crash point k={k}, schedule {sched}"
+                )
+    return n_inter, n_refused, n_consumed
+
+
+def test_wrong_pair_recover_never_consumes_compact_record():
+    """The ``compact <wm>`` form — the r16 ADVICE #1 repro's record:
+    the FIXED reader maps it to the bm25/chunk pair, so the wrong-pair
+    recover refuses at every one of the 5005 schedules, never consumes
+    the record, and never strands the half-swapped layout."""
+    n_inter, n_refused, n_consumed = _sweep_record_gate_compactor(
+        broken_reader=False
+    )
+    assert n_inter == 5005
+    assert n_refused > 0
+    assert n_consumed == 0
+
+
+def test_compact_record_gate_model_detects_the_pre_r17_reader():
+    """Negative control for the compact form: the pre-r17 reader
+    (compact → None → caller's hint wins) must let the sweep find the
+    ADVICE #1 witness — the mis-invoked recover consumes the compact
+    record mid-swap and strands the layout recordless."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="RECORD CONSUMED"):
+        _sweep_record_gate_compactor(broken_reader=True)
