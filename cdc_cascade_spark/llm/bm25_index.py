@@ -508,16 +508,22 @@ def _commit_record_parts(out_path: str) -> list[str] | None:
     )
 
 
+def _parts_watermark(parts: list[str] | None) -> int | None:
+    """Watermark from an already-parsed record (see
+    :func:`_commit_record_watermark`). Pure, so a caller holding one
+    parse can derive everything from the SAME read."""
+    if parts and parts[0] == _COMPACT_PAYLOAD:
+        return int(parts[1])
+    return None
+
+
 def _commit_record_watermark(out_path: str) -> int | None:
     """The compaction form's recorded watermark (its recovery re-writes
     the marker with it); ``None`` for the rebuild forms (recovery
     unlinks the marker — fresh batch-id lineage) and the no-record
     case. Raises :class:`TornCommitRecordError` on a garbled record
     (see :func:`_commit_record_parts`)."""
-    parts = _commit_record_parts(out_path)
-    if parts and parts[0] == _COMPACT_PAYLOAD:
-        return int(parts[1])
-    return None
+    return _parts_watermark(_commit_record_parts(out_path))
 
 
 def _commit_record_pair(out_path: str) -> tuple | None:
@@ -544,7 +550,12 @@ def _commit_record_pair(out_path: str) -> tuple | None:
       ever wrote the bare forms (the MinHash layout has written
       ``rebuild features,bands`` since its r16 protocol adoption), so
       the bare form IS self-describing."""
-    parts = _commit_record_parts(out_path)
+    return _parts_pair(_commit_record_parts(out_path))
+
+
+def _parts_pair(parts: list[str] | None) -> tuple | None:
+    """Pair from an already-parsed record (see
+    :func:`_commit_record_pair`). Pure: ``None`` ⟺ ``parts is None``."""
     if parts is None:
         return None
     if parts[0] == _REBUILD_PAYLOAD and len(parts) == 2:
@@ -1258,20 +1269,26 @@ def recover_compaction(
     # first-ever build's possibly-PARTIAL temp — cleared, the build
     # simply re-runs).
     commit = Path(out_path) / _REBUILD_COMMIT
-    roll_forward = commit.exists()
-    commit_wm = _commit_record_watermark(out_path)
+    # ONE read of the record; existence, watermark, and pair all derive
+    # from the same parse (three separate reads would admit a TOCTOU —
+    # unreachable under this function's nothing-running contract, but
+    # a single read closes the class mechanically: the tail can never
+    # act on a record observed in two different states).
+    record_parts = _commit_record_parts(out_path)
+    roll_forward = record_parts is not None
+    commit_wm = _parts_watermark(record_parts)
     # the record's own pair ALWAYS outranks the caller's hint: a
     # recover invoked with the WRONG layout's names (the bm25 default
     # on a MinHash features/bands layout, OR recover_minhash_index on
     # a bm25/chunk layout mid-compaction/rebuild — r16 verdict #1,
     # both directions) must not consume a record whose artifacts it
     # never promoted — the tail gate below refuses and clear_lock
-    # raises, naming the right pair. Every record form now maps to a
-    # pair (_commit_record_pair), so ``artifact_pair`` is reached only
-    # when no record exists — where the tail never runs and the value
-    # is inert. The parameter survives as the layout entry points'
-    # self-documentation.
-    pair = _commit_record_pair(out_path) or artifact_pair
+    # raises, naming the right pair. Every record form maps to a pair
+    # (_parts_pair is None ⟺ no record), so ``artifact_pair`` is
+    # reached only when no record exists — where the tail never runs
+    # and the value is inert. The parameter survives as the layout
+    # entry points' self-documentation.
+    pair = _parts_pair(record_parts) or artifact_pair
     for name in names:
         live = Path(out_path) / name
         tmp = Path(out_path) / f"{name}.compact"
