@@ -161,21 +161,36 @@ def topk_from_postings(
     (``bm25_topk``) and the persistent-index probe
     (llm/bm25_index.py) feed this one function, which is what makes
     probe ≡ direct provable row-for-row.
-    """
-    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
+    Plan shape (r17-opt, guide §2.4): df is a COUNT window over the
+    postings relation instead of the former groupBy+broadcast-rejoin,
+    which consumed ``tf`` twice — on the index-probe path that re-ran
+    the whole pruned parquet scan subtree for one integer per term.
+    The window must run BEFORE the qterms join (the join would inflate
+    the count for a term shared by several queries) — same value as
+    the old per-term row count. The explicit repartition by ``qid``
+    ahead of the (qid, doc_id) aggregate is the single exchange the
+    score aggregation AND the rank window both ride (hash partitioning
+    on qid satisfies both clusterings); postings here are
+    query-workload-sized, never corpus-sized, so the qid shuffle moves
+    the same rows the old (qid, doc_id) exchange did.
+    """
     term_ppb = term_weight_ppb()
 
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        .join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(dfr), "term")
         .crossJoin(F.broadcast(stats))
         .select("qid", "doc_id", term_ppb.alias("term_ppb"))
     )
-    agg = scored.groupBy("qid", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("term_ppb").alias("score_ppb"),
+    agg = (
+        scored.repartition("qid")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_ppb").alias("score_ppb"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("score_ppb"), F.asc("doc_id"))
     return (
@@ -198,16 +213,17 @@ def bm25_topk_frame(docs: DataFrame) -> DataFrame:
     # BEFORE the tf aggregation — the inverted-index probe shape.
     tok = base.select("doc_id", "dl", F.explode("toks").alias("term"))
     postings = tok.join(F.broadcast(qterm_set), "term")
-    # snapshot: topk_from_postings consumes tf twice (df derivation +
-    # scoring), and without it the corpus explode+filter subtree is
-    # re-planned per consumer. Postings are query-workload-sized (the
-    # relation the persistent index materializes to parquet); the
-    # index-probe path stays un-snapshotted — its tf IS already a
-    # materialized pruned scan, and its plan pins read the scan.
+    # Since r17-opt topk_from_postings consumes tf exactly ONCE (df is
+    # a count window, not a rejoin), so the former lineage snapshot is
+    # gone; instead the explicit term repartition is the single
+    # exchange the tf aggregation AND the scorer's df window both ride
+    # (hash partitioning on term satisfies both clusterings). Postings
+    # are query-workload-sized (the relation the persistent index
+    # materializes to parquet), never corpus-sized.
     tf = (
-        postings.groupBy("doc_id", "dl", "term")
+        postings.repartition("term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
     return topk_from_postings(tf, qterms, stats)
 

@@ -872,32 +872,32 @@ def _dedup_stats(stats_raw: DataFrame, watermark: int = -1) -> DataFrame:
 def _stats_summary(spark: SparkSession, out_path: str) -> tuple:
     """One driver action for everything a probe needs from the stats
     dir: ``(n_docs, sum_dl, watermark)`` with the watermark applied to
-    the sums. The watermark aggregate is broadcast back over the raw
-    rows inside the SAME job (the frame is one tiny file set — this
-    replaces the probe's former two sequential collects), and the
-    caller gets plain ints, so the scorer's 1-row stats frame becomes
-    a local relation instead of a re-derived parquet subtree."""
-    raw = _stats_raw(spark, out_path)
-    wm_frame = raw.agg(
-        F.coalesce(F.max("squashed_through"), F.lit(-1))
-        .cast("long")
-        .alias("wm")
+    the sums. The delta rows are collected raw — the frame is one row
+    per live append epoch plus the squash row, bounded by the
+    compaction cadence, never corpus-sized — and the watermark gate,
+    replay dedup and sums fold on the driver (r17-opt, guide §1/§5:
+    the former single-action plan still ran a 3-stage
+    agg→broadcast→agg job per probe; a plain scan collect is one
+    stage, and probes pay this per call). The caller gets plain ints,
+    so the scorer's 1-row stats frame becomes a local relation instead
+    of a re-derived parquet subtree. Semantics are identical to
+    ``_dedup_stats`` + ``_squash_watermark``: wm = max
+    squashed_through (-1 when absent), live rows are the squash row
+    (``BUILD_BATCH_ID``) and epochs above wm, one row per batch_id
+    (replayed delta rows are byte-identical)."""
+    rows = _stats_raw(spark, out_path).collect()
+    wm = max(
+        (int(r["squashed_through"]) for r in rows),
+        default=-1,
     )
-    row = (
-        raw.crossJoin(F.broadcast(wm_frame))
-        .filter(
-            (F.col("batch_id") == BUILD_BATCH_ID)
-            | (F.col("batch_id") > F.col("wm"))
-        )
-        .dropDuplicates(["batch_id"])
-        .agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
-            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
-            F.coalesce(F.first("wm"), F.lit(-1)).alias("wm"),
-        )
-        .collect()[0]
-    )
-    return int(row["n_docs"]), int(row["sum_dl"]), int(row["wm"])
+    live: dict[int, tuple] = {}
+    for r in rows:
+        b = int(r["batch_id"])
+        if (b == BUILD_BATCH_ID or b > wm) and b not in live:
+            live[b] = (int(r["n_docs"] or 0), int(r["sum_dl"] or 0))
+    n_docs = sum(v[0] for v in live.values())
+    sum_dl = sum(v[1] for v in live.values())
+    return n_docs, sum_dl, wm
 
 
 def probe_postings_index(
@@ -963,10 +963,16 @@ def probe_postings_index(
     # derived downstream as a per-term row count and must not see
     # them). Epochs at or below the squash watermark replayed AFTER
     # compaction duplicate rows that now carry BUILD_BATCH_ID — the
-    # watermark filter removes those.
+    # watermark filter removes those. The explicit term repartition is
+    # the ONE exchange the dedup aggregate and the scorer's df window
+    # both ride (term is a subset of the dedup key, so hash
+    # partitioning on it satisfies both clusterings — r17-opt, guide
+    # §2.4: the baseline plan exchanged once for the dedup and again
+    # for the df derivation, with a second pruned scan under it).
     tf = (
         _live_batches(pruned, wm)
         .join(F.broadcast(qterm_set.select("term")), "term")
+        .repartition("term")
         .dropDuplicates(["batch_id", "term", "doc_id"])
         .select("doc_id", "dl", "term", "tf")
     )

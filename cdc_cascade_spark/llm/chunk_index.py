@@ -251,9 +251,15 @@ def probe_chunk_index(
     # sized): a replayed batch's rows are byte-identical including
     # batch_id, so the chunk-unit key removes exactly the replays;
     # the watermark filter removes epochs a squash already absorbed.
+    # The explicit term repartition is the ONE exchange the dedup
+    # aggregate and the scorer's df window both ride (r17-opt — the
+    # bm25_index probe rationale: term ⊆ the dedup key, so hash
+    # partitioning on it satisfies both clusterings; the baseline plan
+    # exchanged separately for dedup and df with a second pruned scan).
     tf = (
         _live_batches(pruned, wm)
         .join(F.broadcast(qterm_set.select("term")), "term")
+        .repartition("term")
         .dropDuplicates(["batch_id", "term", "doc_id", "chunk_id"])
         .select("doc_id", "chunk_id", "dl", "term", "tf")
     )

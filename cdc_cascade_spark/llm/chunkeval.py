@@ -125,17 +125,28 @@ def chunk_topk_from_postings(
     ``(n_docs, sum_dl)`` frame over chunks. Both the ad-hoc face
     (:func:`chunked_topk_frame`) and the persistent-index probe
     (llm/chunk_index.py) feed this one function, which is what makes
-    probe ≡ direct provable row-for-row."""
-    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    probe ≡ direct provable row-for-row.
+
+    Plan shape (r17-opt, guide §2.4 — the topk_from_postings
+    rationale): df is a COUNT window over ``tf`` (one pass; the former
+    groupBy+broadcast-rejoin re-ran the pruned-scan subtree on the
+    probe path), computed BEFORE the qterms join so a term shared by
+    several queries is not double-counted; one explicit qid
+    repartition is the single exchange the per-chunk sum, the per-doc
+    max AND the rank window all ride (hash partitioning on qid
+    satisfies every downstream clustering). Postings are
+    query-workload-sized, never corpus-sized."""
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        .join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(dfr), "term")
         .crossJoin(F.broadcast(stats))
         .select("qid", "doc_id", "chunk_id", term_weight_ppb().alias("term_ppb"))
     )
-    per_chunk = scored.groupBy("qid", "doc_id", "chunk_id").agg(
-        F.sum("term_ppb").alias("score_ppb")
+    per_chunk = (
+        scored.repartition("qid")
+        .groupBy("qid", "doc_id", "chunk_id")
+        .agg(F.sum("term_ppb").alias("score_ppb"))
     )
     per_doc = per_chunk.groupBy("qid", "doc_id").agg(
         F.max("score_ppb").alias("best_ppb")
@@ -165,17 +176,17 @@ def chunked_topk_frame(docs: DataFrame) -> DataFrame:
         F.explode("ctoks").alias("term"),
     )
     postings = tok.join(F.broadcast(qterm_set), "term")
-    # snapshot the postings: they feed two consumers (df derivation +
-    # scoring) and without it the corpus-sized chunk-explode subtree
-    # is re-planned per consumer (measured 1.95 → 1.53 s warm at
-    # sf0.1). Postings are query-workload-sized — bounded by the
-    # corpus tokens matching the ≤ Q_CAP·QUERY_TERMS query terms,
-    # never the corpus — the same relation the persistent index
-    # materializes to parquet.
+    # Since r17-opt chunk_topk_from_postings consumes tf exactly ONCE
+    # (df is a count window, not a rejoin), so the former lineage
+    # snapshot is gone; the explicit term repartition is the single
+    # exchange the tf aggregation AND the scorer's df window both
+    # ride. Postings are query-workload-sized — bounded by the corpus
+    # tokens matching the ≤ Q_CAP·QUERY_TERMS query terms, never the
+    # corpus — the same relation the persistent index materializes.
     tf = (
-        postings.groupBy("doc_id", "chunk_id", "dl", "term")
+        postings.repartition("term")
+        .groupBy("doc_id", "chunk_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
     return chunk_topk_from_postings(tf, qterms, stats)
 
@@ -187,26 +198,43 @@ def chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole = bm25_topk(spark, sf_dir).select("qid", "doc_id")
     chunked = chunked_topk_frame(docs).select("qid", "doc_id")
 
-    tn = whole.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_whole")
+    # Overlap rollup as ONE pass over the tagged union (r17-opt, guide
+    # §2.4): the former tn/an/hits triple consumed each list twice, so
+    # BOTH full retrieval subtrees (corpus tokenize + postings + score
+    # + rank) were re-planned and re-executed per consumer — the
+    # baseline plan carried 50 Exchanges / 8 window passes. Each
+    # (qid, doc_id) appears at most once per list, so per-pair sums of
+    # the side tags recover membership exactly: n_whole = Σ w_tag,
+    # n_chunked = Σ c_tag, n_hits = |pairs on both sides| — identical
+    # to the old left-join arithmetic (qids restricted to the
+    # whole-side driver, missing counts 0). One exchange, each
+    # retrieval consumed once.
+    tagged = whole.select(
+        "qid", "doc_id", F.lit(1).alias("w"), F.lit(0).alias("c")
+    ).unionByName(
+        chunked.select(
+            "qid", "doc_id", F.lit(0).alias("w"), F.lit(1).alias("c")
+        )
     )
-    an = chunked.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunked")
-    )
-    hits = (
-        whole.join(chunked, ["qid", "doc_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    per_pair = (
+        tagged.repartition("qid")
+        .groupBy("qid", "doc_id")
+        .agg(F.max("w").alias("in_w"), F.max("c").alias("in_c"))
     )
     return (
-        tn.join(an, "qid", "left")
-        .join(hits, "qid", "left")
+        per_pair.groupBy("qid")
+        .agg(
+            F.sum("in_w").cast("bigint").alias("n_whole"),
+            F.sum("in_c").cast("bigint").alias("n_chunked"),
+            F.sum(F.col("in_w") * F.col("in_c")).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_whole") > 0)
         .select(
             "qid",
             "n_whole",
-            F.coalesce("n_chunked", F.lit(0)).cast("bigint").alias("n_chunked"),
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.expr(f"(coalesce(n_hits, 0) * {PPM}) div n_whole")
+            "n_chunked",
+            "n_hits",
+            F.expr(f"(n_hits * {PPM}) div n_whole")
             .cast("bigint")
             .alias("recall_ppm"),
         )

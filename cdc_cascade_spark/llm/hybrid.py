@@ -110,15 +110,46 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("sparse_rank"),
     )
     dense = _dense_topk(spark, sf_dir)
-    fused = sparse.join(dense, ["qid", "item_id"], "full_outer").select(
-        "qid",
-        "item_id",
-        "sparse_rank",
-        "dense_rank",
-        (
-            F.coalesce(_rrf_ppb(F.col("sparse_rank")), F.lit(0))
-            + F.coalesce(_rrf_ppb(F.col("dense_rank")), F.lit(0))
-        ).alias("rrf_ppb"),
+    # Fusion as union + per-(qid, item) aggregation instead of a
+    # full-outer join (r17-opt, guide §2.4/§3.1): each (qid, item_id)
+    # appears at most once per list, so max() recovers exactly the
+    # join's rank columns (NULL where a list missed the item) and the
+    # coalesced rrf sum is unchanged — while the full-outer join of
+    # two (Q·k)-row lists planned as a sort-merge join (full outer
+    # cannot broadcast): two exchanges plus sorts where one suffices.
+    # The explicit qid repartition is the single exchange the fusion
+    # aggregate and the rank window both ride.
+    fused = (
+        sparse.select(
+            "qid",
+            "item_id",
+            "sparse_rank",
+            F.lit(None).cast("int").alias("dense_rank"),
+        )
+        .unionByName(
+            dense.select(
+                "qid",
+                "item_id",
+                F.lit(None).cast("int").alias("sparse_rank"),
+                F.col("dense_rank"),
+            )
+        )
+        .repartition("qid")
+        .groupBy("qid", "item_id")
+        .agg(
+            F.max("sparse_rank").alias("sparse_rank"),
+            F.max("dense_rank").alias("dense_rank"),
+        )
+        .select(
+            "qid",
+            "item_id",
+            "sparse_rank",
+            "dense_rank",
+            (
+                F.coalesce(_rrf_ppb(F.col("sparse_rank")), F.lit(0))
+                + F.coalesce(_rrf_ppb(F.col("dense_rank")), F.lit(0))
+            ).alias("rrf_ppb"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("rrf_ppb"), F.asc("item_id"))
     return (

@@ -77,8 +77,14 @@ PPB_INT = 1_000_000_000
 
 def _mode_summary(mode: str, truth: DataFrame, lst: DataFrame) -> DataFrame:
     """Aggregate one modality's list — ``(qid, item_id, rank)`` —
-    against the truth — ``(qid, item_id)`` — into its summary row."""
-    scored = truth.join(lst, ["qid", "item_id"], "left")
+    against the truth — ``(qid, item_id)`` — into its summary row.
+
+    The list side is broadcast explicitly (r17-opt, guide §3.1): both
+    sides are eval-budget-bounded (Q and Q·k rows at ANY corpus size),
+    but they arrive as lineage-truncated snapshots whose sizes Catalyst
+    cannot estimate, so the left join fell back to a sort-merge join —
+    two exchanges plus two sorts per modality for an ≤80-row join."""
+    scored = truth.join(F.broadcast(lst), ["qid", "item_id"], "left")
     return (
         scored.groupBy(F.lit(mode).alias("mode"))
         .agg(
@@ -122,23 +128,25 @@ def retrieval_mrr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # Q rows; truncates the shared
         # lineage so the truth-vs-list self-joins stay clean
     )
-    # fused list: the registered hybrid_retrieval_rrf plan over the
-    # checkpointed constituents (same _rrf_ppb expression and cuts)
+    # fused list: the same _rrf_ppb contributions and cuts as the
+    # registered hybrid_retrieval_rrf, assembled as union + sum
+    # instead of a full-outer join (r17-opt, guide §2.4/§3: a full
+    # outer join of two statistics-free snapshots planned as a
+    # sort-merge join — two exchanges + sorts for ≤80-row lists; each
+    # (qid, item_id) appears at most once per list, so summing the
+    # per-list contributions over the union IS the coalesce(+) of the
+    # join form, exactly — hybrid.py carries the same rewrite with
+    # the rank-provenance columns). The explicit qid repartition is
+    # the single exchange the fusion aggregate and the rank window
+    # both ride.
     fused = (
-        sparse.withColumnRenamed("rank", "sparse_rank")
-        .join(
-            dense.withColumnRenamed("rank", "dense_rank"),
-            ["qid", "item_id"],
-            "full_outer",
+        sparse.select("qid", "item_id", _rrf_ppb(F.col("rank")).alias("c"))
+        .unionByName(
+            dense.select("qid", "item_id", _rrf_ppb(F.col("rank")).alias("c"))
         )
-        .select(
-            "qid",
-            "item_id",
-            (
-                F.coalesce(_rrf_ppb(F.col("sparse_rank")), F.lit(0))
-                + F.coalesce(_rrf_ppb(F.col("dense_rank")), F.lit(0))
-            ).alias("rrf_ppb"),
-        )
+        .repartition("qid")
+        .groupBy("qid", "item_id")
+        .agg(F.sum("c").cast("long").alias("rrf_ppb"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("rrf_ppb"), F.asc("item_id"))
     # checkpoint the remaining two lists as well: each is (Q·k) rows,
