@@ -91,13 +91,23 @@ def contamination_frame(prepared: DataFrame) -> DataFrame:
     """
     cap = _df_cap(prepared.count())
     exploded = prepared.select("doc_id", F.explode("hset").alias("h"))
-    hot = (
-        exploded.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cap)
-        .select("h")
+    # df-cap as a COUNT window over one explicit shingle exchange
+    # (r17-opt, guide §2.4): the former hot-set aggregate + broadcast
+    # anti-join consumed ``exploded`` twice and shuffled it once per
+    # consumer of ``rare`` (bench side, train side, bsz — four corpus
+    # explosions, three exchanges). Hash-partitioning the exploded
+    # shingles by ``h`` ONCE makes the window, the bench/train split
+    # AND the containment self-join below all ride the same exchange —
+    # the two join branches share an identical exchange subtree, which
+    # Spark deduplicates (ReusedExchange), so the corpus explodes and
+    # shuffles exactly once. ``df <= cap`` ≡ anti-join against the
+    # ``df > cap`` hot set, value for value.
+    rare = (
+        exploded.repartition("h")
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("df") <= F.lit(int(cap)))
+        .drop("df")
     )
-    rare = exploded.join(F.broadcast(hot), "h", "left_anti")
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = rare.filter(is_bench)
     train = rare.filter(~is_bench)
@@ -474,13 +484,22 @@ def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_toks"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
     )
-    prof = joined.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("sum_tokens"),
-        F.sum("n_dist").alias("sum_distinct"),
-    )
+    # ONE corpus aggregation at (label, lang) granularity (r17-opt,
+    # guide §2.3 — aggregate before you shuffle / §2.4): the former
+    # prof + lang_counts pair consumed ``joined`` twice, re-running the
+    # tokenize + id-join subtree per consumer; both downstream frames
+    # derive from this tiny rollup instead (sums are associative, the
+    # lang mode is unchanged), and the corpus crosses one map-side
+    # partially-aggregated exchange exactly once.
     lang_counts = joined.groupBy("label", "lang").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_toks").alias("sum_toks"),
+        F.sum("n_dist").alias("sum_dist"),
+    )
+    prof = lang_counts.groupBy("label").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("sum_toks").alias("sum_tokens"),
+        F.sum("sum_dist").alias("sum_distinct"),
     )
     lw = W.partitionBy("label").orderBy(F.desc("cnt"), F.asc("lang"))
     dominant = (
@@ -488,7 +507,10 @@ def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("label", F.col("lang").alias("dominant_lang"))
     )
-    return prof.join(dominant, "label").select(
+    # one row per label on both sides (label set is bounded at any
+    # corpus size), derived through an agg/window with no size stats —
+    # broadcast so the per-label join cannot plan a SortMergeJoin
+    return prof.join(F.broadcast(dominant), "label").select(
         "label",
         "n_docs",
         "sum_tokens",

@@ -86,7 +86,11 @@ def _stratum_skew(counts: DataFrame, dim: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("stratum", F.col("label").alias("top_label"), F.col("cnt").alias("top_cnt"))
     )
-    return totals.join(top, "stratum").select(
+    # top is one row per stratum (strata = distinct lang/source values,
+    # bounded at any corpus size) but derived through a window, so
+    # Catalyst has no size estimate and planned a SortMergeJoin for
+    # this per-stratum join — broadcast it explicitly (r17-opt, §3.1).
+    return totals.join(F.broadcast(top), "stratum").select(
         F.lit(dim).alias("dim"),
         "stratum",
         "n_docs",

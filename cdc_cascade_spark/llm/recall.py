@@ -116,28 +116,39 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("qid")),
         ).select("qid", "vec_id", cosine)
     )
-    tn = truth.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    # Overlap rollup as ONE pass over the tagged union (r17-opt, guide
+    # §2.4 — the chunk_retrieval_eval rewrite): the former tn/an/hits
+    # triple consumed each top-k list twice, so BOTH list subtrees
+    # (the exact corpus scan + the bucket-pruned scan, each with its
+    # rank window) re-planned and re-executed per consumer. Each
+    # (qid, vec_id) appears at most once per list, so per-pair max of
+    # the side tags recovers membership exactly — identical to the old
+    # left-join arithmetic (qids restricted to the truth side, missing
+    # counts 0). One exchange, each list computed once.
+    tagged = truth.select(
+        "qid", "vec_id", F.lit(1).alias("t"), F.lit(0).alias("a")
+    ).unionByName(
+        approx.select("qid", "vec_id", F.lit(0).alias("t"), F.lit(1).alias("a"))
     )
-    an = approx.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_approx")
-    )
-    hits = (
-        truth.join(approx, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    per_pair = (
+        tagged.repartition("qid")
+        .groupBy("qid", "vec_id")
+        .agg(F.max("t").alias("in_t"), F.max("a").alias("in_a"))
     )
     return (
-        tn.join(an, "qid", "left")
-        .join(hits, "qid", "left")
+        per_pair.groupBy("qid")
+        .agg(
+            F.sum("in_t").cast("bigint").alias("n_truth"),
+            F.sum("in_a").cast("bigint").alias("n_approx"),
+            F.sum(F.col("in_t") * F.col("in_a")).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_truth") > 0)
         .select(
             "qid",
             "n_truth",
-            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.expr(
-                "(coalesce(n_hits, 0) * 1000000) div n_truth"
-            )
+            "n_approx",
+            "n_hits",
+            F.expr("(n_hits * 1000000) div n_truth")
             .cast("bigint")
             .alias("recall_ppm"),
         )

@@ -1163,27 +1163,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     + exact-cosine verification (the vector-space member of the dedup
     family — MinHash/SimHash/Jaccard live in ``llm/dedup.py``).
 
-    Plan shape (the 100 TB one, mirroring ``dedup_minhash_lsh``):
-    one Arrow pandas_udf pass computes each vector's 16 sign bits; a
-    4-row-per-vector band explode carries only (vec_id, band, bval) —
-    never the 64-float payload — into the band self-join; candidate
-    pairs are de-duplicated, then two hash joins on vec_id fetch the
-    vectors for exact verification of only the candidates. No step is
-    all-pairs: the band join's groups are ~n/2^planes, and the verify
-    cost is O(|candidates|).
+    Plan shape (the 100 TB one, r17-opt): one Arrow pandas_udf pass
+    computes each vector's 16 sign bits; a 4-row-per-vector band
+    explode groups vectors by (band, bval); each group's candidate
+    pairs are scored IN the group by a vectorized numpy kernel
+    (vectors cross the Python boundary once per band — never once per
+    pair — and each pair is emitted only in its first shared band, so
+    there is no candidate-distinct exchange and no per-pair vector
+    fetch join). No step is all-pairs: group sizes are ~n/2^planes and
+    bounded by the banding dials; the verify cost is O(Σ group²) =
+    O(|candidates|).
 
     Returns (vec_a, vec_b, cosine) for candidate pairs with exact
     cosine ≥ ``DEDUP_COSINE_THRESHOLD`` (the testdata's embeddings have
     no true near-identical pairs — max cosine ≈ 0.5 — so the threshold
     sits below the classic 0.9 to exercise the full path end-to-end).
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     nplanes = DEDUP_BANDS * DEDUP_BAND_PLANES
     bucket = _bucket_udf(nplanes)
     mask = (1 << DEDUP_BAND_PLANES) - 1
-    sig = emb.select("vec_id", bucket(F.col("embedding")).alias("bits"))
+    planes = DEDUP_BAND_PLANES
+    nbands = DEDUP_BANDS
+    # Threshold prefilter inside the verify kernel, with a safety
+    # margin far wider than any double-rounding slop: a raw cosine
+    # below τ−1e-7 cannot round (at 9 decimals) to ≥ τ, so dropping it
+    # early only trims Arrow output; the EXACT round + threshold still
+    # run in Spark below.
+    tau_guard = DEDUP_COSINE_THRESHOLD - 1e-7
+
+    sig = emb.select(
+        "vec_id", "embedding", bucket(F.col("embedding")).alias("bits")
+    )
     bands = sig.select(
         "vec_id",
+        "embedding",
+        "bits",
         F.posexplode(
             F.array(
                 *[
@@ -1195,36 +1210,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bval"),
     )
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bval")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bval")
-    cand = (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+
+    # Grouped candidate verification (r17-opt, guide §4.2/§8): the
+    # former shape shipped BOTH 64-float vectors across the Python
+    # boundary once per candidate pair (466 k pairs ≈ 240 MB of Arrow
+    # traffic at sf0.1, after a distinct exchange of the pair set and
+    # two vector-fetch joins). Banding already co-locates every
+    # candidate pair inside one (band, bval) group, so the verify now
+    # runs per GROUP: vectors cross the boundary once per band (4×
+    # corpus rows, ~2 MB here), the group kernel scores all in-group
+    # pairs with the same strict left-to-right float64 fold as
+    # ``_fold_dot`` (bit-identical dots/norms), emits each pair only
+    # in its FIRST shared band (no distinct pass — membership of every
+    # smaller band is computable from the two signatures), and returns
+    # raw (dot, na, nb); the EXACT ``round(dot/(na·nb), 9) ≥ τ``
+    # filter stays a Spark expression, unchanged. Group sizes are
+    # bounded by the banding dials (plane count grows with log2(n) at
+    # scale — see the dials comment above), and the kernel blocks its
+    # pair matrix so peak memory is O(block · group · dim).
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "dot": pd.Series([], dtype="float64"),
+            "na": pd.Series([], dtype="float64"),
+            "nb": pd.Series([], dtype="float64"),
+        }
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame(empty)
+        band = int(pdf["band"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        bits = pdf["bits"].to_numpy().astype(np.int64)
+        m = _stack_f64(pdf["embedding"])
+        norms = np.sqrt(_fold_dot(m, m))
+        out: list[pd.DataFrame] = []
+        block = max(1, (1 << 22) // (g * m.shape[1] or 1))  # ~32 MB f64
+        for lo in range(0, g, block):
+            hi = min(lo + block, g)
+            # strict sequential fold per pair — _fold_dot in 2D
+            dots = np.add.accumulate(
+                m[lo:hi, None, :] * m[None, :, :], axis=2
+            )[:, :, -1]
+            ia, ib = np.indices(dots.shape)
+            ia, ib = (ia + lo).ravel(), ib.ravel()
+            keep = ids[ia] < ids[ib]
+            for bp in range(band):
+                if not keep.any():
+                    break
+                keep &= ((bits[ia] >> (bp * planes)) & mask) != (
+                    (bits[ib] >> (bp * planes)) & mask
+                )
+            d = dots.ravel()
+            keep &= (d / (norms[ia] * norms[ib])) >= tau_guard
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ia][keep],
+                            "vec_b": ids[ib][keep],
+                            "dot": d[keep],
+                            "na": norms[ia][keep],
+                            "nb": norms[ib][keep],
+                        }
+                    )
+                )
+        return pd.concat(out) if out else pd.DataFrame(empty)
+
+    scored = bands.groupBy("band", "bval").applyInPandas(
+        _score_group, "vec_a long, vec_b long, dot double, na double, nb double"
     )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
-    )
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= DEDUP_COSINE_THRESHOLD)
-    )
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9).alias("cosine"),
+    ).filter(F.col("cosine") >= DEDUP_COSINE_THRESHOLD)
 
 
 def _dedup_embedding_oracle_sql() -> str:

@@ -208,6 +208,12 @@ def overlap_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").alias("s"),
         F.expr(f"CAST(o_orderdate AS TIMESTAMP) + {span}").alias("e"),
     )
+    # Bucket width sized to the span (r17-opt, guide §2.3 — shuffle
+    # fewer bytes): windows are 1-7 days, so day buckets exploded each
+    # row ~4.5× before the join; week buckets cover any ≤7-day window
+    # with at most 2 rows (~1.2× avg) — 3-4× fewer rows built and
+    # probed, identical pair semantics (the first-shared-bucket proof
+    # in interval_overlap_join is bucket-width-free).
     a = w.select(
         F.col("o_orderkey").alias("a_key"),
         F.col("o_custkey").alias("a_cust"),
@@ -221,7 +227,7 @@ def overlap_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("b_e"),
     )
     pairs = interval_overlap_join(
-        a, b, "a_cust", "b_cust", "a_s", "a_e", "b_s", "b_e", bucket_unit="day"
+        a, b, "a_cust", "b_cust", "a_s", "a_e", "b_s", "b_e", bucket_unit="week"
     ).filter(F.col("a_key") < F.col("b_key"))  # each unordered pair once
     overlap_sec = F.unix_timestamp(
         F.least(F.col("a_e"), F.col("b_e"))
