@@ -110,8 +110,12 @@ def decile_map_frame(keys: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     w = W.orderBy("q_milli").rowsBetween(W.unboundedPreceding, 0)
+    # n = Σ cnt over the per-value aggregate — exactly keys.count(),
+    # derived from the tiny rollup instead of a second corpus-sized
+    # pass over ``keys`` (r18-opt, guide §2.3: the former
+    # keys.agg(count) re-ran the whole tokenize subtree for one scalar)
     cum = per_value.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
-        F.broadcast(keys.agg(F.count(F.lit(1)).alias("n")))
+        F.broadcast(per_value.agg(F.sum("cnt").alias("n")))
     )
     return cum.select(
         "q_milli",
@@ -127,7 +131,12 @@ def quality_calibration_frame(
     """Frame-level face: per-decile corpus size, near-dup incidence
     and curation survival. ``dup_ids`` / ``kept_ids`` are 1-column
     ``doc_id`` sets."""
-    keys = doc_quality_key_frame(docs)
+    # keys feeds two consumers (the decile map's per-value rollup and
+    # the corpus-side decile join): snapshot so the corpus tokenize
+    # runs once (r18-opt, guide §2.4). The frame is (doc_id, q_milli) —
+    # two integers per document, the guide-§8 "decide on small rows"
+    # proxy — so the checkpoint is corpus-LINEAR but payload-free.
+    keys = doc_quality_key_frame(docs).localCheckpoint(eager=False)
     with_decile = keys.join(
         F.broadcast(decile_map_frame(keys)), "q_milli"
     )

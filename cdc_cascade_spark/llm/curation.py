@@ -91,23 +91,31 @@ def contamination_frame(prepared: DataFrame) -> DataFrame:
     """
     cap = _df_cap(prepared.count())
     exploded = prepared.select("doc_id", F.explode("hset").alias("h"))
-    # df-cap as a COUNT window over one explicit shingle exchange
-    # (r17-opt, guide §2.4): the former hot-set aggregate + broadcast
-    # anti-join consumed ``exploded`` twice and shuffled it once per
-    # consumer of ``rare`` (bench side, train side, bsz — four corpus
-    # explosions, three exchanges). Hash-partitioning the exploded
-    # shingles by ``h`` ONCE makes the window, the bench/train split
-    # AND the containment self-join below all ride the same exchange —
-    # the two join branches share an identical exchange subtree, which
-    # Spark deduplicates (ReusedExchange), so the corpus explodes and
-    # shuffles exactly once. ``df <= cap`` ≡ anti-join against the
-    # ``df > cap`` hot set, value for value.
-    rare = (
-        exploded.repartition("h")
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
-        .filter(F.col("df") <= F.lit(int(cap)))
-        .drop("df")
+    # Hot-set derivation via a partial-aggregated groupBy + broadcast
+    # anti-join (r18-opt, guide §2.5 — fixes the r17 skew hazard): the
+    # r17 shape derived the df cap as a COUNT window over
+    # W.partitionBy("h"), which forced EVERY occurrence of a hot
+    # shingle onto one task BEFORE the cap filter dropped it — a
+    # single-task straggler at 100 TB (hot shingles by definition
+    # exceed the cap). groupBy("h") partially aggregates map-side, so
+    # the hot-set shuffle carries ≤ one row per (shingle, map
+    # partition) no matter how hot the key; the hot set itself is
+    # bounded (≤ total occurrences / cap rows) and broadcasts. The
+    # anti-join then drops hot occurrences MAP-SIDE, before the single
+    # explicit ``repartition("h")`` that the bench/train split AND the
+    # containment self-join below all ride (the two join branches share
+    # an identical exchange subtree, which Spark deduplicates via
+    # ReusedExchange — the surviving shingles shuffle exactly once).
+    # ``anti-join df > cap hot set`` ≡ ``keep df <= cap``, value for
+    # value; the explode runs twice (hot derivation + survivors), both
+    # map-side over the session-cached shingle-set relation.
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > F.lit(int(cap)))
+        .select("h")
     )
+    rare = exploded.join(F.broadcast(hot), "h", "left_anti").repartition("h")
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = rare.filter(is_bench)
     train = rare.filter(~is_bench)

@@ -437,16 +437,32 @@ def curate_from_state(state: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )
-    survivors = (
-        state.join(losers, "doc_id", "left_anti")
+    # Decision layers run ONCE (r18-opt, guide §2.4): the survivor set
+    # feeds two consumers (the budget relation and the final rejoin),
+    # and before this snapshot each consumer re-planned and re-ran the
+    # whole anti/semi/anti chain — including the contamination
+    # explode/self-join, the heaviest subtree of the query. The id set
+    # is one bigint per survivor (the keepset artifact every curation
+    # run persists anyway); each consumer is then a scan of the
+    # checkpointed state leaf + one id-keyed semi join.
+    surv_ids = (
+        state.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
         .join(keepq, "doc_id", "left_semi")
         .join(contam, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source", "clean_text", "was_redacted")
+        .localCheckpoint(eager=False)
+    )
+    survivors = state.join(surv_ids, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "clean_text", "was_redacted"
     )
     admitted = budget_filter(
         survivors.select("doc_id", "lang", F.col("clean_text").alias("text"))
     ).select("doc_id", "n_tokens", "quality")
-    return survivors.join(admitted, "doc_id").select(
+    # admitted is budget-bounded by construction (each lang stratum's
+    # token sum ≤ STRATUM_TOKEN_BUDGET) — broadcast so the final
+    # attach never shuffles the survivor rows (guide §3.1/§8: decide
+    # on small rows, move the payload once).
+    return survivors.join(F.broadcast(admitted), "doc_id").select(
         "doc_id",
         "lang",
         "source",

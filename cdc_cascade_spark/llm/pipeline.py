@@ -236,7 +236,13 @@ def curate_corpus(
     ]
     if segment_stage:
         out_cols.append("n_dropped_segments")
-    return survivors.join(admitted, "doc_id").select(*out_cols)
+    # admitted is budget-bounded by construction (per-stratum token
+    # ceiling over a bounded lang set) — broadcast so the final attach
+    # never shuffles the survivor rows (r18-opt, guide §3.1: the
+    # window output is statistics-free, so without the hint the join
+    # planned a sort-merge join; local slot delta is inside the noise
+    # band, the hint is for the 100 TB shape).
+    return survivors.join(F.broadcast(admitted), "doc_id").select(*out_cols)
 
 
 def curate_corpus_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,7 +410,9 @@ def curation_audit(
         ),
         (survivor & F.coalesce(F.col("_adm"), F.lit(False))).alias("kept"),
     ]
-    out = flags.join(admitted, "doc_id", "left")
+    # budget-bounded build side (see curate_corpus) — broadcast keeps
+    # the corpus-sized flags relation unshuffled through the left join
+    out = flags.join(F.broadcast(admitted), "doc_id", "left")
     if seg_join is not None:
         out = out.join(seg_join, "doc_id", "left")
         out_cols.append("n_dropped_segments")
