@@ -195,8 +195,30 @@ def chunk_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query overlap@k of chunk-indexed BM25 vs whole-document
     BM25: ``(qid, n_whole, n_chunked, n_hits, recall_ppm)``."""
     docs = load_table(spark, sf_dir, "documents")
-    whole = bm25_topk(spark, sf_dir).select("qid", "doc_id")
-    chunked = chunked_topk_frame(docs).select("qid", "doc_id")
+    # The two retrievals are independent corpus passes that previously
+    # planned and ran inside one serial action (8-vs-32-core scaling
+    # ratio 1.01 — fixed cost, not compute). Materialize them from a
+    # thread pool (r18-opt, guide §2.6) so the two jobs and their
+    # Catalyst analysis overlap. (r17 measured an UN-pooled checkpoint
+    # variant slower — the materialization barriers serialized the two
+    # retrievals; the pool is what removes that serialization.)
+    from cdc_cascade_spark.functions.concurrent import run_concurrently
+
+    def _mk_whole() -> DataFrame:
+        return (
+            bm25_topk(spark, sf_dir)
+            .select("qid", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _mk_chunked() -> DataFrame:
+        return (
+            chunked_topk_frame(docs)
+            .select("qid", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    whole, chunked = run_concurrently(_mk_whole, _mk_chunked)
 
     # Overlap rollup as ONE pass over the tagged union (r17-opt, guide
     # §2.4): the former tn/an/hits triple consumed each list twice, so

@@ -195,10 +195,12 @@ def test_plan_is_broadcast_inverted_index_probe(spark):
     # honored on an equi-join)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
-    # the full report adds only Q_CAP-row joins on top (left-outer
-    # merges of the per-qid count frames — bounded by the fixed query
-    # workload, never the corpus); the corpus relations must still
-    # never meet in a sort-merge, which would mark a corpus-sized
-    # join having escaped the broadcast probe shape
+    # the full report (r18-opt) materializes the two retrievals as
+    # pooled checkpoint jobs, so its registered plan is ONLY the
+    # tagged-union rollup over two checkpoint leaves — no join of any
+    # kind, and in particular no corpus-sized sort-merge can escape
+    # the broadcast probe shape (it lives inside the constituent plan
+    # asserted above)
     full = physical_plan(chunk_retrieval_eval(spark, SF))
-    assert full.count("BroadcastHashJoin") >= 4, full[:3000]
+    assert full.count("Scan ExistingRDD") >= 2, full[:3000]
+    assert "Join" not in full, full[:3000]
