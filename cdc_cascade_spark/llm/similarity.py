@@ -316,17 +316,22 @@ def ann_lsh_multitable_topk(
         "vec_id", "label", "embedding", "norm",
         buckets_pd(F.col("embedding")).alias("buckets"),
     )
-    qrows = (
-        bucketed.orderBy("vec_id")
-        .limit(1)
-        .select("vec_id", "embedding", "norm", "buckets")
-        .collect()
-    )
+    # Query row from the RAW table + driver-side bucket ids (r18-opt,
+    # guide §1.2/§4: the former collect ordered the BUCKETED frame, so
+    # finding one row ran the Arrow kernel over the whole corpus — a
+    # full second corpus pass per call). The driver fold below is the
+    # multiprobe/_query_probe_buckets discipline: same float32→float64
+    # widening, same strict left-to-right ``np.add.accumulate`` per
+    # plane, same sign/weight assembly as ``buckets_pd`` — bit-identical
+    # bucket ids (and the oracle's list_dot_product reproduces both).
+    qrows = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()
     if not qrows:
         return _empty_ann(spark, "n_shared_tables", "int")
-    qrow = qrows[0]
-    qid = int(qrow.vec_id)
-    qbuckets = [int(b) for b in qrow.buckets]
+    qid = int(qrows[0].vec_id)
+    q = np.asarray(qrows[0].embedding, dtype=np.float32).astype(np.float64)
+    qdots = np.add.accumulate(planes * q[None, :], axis=1)[:, -1]
+    qsigns = (qdots > 0).reshape(n_tables, planes_per_table)
+    qbuckets = [int(b) for b in (qsigns @ weights).astype(np.int32)]
     shared = sum(
         F.when(F.col("buckets")[t] == qbuckets[t], 1).otherwise(0)
         for t in range(n_tables)
@@ -473,21 +478,30 @@ def label_blocked_pairs(emb: DataFrame, cap: int = LABEL_CAP) -> DataFrame:
     # pandas_udf bucket stage. One cheap action on the tiny label
     # aggregate (column-pruned scan → partial count) decides the shape;
     # the guarded union only exists when a hot label actually exists.
+    # Every self-join below repartitions its block key FIRST, so the
+    # two join sides are projections of the SAME exchange subtree —
+    # Spark deduplicates it (ReusedExchange) and the join adds no
+    # further exchange (r18-opt, guide §2.4): the embeddings scan, the
+    # norm Arrow kernel and the shuffle each run ONCE instead of once
+    # per join side.
     if big_labels.isEmpty():
-        sa = emb.select(
+        base = emb.repartition("label")
+        sa = base.select(
             "label",
             F.col("vec_id").alias("vec_a"),
             F.col("embedding").alias("ea"),
             F.col("norm").alias("na"),
         )
-        sb = emb.select(
+        sb = base.select(
             "label",
             F.col("vec_id").alias("vec_b"),
             F.col("embedding").alias("eb"),
             F.col("norm").alias("nb"),
         )
         return sa.join(sb, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    small = emb.join(F.broadcast(big_labels), "label", "left_anti")
+    small = emb.join(F.broadcast(big_labels), "label", "left_anti").repartition(
+        "label"
+    )
     sa = small.select(
         "label",
         F.col("vec_id").alias("vec_a"),
@@ -503,8 +517,10 @@ def label_blocked_pairs(emb: DataFrame, cap: int = LABEL_CAP) -> DataFrame:
     small_pairs = sa.join(sb, "label").filter(F.col("vec_a") < F.col("vec_b"))
 
     bucket = _bucket_udf(PAIR_BUCKET_PLANES)
-    big = emb.join(F.broadcast(big_labels), "label", "left_semi").withColumn(
-        "bucket", bucket(F.col("embedding"))
+    big = (
+        emb.join(F.broadcast(big_labels), "label", "left_semi")
+        .withColumn("bucket", bucket(F.col("embedding")))
+        .repartition("label", "bucket")
     )
     ba = big.select(
         "label",
@@ -1184,7 +1200,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = _bucket_udf(nplanes)
     mask = (1 << DEDUP_BAND_PLANES) - 1
     planes = DEDUP_BAND_PLANES
-    nbands = DEDUP_BANDS
     # Threshold prefilter inside the verify kernel, with a safety
     # margin far wider than any double-rounding slop: a raw cosine
     # below τ−1e-7 cannot round (at 9 decimals) to ≥ τ, so dropping it
