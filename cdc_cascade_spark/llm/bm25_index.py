@@ -102,6 +102,12 @@ N_BUCKETS = 16
 # reserved id can never collide with a replayed epoch's rows.
 BUILD_BATCH_ID = -1
 
+# _stats_summary collects one delta row per live append epoch; past
+# this many rows a compaction is overdue and the probe warns (the
+# contract stays "bounded by compaction cadence" — this makes a stall
+# loud instead of silently growing the per-probe driver collect).
+_STATS_COLLECT_WARN_ROWS = 10_000
+
 # Compaction lock sentinel (r11 verdict #5: "quiesce ingest/reads
 # around compaction" was a documented contract only — this makes it
 # mechanical). Compaction holds the sentinel for its whole run;
@@ -886,6 +892,22 @@ def _stats_summary(spark: SparkSession, out_path: str) -> tuple:
     (``BUILD_BATCH_ID``) and epochs above wm, one row per batch_id
     (replayed delta rows are byte-identical)."""
     rows = _stats_raw(spark, out_path).collect()
+    # Guard on the "bounded by compaction cadence" contract (r17
+    # ADVICE): the collect grows one row per live append epoch, so a
+    # stalled compaction grows it linearly with epochs. Warn loudly
+    # long before driver memory is at risk — the fix is to run the
+    # overdue compaction, not to raise the threshold.
+    if len(rows) > _STATS_COLLECT_WARN_ROWS:
+        import warnings
+
+        warnings.warn(
+            f"stats dir {out_path} holds {len(rows)} delta rows "
+            f"(> {_STATS_COLLECT_WARN_ROWS}); compaction is overdue — "
+            "the per-probe driver collect grows with append epochs "
+            "until compact_postings_index squashes them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     wm = max(
         (int(r["squashed_through"]) for r in rows),
         default=-1,

@@ -107,8 +107,20 @@ class IdempotentBatchSink:
 
 
 def invalidate_batch(store: KeyValueStore, keys_df: DataFrame, key_col: str) -> None:
-    """Apply one micro-batch of invalidations: DEL each distinct key."""
-    for row in keys_df.select(key_col).distinct().toLocalIterator():
+    """Apply one micro-batch of invalidations: DEL each distinct key.
+
+    ``collect()``, not ``toLocalIterator()`` (r18-opt, guide §5/§1.5):
+    the iterator fetches result partitions one at a time — with N
+    post-distinct partitions that is up to N sequential driver round
+    trips PER MICRO-BATCH, and the invalidation pipeline pays it on
+    every trigger (measured 29k → 43k events/s warm at sf0.1). The key
+    list is bounded by the trigger's flow control
+    (``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger``), so one bounded
+    collect per batch is the right driver contract; hot topics that
+    outgrow any driver-side store use
+    :func:`invalidate_batch_partitions`, where no key list flows
+    through the driver at all."""
+    for row in keys_df.select(key_col).distinct().collect():
         store.delete(str(row[key_col]))
 
 

@@ -2390,3 +2390,46 @@ def test_commit_record_parser_matches_grammar_model(tmp_path):
                 assert got == value, (raw, got, value)
 
     run()
+
+
+def test_stats_collect_guard_warns_when_compaction_overdue(
+    spark, tmp_path, monkeypatch
+):
+    """_stats_summary's driver collect is bounded only by the
+    compaction cadence; past _STATS_COLLECT_WARN_ROWS delta rows the
+    probe must warn (compaction overdue) while still returning the
+    exact scalars (r18-opt guard; r17 ADVICE #4)."""
+    import warnings
+
+    import cdc_cascade_spark.llm.bm25_index as bi
+
+    idx = str(tmp_path / "bm25")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    bi._write_batch(docs, idx, "overwrite", bi.BUILD_BATCH_ID)
+    more = spark.createDataFrame([(3, "alpha")], "doc_id long, text string")
+    bi.append_postings_index(more, idx, batch_id=0)
+    bi.append_postings_index(
+        spark.createDataFrame([(4, "beta")], "doc_id long, text string"),
+        idx,
+        batch_id=1,
+    )
+    # 3 delta rows (build + 2 epochs); no warning at the real threshold
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        n_docs, sum_dl, wm = bi._stats_summary(spark, idx)
+    assert (n_docs, wm) == (4, -1)
+
+    # lower the threshold below the live row count: the guard must
+    # fire AND the scalars must be unchanged
+    monkeypatch.setattr(bi, "_STATS_COLLECT_WARN_ROWS", 2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n2, s2, w2 = bi._stats_summary(spark, idx)
+    assert (n2, s2, w2) == (n_docs, sum_dl, wm)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "compaction is overdue" in str(w.message)
+        for w in caught
+    )
