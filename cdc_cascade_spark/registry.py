@@ -61,92 +61,69 @@ from pyspark.sql import DataFrame, SparkSession
 # in dict order). CHECK_FIRST must stay comfortably below this so the
 # pinned queries are all guaranteed a row.
 #
-# r17 OPTIMIZATION round: the optimization driver re-runs EVERY
-# declared query against the DuckDB oracle (round brief — a hash
-# mismatch on ANY query is a regression), so the window covers the
-# full registry this round: every changed fingerprint is
-# driver-checked, which is exactly the invariant the guard exists to
-# enforce. Build rounds with the ~50-entry window should restore
-# CHECK_WINDOW = 50 and resume rotation from the CORRECTNESS_r17
-# full-registry evidence (every query's last-green becomes r17).
-CHECK_WINDOW = 150
+# Restored to 50 for r18 (r17 ADVICE #2): r17 widened it to 150 on the
+# wrong assumption that the optimization driver re-checks every
+# declared query — it sampled 50, which made the changed-queries-
+# pinned-in-window guard vacuous. The r18 window pins every
+# changed-fingerprint query explicitly below, so the driver's actual
+# ~50-row sample re-verifies all of them.
+CHECK_WINDOW = 50
 
 CHECK_FIRST: list[str] = [
-    # --- r17 window (the pre-committed BUILD_NOTES "r17 window plan",
-    # executed; r16 verdict "Next round" #1 ordered exactly this).
-    # CORRECTNESS_r16 was 50/50 green (verified before this edit: the
-    # registry's first 50 exactly, in order, zero mismatches/errs), so
-    # the r16 CHECK_NEXT pre-pays cleared and the deadline cohort is
-    # exactly the 41 r14-green queries (machine-recomputed from
-    # CORRECTNESS_r01–r16: last-green distribution r14=41 / r15=44 /
-    # r16=50, zero never-green). Slot arithmetic: 2 CHANGED re-pins —
-    # r17 ships the bm25_index.py commit-record fix (pairspec written
-    # unconditionally + every record form maps to its layout's pair,
-    # incl. ``compact``; anchored watermark token; r16 verdict #1,
-    # ADVICE #1/#2), whose fingerprint closure is exactly
-    # {retrieval_mrr_indexed, retrieval_mrr_summary} (computed against
-    # the committed manifest, matching the verdict's "two retrieval
-    # faces" budget) — plus the 41 deadline members. 2 + 41 = 43
-    # CHECK_FIRST (≤ the 45 margin cap); 0 new registrations, as
-    # ordered. CHECK_NEXT's 5 slots pre-pay r18's r15-green debt with
-    # NON-similarity-closure members only (the planned r18
-    # similarity.py edit must not invalidate their fresh evidence —
-    # verified: none of the five sits in the similarity query closure).
-    # --- changed-fingerprint re-pins (bm25_index closure) ---
+    # --- r18 window: ALL 33 queries whose fingerprint closure this
+    # optimization round touched (curation/pipeline/incremental/
+    # calibration consume-once + broadcast shapes; retrieval-family
+    # thread-pool materialization incl. functions/concurrent.py;
+    # similarity.py driver-side query buckets + shared label exchange;
+    # bm25_index stats-collect guard), machine-computed as
+    # {name: fingerprint != committed manifest} — the regen gate
+    # refuses to bless any changed query that is not in this window —
+    # PLUS overlap_join_order_windows (ranges.py changed in r17 but
+    # fell outside the r17 driver sample; its only fresh evidence is
+    # the in-repo property test, so it gets the driver row the r17
+    # ADVICE ordered) and lm_score_filter (model-join broadcast). 35 pins.
+    # -- retrieval family (bm25_index / retrieval_summary /
+    #    retrieval_indexed / chunkeval / hybrid / concurrent.py) --
     "retrieval_mrr_indexed",
     "retrieval_mrr_summary",
-    # --- the 41-query r14-green deadline cohort, multi-stage /
-    # plan-risk first (the pre-committed order) ---
-    # incremental curation capstone (multi-stage, segment-pruned)
+    "chunk_retrieval_eval",
+    "hybrid_retrieval_rrf",
+    # -- curation / pipeline / incremental / calibration --
+    "contamination_check",
     "curate_corpus",
     "curate_corpus_segmented",
     "curation_audit",
     "curation_audit_segmented",
-    # multimodal plumbing (binary columns, Arrow batch shapes)
-    "multimodal_dedup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    # dedup / sketch plans
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "dedup_index_probe",
-    "minhash_banding_curve",
-    "minhash_jaccard_estimate",
-    # retrieval / corpus profiling
-    "bm25_topk",
-    "contamination_check",
-    "corpus_drift_report",
+    "curate_corpus_incremental",
+    "curation_invalidation_report",
+    "quality_calibration_report",
+    "label_quality_profile",
+    "stratified_sample",
+    "stratified_sample_exact",
+    "pii_redaction",
+    "quality_floor_filter",
+    # -- similarity closure (driver-side multitable buckets, shared
+    #    label exchange, dead-binding removal) --
+    "ann_lsh_multitable_topk",
+    "embedding_top_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_indexed",
+    "ann_ivf_indexed",
+    "ann_recall_report",
+    "knn_join_topk",
+    "embedding_quantize",
+    "embedding_cluster_profile",
+    "label_skew_report",
+    # -- r17-changed, never driver-sampled (ADVICE #2) --
+    "overlap_join_order_windows",
+    # -- model-join broadcast (lm_score.py) --
     "lm_score_filter",
-    "sketch_kmv_distinct",
-    "sketch_kmv_setops",
-    # events / behavioral analytics
-    "events_rate_anomaly",
-    "cohort_retention",
-    "source_reputation",
-    "bigram_lift",
-    # window-frame suites
-    "q28_window_suite",
-    "q09_monthly_revenue_window",
-    "q21_above_segment_average",
-    "q08_topk_customers_per_segment",
-    # relational shapes (rollup, set ops, subqueries, anti joins)
-    "q07_rollup_sales",
-    "q16_distinct_stats",
-    "q10_set_operations",
-    "q22_in_subquery",
-    "q06_customers_without_orders",
-    # lateral / JSON / arrays
-    "q24_explode_lateral",
-    "q12_json_extraction",
-    "q29_array_functions",
-    # scalar-function surfaces
-    "q25_datetime_functions",
-    "q26_string_functions",
-    "q11_scalar_functions",
-    "q30_null_semantics",
-    "q31_unpivot_metrics",
 ]
 
 # Best-effort re-evidence tier: placed immediately after CHECK_FIRST,
@@ -154,21 +131,26 @@ CHECK_FIRST: list[str] = [
 # margin guarantee (if the driver's window is a few entries short of
 # 50 they lose their row, which is acceptable) — use ONLY for
 # fingerprint-frozen queries whose sole need is a fresher green row,
-# never for changed or new code. r17: all 5 slots pre-pay r18's
-# r15-green rotation debt, chosen ONLY from members OUTSIDE the
-# similarity.py query closure (r18 ships the planned similarity.py
-# edit — LSH/IVF persistent-layout protocol adoption + the qrow-guard
-# collision caveat — which would invalidate a closure member's fresh
-# evidence; membership verified by computing the closure). If the
-# driver checks the usual 50, r18's deadline cohort drops from 44 to
-# 39 CHECK_FIRST — inside the cap with room for the similarity-closure
-# re-pins that r18's own edit will force.
+# never for changed or new code. r18: 14 slots (35 + 14 = 49, one
+# slot under the window for margin) pre-pay the rotation debt with the
+# stalest frozen queries — machine-recomputed last-green over
+# CORRECTNESS_r01–r17 puts every entry below at r15, the oldest green
+# cohort in the registry.
 CHECK_NEXT: list[str] = [
-    "curate_corpus_incremental",
-    "curation_invalidation_report",
-    "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    "chunk_retrieval_eval",
+    "asof_latest_order",
+    "asof_prev_click_tolerance",
+    "corpus_diff",
+    "corpus_mixture_plan",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_split",
+    "doc_chunks",
+    "dq_constraint_report",
+    "embedding_quality_report",
+    "events_gap_fill",
+    "events_gap_fill_segmented",
+    "events_hot_keys",
+    "minhash_novelty",
 ]
 
 
