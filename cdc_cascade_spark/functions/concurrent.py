@@ -37,6 +37,8 @@ def run_concurrently(
     (``.localCheckpoint(eager=True)``) so the overlap actually covers
     the compute, not just plan construction. Exceptions propagate to
     the caller, as with sequential execution."""
+    if not builders:
+        return []
     if len(builders) == 1:
         return [builders[0]()]
     with ThreadPoolExecutor(max_workers=min(max_workers, len(builders))) as pool:

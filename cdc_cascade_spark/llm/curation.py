@@ -106,6 +106,13 @@ def contamination_frame(prepared: DataFrame) -> DataFrame:
     # containment self-join below all ride (the two join branches share
     # an identical exchange subtree, which Spark deduplicates via
     # ReusedExchange — the surviving shingles shuffle exactly once).
+    # Broadcast-size trade, stated: the hot set is bounded by
+    # (total shingle occurrences / cap), which is corpus-linear only in
+    # an adversarial all-boilerplate corpus — in the df-cap design's
+    # own premise hot shingles are the stopword-grade tail (tens of
+    # rows here). If a deployment's hot set ever outgrows a broadcast,
+    # drop the hint and let AQE pick the join from runtime sizes; the
+    # partial-agg derivation above stays skew-safe either way.
     # ``anti-join df > cap hot set`` ≡ ``keep df <= cap``, value for
     # value; the explode runs twice (hot derivation + survivors), both
     # map-side over the session-cached shingle-set relation.

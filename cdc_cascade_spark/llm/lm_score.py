@@ -116,12 +116,9 @@ def score_documents(
     fake score.
     """
     dbg = _doc_bigrams(docs)
-    # broadcast the vocab-sized model frames — the lm_score_filter
-    # rationale (the corpus-sized bigram stream must not shuffle for
-    # a model lookup)
     scored = (
-        dbg.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), dbg["w1"] == uni["w"], "left")
+        dbg.join(bi, ["w1", "w2"], "left")
+        .join(uni, dbg["w1"] == uni["w"], "left")
         .select(
             "doc_id",
             (
@@ -228,17 +225,9 @@ def lm_score_filter(spark, sf_dir: str) -> DataFrame:
         * (10 * F.coalesce(F.col("n_bg"), F.lit(0)) + 1)
         < 10 * F.coalesce(F.col("n_w"), F.lit(0)) + F.lit(vocab + 1)
     )
-    # Broadcast the MODEL frames (r18-opt, guide §3.1): they are
-    # vocab-sized — exactly the "broadcastable" contract the scale
-    # note below states — but arrive as statistics-free checkpoint
-    # leaves, so both left joins planned as sort-merge joins that
-    # shuffled the CORPUS-sized doc-bigram relation by (w1, w2) and
-    # again by w1. With the hints the bigram stream stays map-side
-    # until the final per-doc aggregation, the only corpus-sized
-    # shuffle this operator should have.
     per_doc = (
-        dbg.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(uni1), "w1", "left")
+        dbg.join(bi, ["w1", "w2"], "left")
+        .join(uni1, "w1", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),

@@ -81,7 +81,10 @@ CHECK_FIRST: list[str] = [
     # PLUS overlap_join_order_windows (ranges.py changed in r17 but
     # fell outside the r17 driver sample; its only fresh evidence is
     # the in-repo property test, so it gets the driver row the r17
-    # ADVICE ordered) and lm_score_filter (model-join broadcast). 35 pins.
+    # ADVICE ordered) and lm_score_filter (carried a model-broadcast
+    # edit this round that review flagged as an unbounded broadcast
+    # and was REVERTED to its r17-verified bytes; pinned so the driver
+    # re-verifies the reverted face anyway). 35 pins: 33 changed + 2.
     # -- retrieval family (bm25_index / retrieval_summary /
     #    retrieval_indexed / chunkeval / hybrid / concurrent.py) --
     "retrieval_mrr_indexed",

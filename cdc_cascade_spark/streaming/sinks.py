@@ -115,9 +115,11 @@ def invalidate_batch(store: KeyValueStore, keys_df: DataFrame, key_col: str) -> 
     trips PER MICRO-BATCH, and the invalidation pipeline pays it on
     every trigger (measured 29k → 43k events/s warm at sf0.1). The key
     list is bounded by the trigger's flow control
-    (``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger``), so one bounded
-    collect per batch is the right driver contract; hot topics that
-    outgrow any driver-side store use
+    (``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger`` — every source
+    builder in streaming/pipeline.py sets one; a caller wiring a raw
+    uncapped source must keep that contract or use the partitions
+    variant), so one bounded collect per batch is the right driver
+    contract; hot topics that outgrow any driver-side store use
     :func:`invalidate_batch_partitions`, where no key list flows
     through the driver at all."""
     for row in keys_df.select(key_col).distinct().collect():
